@@ -1,0 +1,214 @@
+"""URL canonicalization, hashing, host bucketing (SURVEY.md §2.1 C1-C3).
+
+Canonicalization = RFC 3986 §6 normalization, frozen as the project's own
+normative spec (SURVEY.md §5.3 — the reference source is absent, so these
+rules are pinned by the golden fixtures, not by reference code):
+
+  1. trim surrounding whitespace; strip fragment (``#...``)
+  2. lowercase scheme and host
+  3. drop default ports (http:80, https:443)
+  4. collapse dot-segments in the path (RFC 3986 §5.2.4)
+  5. normalize percent-encoding: decode unreserved chars, uppercase hex
+  6. empty path → "/"
+  7. query: drop tracking params (utm_*, fbclid, gclid, msclkid), sort the
+     remaining params lexicographically, drop the "?" if nothing remains
+
+Design: native-first (SURVEY.md §4 — stays inside whole-stage codegen);
+the only Python crossing is one Arrow-batched pandas UDF for the rare
+path fix-up (dot-segments / percent-encoding), fed NULL for rows that
+don't need it so the Python work is O(messy rows) while the Arrow
+transfer is a single column either way.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid)="
+
+# chars that stay decoded per RFC 3986 §2.3 (unreserved)
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _collapse_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out = [""]
+            continue
+        out.append(seg)
+    # re-add trailing slash when the last raw segment was . or ..
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    norm = "/".join(out)
+    if not norm.startswith("/"):
+        norm = "/" + norm
+    return norm
+
+
+def _normalize_pct(path: str) -> str:
+    def repl(m: re.Match[str]) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, path)
+
+
+@pandas_udf(T.StringType())
+def _path_fixup(paths: pd.Series) -> pd.Series:
+    """Slow-path path normalization. Receives NULL for clean paths."""
+
+    def fix(p: str | None) -> str | None:
+        if p is None:
+            return None
+        if "%" in p:
+            p = _normalize_pct(p)
+        if "/." in p:
+            p = _collapse_dot_segments(p)
+        return p
+
+    return paths.map(fix, na_action="ignore")
+
+
+def canonicalize(url: Column) -> Column:
+    """C1 — canonical form of an absolute http(s) URL, as a native-first
+    column expression. Invalid / non-http URLs → NULL (dropped upstream).
+    """
+    u = F.regexp_replace(F.trim(url), "#.*$", "")  # strip fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    host = F.lower(F.regexp_replace(authority, r":\d*$", ""))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    after_auth = F.regexp_replace(rest, r"^[^/?]*", "")
+    raw_path = F.regexp_extract(after_auth, r"^([^?]*)", 1)
+    path0 = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    # gate the Python fix-up: only messy paths cross into the UDF
+    needs_fix = path0.rlike(r"(^|/)\.\.?(/|$)") | path0.contains("%")
+    path = F.coalesce(
+        _path_fixup(F.when(needs_fix, path0)),
+        path0,
+    )
+
+    raw_query = F.regexp_extract(after_auth, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(raw_query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    query_part = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(F.array_sort(kept), "&"))
+    ).otherwise(F.lit(""))
+
+    ok = scheme.isin("http", "https") & (host != "")
+    return F.when(
+        ok, F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+    )
+
+
+_TRACK_PY = re.compile(TRACKING_PARAM_RE)
+_SCHEME_PY = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://")
+
+
+def canonicalize_py(url: str) -> str | None:
+    """Pure-Python twin of :func:`canonicalize` — same frozen rules.
+
+    Used by the sequential golden generator (the stand-in for the absent
+    reference crawler, SURVEY.md §5.3) and cross-checked against the Spark
+    expression by tests/unit/test_urls.py.
+    """
+    u = url.strip().split("#", 1)[0]
+    m = _SCHEME_PY.match(u)
+    if not m:
+        return None
+    scheme = m.group(1).lower()
+    if scheme not in ("http", "https"):
+        return None
+    rest = u[m.end() :]
+    sep = len(rest)
+    for ch in "/?":
+        i = rest.find(ch)
+        if i != -1:
+            sep = min(sep, i)
+    authority, after = rest[:sep], rest[sep:]
+    pm = re.search(r":(\d*)$", authority)
+    host = (authority[: pm.start()] if pm else authority).lower()
+    if not host:
+        return None
+    port = pm.group(1) if pm else ""
+    if port == "" or (scheme, port) in (("http", "80"), ("https", "443")):
+        port_part = ""
+    else:
+        port_part = ":" + port
+    qpos = after.find("?")
+    raw_path, raw_query = (
+        (after, "") if qpos == -1 else (after[:qpos], after[qpos + 1 :])
+    )
+    path = raw_path or "/"
+    if "%" in path:
+        path = _normalize_pct(path)
+    if re.search(r"(^|/)\.\.?(/|$)", path):
+        path = _collapse_dot_segments(path)
+    kept = sorted(
+        p for p in raw_query.split("&") if p != "" and not _TRACK_PY.match(p)
+    )
+    query_part = "?" + "&".join(kept) if kept else ""
+    return f"{scheme}://{host}{port_part}{path}{query_part}"
+
+
+def url_host_py(canon_url: str) -> str:
+    """Pure-Python twin of :func:`url_host`."""
+    m = re.match(r"^[a-z][a-z0-9+.\-]*://([^/?]*)", canon_url)
+    return m.group(1) if m else ""
+
+
+def url_hash(canon_url: Column) -> Column:
+    """C2 — 64-bit signature: Spark-native xxhash64 (BASELINE.json north_star)."""
+    return F.xxhash64(canon_url)
+
+
+def url_host(canon_url: Column) -> Column:
+    """C3 — authority of an already-canonical URL (no port in canon form
+    unless non-default, in which case the port stays part of the host key
+    for politeness purposes: one listener = one budget)."""
+    return F.regexp_extract(canon_url, r"^[a-z][a-z0-9+.\-]*://([^/?]*)", 1)
+
+
+def host_bucket(host: Column, num_buckets: int) -> Column:
+    """C3 — partition key: pmod(xxhash64(host), P)."""
+    return F.pmod(F.xxhash64(host), F.lit(num_buckets)).cast("int")
+
+
+def with_url_columns(
+    df: DataFrame, url_col: str = "url", num_buckets: int = 32
+) -> DataFrame:
+    """Attach canon_url / url_hash / host / host_bucket; drop invalid URLs."""
+    out = (
+        df.withColumn("canon_url", canonicalize(F.col(url_col)))
+        .filter(F.col("canon_url").isNotNull())
+        .withColumn("url_hash", url_hash(F.col("canon_url")))
+        .withColumn("host", url_host(F.col("canon_url")))
+        .withColumn("host_bucket", host_bucket(F.col("host"), num_buckets))
+    )
+    return out
