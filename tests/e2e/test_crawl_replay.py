@@ -1,0 +1,94 @@
+"""Golden end-to-end crawl replay (SURVEY.md §5.2.2).
+
+The Spark engine must reproduce the sequential golden crawler exactly:
+crawl order (seq, batch, url, host, depth, seed), the final URL-seen set,
+per-document span sequences, and per-(batch, host) metrics.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from who_focus_crawler_spark import schemas
+from who_focus_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+from who_focus_crawler_spark.sources.fixture_web import UNIT_WEB
+from who_focus_crawler_spark.sources.golden import run_golden
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, tmp_path_factory):
+    cfg = CrawlConfig(
+        web=UNIT_WEB,
+        checkpoint_dir=str(tmp_path_factory.mktemp("crawl_unit")),
+        num_buckets=8,
+    )
+    catalog = run_crawl(spark, cfg)
+    golden = run_golden(UNIT_WEB)
+    return spark, catalog, golden
+
+
+def test_crawl_order_exact(crawled):
+    spark, catalog, golden = crawled
+    rows = (
+        catalog.read_table(spark, "crawl_order", schemas.CRAWL_ORDER)
+        .orderBy("seq")
+        .collect()
+    )
+    got = [(r.seq, r.batch, r.canon_url, r.host, r.depth, r.seed_id) for r in rows]
+    assert got == golden.crawl_order
+
+
+def test_url_seen_exact(crawled):
+    spark, catalog, golden = crawled
+    seen = {
+        r.canon_url
+        for r in catalog.read_table(spark, "url_seen", schemas.URL_SEEN).collect()
+    }
+    assert seen == golden.url_seen
+
+
+def test_span_sequence_equality(crawled):
+    spark, catalog, golden = crawled
+    docs = catalog.read_table(spark, "documents", schemas.DOCUMENTS_OUT).collect()
+    assert len(docs) == len(golden.documents)
+    for r in docs:
+        want = golden.documents[r.doc_id]
+        got = [
+            (s.kind, s.text, s.media_ref, s.offset) for s in r.spans
+        ]
+        assert got == [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in want
+        ], r.doc_id
+
+
+def test_metrics_match_golden(crawled):
+    spark, catalog, golden = crawled
+    rows = catalog.read_table(spark, "metrics", schemas.METRICS).collect()
+    got = {
+        (r.batch, r.host): dict(
+            scheduled=r.scheduled,
+            blocked_robots=r.blocked_robots,
+            admitted=r.admitted,
+            deferred=r.deferred,
+            fetched=r.fetched,
+            discovered=r.discovered,
+            deduped=r.deduped,
+            new_urls=r.new_urls,
+        )
+        for r in rows
+    }
+    assert got == golden.metrics
+
+
+def test_politeness_invariant(crawled):
+    spark, catalog, _ = crawled
+    from pyspark.sql import functions as F
+
+    co = catalog.read_table(spark, "crawl_order", schemas.CRAWL_ORDER)
+    over = (
+        co.groupBy("batch", "host")
+        .count()
+        .filter(F.col("count") > UNIT_WEB.politeness_k)
+        .count()
+    )
+    assert over == 0

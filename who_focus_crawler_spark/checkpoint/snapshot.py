@@ -1,0 +1,122 @@
+"""C14/C15 — atomic snapshot commits + resume (Iceberg-semantics shim).
+
+No Iceberg runtime jars can be fetched in this sandbox (SURVEY.md probe
+P5), so this module implements the Iceberg *semantics* the contract needs
+— immutable data files, a manifest listing exactly the files of each table
+at each snapshot, snapshot-id-addressed reads, and an atomically-swapped
+HEAD pointer — over plain Parquet. The interface is catalog-shaped: on a
+networked cluster, `SnapshotCatalog` is replaced by a real Iceberg catalog
+(`writeTo(...).append()` / MERGE / `VERSION AS OF`) without touching
+engine code.
+
+Commit protocol (SURVEY.md §7 hard-part #3): write data files → fsync a
+JSON manifest for snapshot s → atomically `os.replace` the HEAD pointer.
+A crash before the HEAD swap leaves the previous snapshot intact;
+`resume()` reads HEAD and continues — determinism of the scheduler (C9)
+guarantees the continuation equals an uninterrupted run.
+
+Tables are either REPLACE (manifest points only at this snapshot's files:
+frontier, robots_cache, host_state, seen_filters) or APPEND (manifest
+carries the previous file list plus this snapshot's delta: crawl_order,
+documents, metrics, url_seen) — appends never rewrite history, which is
+what makes per-batch commits O(delta) instead of O(corpus).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+APPEND_TABLES = {"crawl_order", "documents", "metrics", "url_seen"}
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------ pointers
+    @property
+    def _head_path(self) -> Path:
+        return self.root / "HEAD"
+
+    def head(self) -> int | None:
+        try:
+            return int(self._head_path.read_text().strip())
+        except FileNotFoundError:
+            return None
+
+    def _manifest_path(self, snapshot_id: int) -> Path:
+        return self.root / f"manifest-{snapshot_id:06d}.json"
+
+    def manifest(self, snapshot_id: int) -> dict:
+        return json.loads(self._manifest_path(snapshot_id).read_text())
+
+    # -------------------------------------------------------------- commit
+    def commit(
+        self,
+        snapshot_id: int,
+        tables: dict[str, DataFrame],
+        state: dict,
+        num_files: int = 1,
+    ) -> None:
+        """Write each table's delta/replacement, then atomically publish."""
+        prev = self.manifest(snapshot_id - 1) if snapshot_id > 0 else None
+        entry: dict[str, list[str]] = {}
+        for name, df in tables.items():
+            if df is None:  # unchanged append-table: carry file list forward
+                entry[name] = list(prev["tables"][name]) if prev else []
+                continue
+            path = self.root / "data" / name / f"snap-{snapshot_id:06d}"
+            df.coalesce(num_files).write.mode("overwrite").parquet(str(path))
+            files = [str(path)]
+            if name in APPEND_TABLES and prev and name in prev["tables"]:
+                files = list(prev["tables"][name]) + files
+            entry[name] = files
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "committed_at": time.time(),
+            "tables": entry,
+            "state": state,
+        }
+        mp = self._manifest_path(snapshot_id)
+        tmp = mp.with_suffix(".tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps(manifest))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mp)
+        # atomic HEAD swap — the publish point
+        htmp = self._head_path.with_suffix(".tmp")
+        with open(htmp, "w") as f:
+            f.write(str(snapshot_id))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(htmp, self._head_path)
+
+    # ---------------------------------------------------------------- read
+    def read_table(
+        self,
+        spark: SparkSession,
+        name: str,
+        schema: T.StructType,
+        snapshot_id: int | None = None,
+    ) -> DataFrame | None:
+        sid = self.head() if snapshot_id is None else snapshot_id
+        if sid is None:
+            return None
+        files = self.manifest(sid)["tables"].get(name, [])
+        if not files:
+            return None
+        return spark.read.schema(schema).parquet(*files)
+
+    def state(self, snapshot_id: int | None = None) -> dict | None:
+        sid = self.head() if snapshot_id is None else snapshot_id
+        if sid is None:
+            return None
+        return self.manifest(sid)["state"]

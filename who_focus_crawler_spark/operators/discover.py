@@ -1,0 +1,45 @@
+"""C12 — link discovery & resolution from span sequences.
+
+posexplode the ordered spans, keep kind='link', canonicalize targets
+(C1 — all native except the gated path fix-up), attach lineage
+(seed → depth+1 → discovering batch) and the frozen in-batch discovery
+tie-break key (parent_seq, span offset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.functions.urls import (
+    canonicalize,
+    host_bucket,
+    url_hash,
+    url_host,
+)
+
+
+def discover_links(fetched: DataFrame, num_buckets: int) -> DataFrame:
+    """fetched docs → one row per (valid) link occurrence, in doc order.
+
+    Columns: target_url/url_hash/host/host_bucket, depth (child), seed_id,
+    parent_hash, parent_host, parent_seq, offset, batch.
+    """
+    links = fetched.select(
+        F.col("seq").alias("parent_seq"),
+        F.col("batch"),
+        F.col("url_hash").alias("parent_hash"),
+        F.col("host").alias("parent_host"),
+        (F.col("depth") + 1).alias("depth"),
+        F.col("seed_id"),
+        F.posexplode("spans").alias("pos", "span"),
+    ).filter(F.col("span.kind") == "link")
+    return (
+        links.withColumn("target_url", canonicalize(F.col("span.media_ref")))
+        .filter(F.col("target_url").isNotNull())
+        .withColumn("offset", F.col("span.offset"))
+        .drop("pos", "span")
+        .withColumn("url_hash", url_hash(F.col("target_url")))
+        .withColumn("host", url_host(F.col("target_url")))
+        .withColumn("host_bucket", host_bucket(F.col("host"), num_buckets))
+    )

@@ -1,0 +1,77 @@
+"""Frontier operators: bootstrap, candidate selection (C6), merge (C5).
+
+The frontier is hash-partitioned by host_bucket = pmod(xxhash64(host), P)
+so selection windows, politeness state, and seen-filters are all
+partition-local after one shuffle (SURVEY.md §4 physical layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark import schemas
+from who_focus_crawler_spark.functions.urls import host_bucket, url_hash, url_host
+
+def host_order() -> list:
+    """Deterministic per-host candidate order, frozen in SURVEY.md §5.3:
+    (priority desc, depth asc, canon_url asc)."""
+    return [F.desc("priority"), F.asc("depth"), F.asc("canon_url")]
+
+
+def bootstrap_frontier(
+    spark: SparkSession, seeds: list[str], num_buckets: int
+) -> DataFrame:
+    """Seed rows → frontier v0 (C1-C3 applied, depth 0, priority 0)."""
+    from who_focus_crawler_spark.functions.urls import canonicalize
+
+    raw = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(seeds)], ["seed_id", "url"]
+    )
+    return (
+        raw.withColumn("canon_url", canonicalize(F.col("url")))
+        .filter(F.col("canon_url").isNotNull())
+        .select(
+            F.col("canon_url"),
+            url_hash(F.col("canon_url")).alias("url_hash"),
+            url_host(F.col("canon_url")).alias("host"),
+            host_bucket(url_host(F.col("canon_url")), num_buckets).alias(
+                "host_bucket"
+            ),
+            F.lit(0.0).alias("priority"),
+            F.lit(0).alias("depth"),
+            F.col("seed_id").cast("int"),
+            F.lit(None).cast("long").alias("parent_hash"),
+            F.lit(0).alias("discovered_in_batch"),
+            F.lit("enqueued").alias("state"),
+        )
+    )
+
+
+def select_candidates(frontier: DataFrame, select_k: int) -> DataFrame:
+    """C6 — host-bucketed priority queue: per host, top select_k by the
+    frozen order. One shuffle on host; the window is the distributed
+    equivalent of a per-host priority queue (SURVEY.md §2.1 C6)."""
+    w = Window.partitionBy("host").orderBy(*host_order())
+    return (
+        frontier.withColumn("rn_sel", F.row_number().over(w))
+        .filter(F.col("rn_sel") <= select_k)
+        .drop("rn_sel")
+    )
+
+
+def merge_frontier(
+    frontier: DataFrame, consumed_keys: DataFrame, new_rows: DataFrame
+) -> DataFrame:
+    """C5 — frontier' = (frontier ∖ consumed) ∪ new.
+
+    ``consumed_keys`` (admitted + robots-blocked this batch) is politeness-
+    bounded and therefore small → Catalyst broadcasts the anti-join build
+    side, so the big frontier never shuffles here. At Iceberg scale this
+    becomes a partition-scoped MERGE (copy-on-write of affected
+    host_buckets only); semantics identical.
+    """
+    kept = frontier.join(
+        F.broadcast(consumed_keys.select("canon_url")), "canon_url", "left_anti"
+    )
+    return kept.unionByName(new_rows.select(*[f.name for f in schemas.FRONTIER]))

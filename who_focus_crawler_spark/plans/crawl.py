@@ -1,0 +1,279 @@
+"""The crawl engine's main loop (SURVEY.md §3.1).
+
+One driver-side iteration = one fetch batch = one committed snapshot:
+
+  frontier scan → C6 select (window over host) → C8 robots (broadcast join
+  + pandas UDF) → C7 politeness (window) → C9 sequencing (deterministic
+  total order) → C10+C11 fetch+extract (mapInPandas) → C12 discovery
+  (posexplode + canonicalize) → C4 dedup (bloom fast path + exact
+  anti-join) → C5 merge → C16 metrics → C14 snapshot commit.
+
+Determinism contract: given the same seed list, politeness budget, and
+fixture web, `crawl_order`, `url_seen`, and every span sequence are
+byte-identical to the sequential golden crawler (sources/golden.py) at any
+parallelism level — verified by tests/e2e + tests/prop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark import schemas
+from who_focus_crawler_spark.checkpoint.snapshot import SnapshotCatalog
+from who_focus_crawler_spark.operators.dedup import (
+    build_seen_filters,
+    dedup_against_seen,
+    dedup_in_batch,
+    part_id,
+    update_seen_filters,
+)
+from who_focus_crawler_spark.operators.discover import discover_links
+from who_focus_crawler_spark.operators.fetch import fetch_and_extract
+from who_focus_crawler_spark.operators.frontier import (
+    bootstrap_frontier,
+    merge_frontier,
+    select_candidates,
+)
+from who_focus_crawler_spark.operators.politeness import apply_politeness, assign_seq
+from who_focus_crawler_spark.operators.robots import apply_robots, refresh_robots_cache
+from who_focus_crawler_spark.sources.fixture_web import WebConfig, seed_urls
+
+
+@dataclass
+class CrawlConfig:
+    web: WebConfig
+    checkpoint_dir: str
+    num_buckets: int = 32
+    use_bloom: bool = True
+    max_batches: int | None = None  # default: web.max_batches
+
+    @property
+    def batches(self) -> int:
+        return self.max_batches if self.max_batches is not None else self.web.max_batches
+
+
+def _empty(spark: SparkSession, schema) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def bootstrap(spark: SparkSession, cfg: CrawlConfig) -> SnapshotCatalog:
+    """Snapshot 0: seeds enter the frontier and the URL-seen set."""
+    catalog = SnapshotCatalog(cfg.checkpoint_dir)
+    frontier = bootstrap_frontier(spark, seed_urls(cfg.web), cfg.num_buckets)
+    url_seen = frontier.select(
+        "url_hash",
+        "canon_url",
+        part_id(F.col("url_hash"), cfg.num_buckets).alias("part_id"),
+    )
+    filters = build_seen_filters(url_seen, cfg.num_buckets)
+    catalog.commit(
+        0,
+        {
+            "frontier": frontier,
+            "url_seen": url_seen,
+            "seen_filters": filters,
+            "robots_cache": _empty(spark, schemas.ROBOTS_CACHE),
+            "host_state": _empty(spark, schemas.HOST_STATE),
+            "crawl_order": _empty(spark, schemas.CRAWL_ORDER),
+            "documents": _empty(spark, schemas.DOCUMENTS_OUT),
+            "metrics": _empty(spark, schemas.METRICS),
+        },
+        state={"next_seq": 1, "next_batch": 1, "finished": False},
+    )
+    return catalog
+
+
+def run_batch(
+    spark: SparkSession, cfg: CrawlConfig, catalog: SnapshotCatalog
+) -> dict:
+    """Execute one fetch batch and commit it. Returns the batch stats."""
+    st = catalog.state()
+    assert st is not None and not st["finished"]
+    batch, base_seq = st["next_batch"], st["next_seq"]
+    P = cfg.num_buckets
+
+    frontier = catalog.read_table(spark, "frontier", schemas.FRONTIER)
+    url_seen = catalog.read_table(spark, "url_seen", schemas.URL_SEEN)
+    robots_cache = catalog.read_table(spark, "robots_cache", schemas.ROBOTS_CACHE)
+    host_state = catalog.read_table(spark, "host_state", schemas.HOST_STATE)
+    seen_filters = (
+        catalog.read_table(spark, "seen_filters", schemas.SEEN_FILTERS)
+        if cfg.use_bloom
+        else None
+    )
+    if robots_cache is None:
+        robots_cache = _empty(spark, schemas.ROBOTS_CACHE)
+    if host_state is None:
+        host_state = _empty(spark, schemas.HOST_STATE)
+
+    # C6 + C8 + C7 — one cached candidate frame with decision flags
+    robots_cache = refresh_robots_cache(
+        select_candidates(frontier, cfg.web.select_k), robots_cache, cfg.web, batch
+    ).localCheckpoint(eager=True)  # cache: broadcast twice below
+    cand = apply_politeness(
+        apply_robots(select_candidates(frontier, cfg.web.select_k), robots_cache),
+        cfg.web.politeness_k,
+    ).persist()
+    n_selected = cand.count()
+    if n_selected == 0:
+        catalog.commit(
+            batch,
+            {t: None for t in ("crawl_order", "documents", "metrics", "url_seen")}
+            | {
+                "frontier": frontier,
+                "seen_filters": seen_filters,
+                "robots_cache": robots_cache,
+                "host_state": host_state,
+            },
+            state={"next_seq": base_seq, "next_batch": batch + 1, "finished": True},
+        )
+        cand.unpersist()
+        return {"batch": batch, "fetched": 0, "new_urls": 0, "finished": True}
+
+    # C9 + C10/C11
+    admitted = assign_seq(
+        cand.filter(F.col("admitted")).withColumn("batch", F.lit(batch)), base_seq - 1
+    )
+    fetched = fetch_and_extract(admitted, cfg.web).persist()
+
+    # C12 + C4
+    events = discover_links(fetched, P)
+    winners = dedup_in_batch(events)
+    new_unique = dedup_against_seen(winners, url_seen, seen_filters, P).persist()
+
+    n_fetched = fetched.count()
+    n_new = new_unique.count()
+
+    # C5 — merge
+    new_frontier_rows = new_unique.select(
+        F.col("target_url").alias("canon_url"),
+        "url_hash",
+        "host",
+        "host_bucket",
+        (-F.col("depth").cast("double")).alias("priority"),
+        "depth",
+        "seed_id",
+        "parent_hash",
+        F.lit(batch).alias("discovered_in_batch"),
+        F.lit("enqueued").alias("state"),
+    )
+    consumed = cand.filter(F.col("admitted") | ~F.col("robots_ok"))
+    frontier2 = merge_frontier(frontier, consumed, new_frontier_rows)
+
+    url_seen_delta = new_unique.select(
+        "url_hash",
+        F.col("target_url").alias("canon_url"),
+        part_id(F.col("url_hash"), P).alias("part_id"),
+    )
+    filters2 = (
+        update_seen_filters(seen_filters, url_seen_delta, P)
+        if seen_filters is not None
+        else None
+    )
+
+    # C16 — metrics (per batch × host; deduped = discovered − new_urls)
+    sched = cand.groupBy("host").agg(
+        F.count("*").alias("scheduled"),
+        F.sum(F.when(~F.col("robots_ok"), 1).otherwise(0)).alias("blocked_robots"),
+        F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("admitted"),
+        F.sum(
+            F.when(F.col("robots_ok") & ~F.col("admitted"), 1).otherwise(0)
+        ).alias("deferred"),
+    )
+    disc = events.groupBy(F.col("parent_host").alias("host")).agg(
+        F.count("*").alias("discovered")
+    )
+    new_m = new_unique.groupBy(F.col("parent_host").alias("host")).agg(
+        F.count("*").alias("new_urls")
+    )
+    metrics = (
+        sched.join(disc, "host", "left")
+        .join(new_m, "host", "left")
+        .na.fill(0, ["discovered", "new_urls"])
+        .select(
+            F.lit(batch).alias("batch"),
+            "host",
+            F.col("scheduled").cast("long"),
+            F.col("blocked_robots").cast("long"),
+            F.col("admitted").cast("long"),
+            F.col("deferred").cast("long"),
+            F.col("admitted").cast("long").alias("fetched"),
+            F.col("discovered").cast("long"),
+            (F.col("discovered") - F.col("new_urls")).cast("long").alias("deduped"),
+            F.col("new_urls").cast("long"),
+        )
+    )
+
+    fetched_counts = admitted.groupBy("host").agg(F.count("*").alias("n"))
+    host_state2 = (
+        host_state.join(fetched_counts, "host", "full")
+        .select(
+            "host",
+            (F.coalesce(F.col("fetched_total"), F.lit(0)) + F.coalesce(F.col("n"), F.lit(0)))
+            .cast("long")
+            .alias("fetched_total"),
+            F.when(F.col("n").isNotNull(), F.lit(batch))
+            .otherwise(F.col("last_batch"))
+            .cast("int")
+            .alias("last_batch"),
+        )
+    )
+
+    crawl_order_delta = fetched.select(
+        "seq", "batch", "canon_url", "url_hash", "host", "depth", "seed_id"
+    )
+    documents_delta = fetched.select(
+        F.col("canon_url").alias("doc_id"), "spans", "batch"
+    )
+
+    catalog.commit(
+        batch,
+        {
+            "frontier": frontier2,
+            "url_seen": url_seen_delta,  # append table: delta only
+            "seen_filters": filters2,
+            "robots_cache": robots_cache,
+            "host_state": host_state2,
+            "crawl_order": crawl_order_delta,  # append
+            "documents": documents_delta,  # append
+            "metrics": metrics,  # append
+        },
+        state={
+            "next_seq": base_seq + n_fetched,
+            "next_batch": batch + 1,
+            "finished": False,
+        },
+    )
+    cand.unpersist()
+    fetched.unpersist()
+    new_unique.unpersist()
+    return {
+        "batch": batch,
+        "selected": n_selected,
+        "fetched": n_fetched,
+        "new_urls": n_new,
+        "finished": False,
+    }
+
+
+def run_crawl(
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    resume: bool = False,
+    until_batch: int | None = None,
+) -> SnapshotCatalog:
+    """Full crawl: bootstrap (or resume from last committed snapshot, C15)
+    and iterate batches until the frontier drains or the budget is hit."""
+    catalog = SnapshotCatalog(cfg.checkpoint_dir)
+    if not resume or catalog.head() is None:
+        catalog = bootstrap(spark, cfg)
+    limit = until_batch if until_batch is not None else cfg.batches
+    while True:
+        st = catalog.state()
+        if st["finished"] or st["next_batch"] > limit:
+            break
+        run_batch(spark, cfg, catalog)
+    return catalog

@@ -1,0 +1,198 @@
+"""Deterministic synthetic fixture web (FIXTURES.md §1.3).
+
+No external data and no network (SURVEY.md §0.1): page URLs are generated
+arithmetically and page *content* (the ordered span sequence) is a pure
+function of the canonical URL, so the corpus needs no storage at any scale —
+the fetch UDF synthesizes content on the fly and the sequential golden
+crawler (golden.py) synthesizes the very same bytes.
+
+Everything is keyed off blake2b(url) — NOT Spark's xxhash64 — so the pure
+Python golden generator and the Spark-side fetch UDF agree without
+re-implementing Spark's hash. Spark's xxhash64 is still the url_hash /
+partitioning signature (BASELINE.json north_star); it just plays no role in
+content synthesis or tie-breaking (SURVEY.md §5.3 freeze: ties break on
+canon_url, which any engine can reproduce).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+from who_focus_crawler_spark.functions.urls import canonicalize_py
+
+
+def h64(s: str) -> int:
+    """Stable 64-bit hash of a string (pure Python, version-independent)."""
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+@dataclass(frozen=True)
+class WebConfig:
+    """Deterministic web-graph parameters. Defaults = unit tier
+    (50 pages / 5 hosts, FIXTURES.md §1.3); e2e tier uses 2000/40."""
+
+    n_hosts: int = 5
+    n_pages: int = 50
+    hot_host_frac: float = 0.4  # host 0 holds this share of all pages
+    seed_hosts: tuple[int, ...] = (0, 1, 2)
+    select_k: int = 4  # C6: top-k per host selected per batch
+    politeness_k: int = 2  # C7: fetches admitted per host per batch
+    max_batches: int = 50
+    agent: str = "wfc-bot"
+
+    def pages_per_host(self) -> list[int]:
+        hot = max(1, int(self.n_pages * self.hot_host_frac))
+        rest = self.n_pages - hot
+        cold = self.n_hosts - 1
+        base = [hot] + [rest // cold] * cold if cold else [self.n_pages]
+        for i in range(rest - (rest // cold) * cold if cold else 0):
+            base[1 + i] += 1
+        return base
+
+
+def host_name(i: int) -> str:
+    return f"h{i}.example.test"
+
+
+def page_path(j: int) -> str:
+    # every 11th-ish page lives under /private/ → robots-gated on some hosts
+    return f"/private/p/{j}" if j % 11 == 7 else f"/p/{j}"
+
+
+def page_url(i: int, j: int) -> str:
+    return f"http://{host_name(i)}{page_path(j)}"
+
+
+def seed_urls(cfg: WebConfig) -> list[str]:
+    return [page_url(i, 0) for i in cfg.seed_hosts]
+
+
+# ---------------------------------------------------------------- robots ---
+
+
+def robots_rules(host: str, cfg: WebConfig) -> list[tuple[bool, str]]:
+    """Parsed robots rules for a host: list of (allow, path_prefix).
+
+    RFC 9309 longest-match semantics are applied by `robots_allowed`.
+    Hosts i ≡ 0 (mod 7) disallow /private/ but allow /private/p/0 back
+    (longest-match exercise); host 3 serves no robots file (allow all).
+    """
+    if not host.startswith("h") or not host.endswith(".example.test"):
+        return []
+    try:
+        i = int(host.split(".")[0][1:])
+    except ValueError:
+        return []
+    if i == 3:
+        return []  # no robots file
+    if i % 7 == 0:
+        return [(False, "/private/"), (True, "/private/p/0")]
+    return [(True, "/")]
+
+
+def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
+    """RFC 9309: the longest matching prefix wins; no match → allowed."""
+    best_len, best_allow = -1, True
+    for allow, prefix in rules:
+        if path.startswith(prefix) and len(prefix) > best_len:
+            best_len, best_allow = len(prefix), allow
+    return best_allow
+
+
+# -------------------------------------------------------------- content ---
+
+
+def _mk_messy(target: str, r: int) -> str:
+    """Non-canonical variant of a link target (exercises C1)."""
+    v = r % 5
+    scheme, rest = target.split("://", 1)
+    host, path = rest.split("/", 1)
+    path = "/" + path
+    if v == 0:
+        return f"http://{host.upper()}{path}"
+    if v == 1:
+        return f"http://{host}:80{path}"
+    if v == 2:
+        parts = path.rsplit("/", 1)
+        return f"http://{host}{parts[0]}/./{parts[1]}" if len(parts) == 2 else target
+    if v == 3:
+        return f"{target}#sec{r % 7}"
+    return f"{target}?utm_source=feed"
+
+
+def synth_spans(canon_url: str, cfg: WebConfig) -> list[dict]:
+    """The page body: ordered spans interleaving text/media/link.
+
+    Pure function of the canonical URL (plus the web-graph shape), shared
+    verbatim by the golden crawler and the Spark fetch UDF — this IS the
+    frozen extraction semantics (span-sequence equality, BASELINE.json
+    input_hint).
+    """
+    pph = cfg.pages_per_host()
+    seed = h64(canon_url)
+    n_spans = 3 + seed % 10
+    spans: list[dict] = []
+    offset = 0
+    prev_link: str | None = None
+    # which host is this page on (for same-host link bias)?
+    try:
+        my_host_i = int(canon_url.split("//h", 1)[1].split(".", 1)[0])
+    except (IndexError, ValueError):
+        my_host_i = 0
+    for k in range(n_spans):
+        r = h64(f"{canon_url}|{k}")
+        sel = r % 10
+        if sel <= 4:  # text span
+            text = f"paragraph {r % 100000} about topic {r % 13} on {canon_url}"
+            spans.append(
+                {"kind": "text", "text": text, "media_ref": None, "offset": offset}
+            )
+            offset += len(text)
+        elif sel <= 6:  # media span
+            ref = f"media://img/{r % 99991}.jpg"
+            spans.append(
+                {"kind": "media", "text": None, "media_ref": ref, "offset": offset}
+            )
+            offset += 40
+        else:  # link span
+            r2 = h64(f"{canon_url}|{k}|t")
+            if prev_link is not None and r2 % 10 == 0:  # ~10% duplicate links
+                target = prev_link
+            else:
+                pick = r2 % 100
+                if pick < 70 or cfg.n_hosts == 1:
+                    ti = my_host_i if my_host_i < cfg.n_hosts else 0
+                elif pick < 90:
+                    ti = 0  # hot host
+                else:
+                    ti = (r2 // 100) % cfg.n_hosts
+                tj = (r2 // 10000) % pph[ti]
+                target = page_url(ti, tj)
+            prev_link = target
+            href = target
+            if h64(f"{canon_url}|{k}|m") % 20 == 0:  # ~5% messy forms
+                href = _mk_messy(target, h64(f"{canon_url}|{k}|v"))
+            spans.append(
+                {"kind": "link", "text": None, "media_ref": href, "offset": offset}
+            )
+            offset += 30
+    return spans
+
+
+def extract_links(spans: list[dict]) -> list[tuple[str, int]]:
+    """(canonical link target, span offset) pairs, in document order.
+
+    Canonicalization drops invalid targets; offset is the in-batch
+    first-discovery tie-break (SURVEY.md §5.3 freeze)."""
+    out = []
+    for s in spans:
+        if s["kind"] == "link" and s["media_ref"]:
+            c = canonicalize_py(s["media_ref"])
+            if c is not None:
+                out.append((c, s["offset"]))
+    return out
+
+
+UNIT_WEB = WebConfig()
+E2E_WEB = WebConfig(n_hosts=40, n_pages=2000, seed_hosts=(0, 1, 2, 4, 5), max_batches=30)
