@@ -1,0 +1,141 @@
+"""Bench harness (driver contract): one JSON line with headline metric.
+
+Headline = the north metric (BASELINE.json): frontier URLs
+scheduled+deduped per second. A synthetic frontier is expanded
+deterministically from `orders` (multiplier EXPAND per order), pushed
+through the real pipeline — C1 canonicalize → C2 xxhash64 → C3 host →
+C4 exact dedup (anti-join) → C6 top-k/host → C7 politeness → C9 global
+seq — and timed end-to-end. Representative operator queries from the
+harness registry are timed individually.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), WFC_BENCH_EXPAND (default 20).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.functions.urls import canonicalize_df, url_hash, url_host
+from who_focus_crawler_spark.harness import REGISTRY
+from who_focus_crawler_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "flagship_schedule",
+    "r_agg_q1",
+    "r_join_shuffle",
+    "r_win_topk",
+    "c_canonicalize",
+    "c_url_dedup",
+    "d_dedup_minhash",
+    "d_dedup_simhash",
+    "d_sim_cosine_topk",
+    "d_text_quality",
+]
+
+
+def synth_frontier(spark: SparkSession, sf_dir: str, expand: int) -> DataFrame:
+    """Deterministic messy-URL frontier: `expand` URLs per order row."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    rep = F.explode(F.sequence(F.lit(0), F.lit(expand - 1))).alias("rep")
+    base = o.select("o_orderkey", "o_custkey", "o_totalprice", rep)
+    uid = (F.col("o_orderkey") * expand + F.col("rep")).cast("long")
+    host = F.concat(
+        F.lit("h"), (uid % 997).cast("string"), F.lit(".example.org")
+    )
+    path = F.concat(F.lit("/p/"), uid.cast("string"))
+    v = uid % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTP://"), F.upper(host), path))
+        .when(v == 1, F.concat(F.lit("http://"), host, F.lit(":80"), path))
+        .when(v == 2, F.concat(F.lit("http://"), host, F.lit("/x/../p/"), uid.cast("string")))
+        .when(v == 3, F.concat(F.lit("http://"), host, path, F.lit("#s1")))
+        .otherwise(F.concat(F.lit("http://"), host, path, F.lit("?utm_source=x&b=2&a=1")))
+    )
+    # The source parquet at small SF is a single file ⇒ one input partition;
+    # spread the frontier across the executors before the heavy stages
+    # (at cluster scale this is the C3 host-hash repartition).
+    nparts = int(os.environ.get("SPARK_GRAFT_CPUS", "32")) * 4
+    return base.select(
+        uid.alias("uid"), F.col("o_totalprice").alias("priority"), url.alias("url")
+    ).repartition(nparts, "uid")
+
+
+def run_frontier_pipeline(spark: SparkSession, frontier: DataFrame) -> int:
+    """The headline schedule+dedup pipeline; returns admitted count."""
+    cand = (
+        canonicalize_df(frontier, "url", "canon_url")
+        .withColumn("url_hash", url_hash(F.col("canon_url")))
+        .withColumn("host", url_host(F.col("canon_url")))
+    ).persist()  # consumed twice (candidates + seen derivation)
+    seen = cand.filter(F.col("uid") % 3 == 0).select("url_hash", "canon_url")
+    new = cand.join(seen, ["url_hash", "canon_url"], "left_anti")
+    wh = Window.partitionBy("host").orderBy(F.desc("priority"), "canon_url")
+    admitted = new.withColumn("rk", F.row_number().over(wh)).filter(F.col("rk") <= 8)
+    wg = Window.orderBy(F.desc("priority"), "host", "canon_url")
+    out = admitted.select(F.row_number().over(wg).alias("seq"), "canon_url", "host")
+    return out.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    expand = int(os.environ.get("WFC_BENCH_EXPAND", "20"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(
+        app_name="wfc-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    # headline: frontier schedule+dedup throughput
+    frontier = synth_frontier(spark, sf_dir, expand)
+    n_urls = frontier.count()  # materialize input cardinality first
+    run_frontier_pipeline(spark, frontier.limit(2000))  # warm Python workers
+    t0 = time.time()
+    n_admitted = run_frontier_pipeline(spark, frontier)
+    frontier_wall = time.time() - t0
+    urls_per_sec = n_urls / frontier_wall if frontier_wall > 0 else 0.0
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        _ = n
+
+    print(
+        json.dumps(
+            {
+                "metric": "frontier URLs scheduled+deduped per second "
+                "(synthetic frontier, full C1-C9 pipeline)",
+                "value": round(urls_per_sec, 1),
+                "unit": "urls/sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "frontier_urls": n_urls,
+                "frontier_admitted": n_admitted,
+                "frontier_wall_sec": round(frontier_wall, 3),
+                "query_total_sec": round(total, 3),
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Multimodal column plumbing (task brief): image/audio/video as opaque
+`binary` columns with typed metadata.
+
+The container has no image/audio codecs, so the decode step is a STUB —
+`decode_media` raises NotImplementedError unless `fake=True`, in which
+case a deterministic fake decoder exercises the real Spark-side plumbing
+(schema, Arrow batch shape, mapInPandas partitioning) end-to-end.
+
+At 100 TB the pattern is: binary payloads stay in their own column so
+Parquet column pruning skips them unless a stage actually decodes; decode
+runs in `mapInPandas` with an iterator signature so one Python worker
+amortizes codec setup across Arrow batches; frame-sampling emits
+one row per sampled frame via the iterator (no driver involvement).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("byte_len", T.LongType(), False),
+        T.StructField("meta_json", T.StringType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def attach_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a typed media table from documents: payload = utf-8 bytes
+    of the text (deterministic opaque blob), kind cycles by id. Exercises
+    the binary-column schema without external codecs."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    payload = F.encode(F.col(text_col), "utf-8")
+    return docs.select(
+        F.concat(F.lit("m"), F.col(id_col).cast("string")).alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.to_json(
+            F.struct(F.col(id_col).alias("src_doc"), F.length(F.col(text_col)).alias("n"))
+        ).alias("meta_json"),
+    )
+
+
+def _fake_decode(payload: bytes, n_frames: int) -> list[list[float]]:
+    """Deterministic fake decoder: 4-dim 'feature' per sampled frame from
+    byte statistics of equal slices. Stands in for a real codec."""
+    out = []
+    step = max(1, len(payload) // max(n_frames, 1))
+    for i in range(n_frames):
+        chunk = payload[i * step : (i + 1) * step] or b"\x00"
+        s = sum(chunk)
+        out.append(
+            [
+                float(len(chunk)),
+                float(s % 251),
+                float(chunk[0]),
+                float(chunk[-1]),
+            ]
+        )
+    return out
+
+
+def decode_media(media: DataFrame, frames_per_item: int = 3, fake: bool = False) -> DataFrame:
+    """Decode/feature-extract/frame-sample → one row per sampled frame.
+
+    Real decoding is NOT implemented in this container (no codec libs);
+    pass fake=True to run the deterministic stand-in through the identical
+    Spark plumbing."""
+    if not fake:
+        raise NotImplementedError(
+            "media codecs are not available in this environment; "
+            "pass fake=True for the deterministic test decoder"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx, feat in enumerate(_fake_decode(bytes(payload), frames_per_item)):
+                    rows.append((mid, idx, feat))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "feature"])
+
+    return media.select("media_id", "payload").mapInPandas(decode, FRAME_SCHEMA)

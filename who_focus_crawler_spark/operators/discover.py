@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from who_focus_crawler_spark.functions.urls import (
-    canonicalize,
+    canonicalize_df,
     host_bucket,
     url_hash,
     url_host,
@@ -34,11 +34,12 @@ def discover_links(fetched: DataFrame, num_buckets: int) -> DataFrame:
         F.col("seed_id"),
         F.posexplode("spans").alias("pos", "span"),
     ).filter(F.col("span.kind") == "link")
+    links = links.withColumn("href", F.col("span.media_ref")).withColumn(
+        "offset", F.col("span.offset")
+    )
     return (
-        links.withColumn("target_url", canonicalize(F.col("span.media_ref")))
-        .filter(F.col("target_url").isNotNull())
-        .withColumn("offset", F.col("span.offset"))
-        .drop("pos", "span")
+        canonicalize_df(links, "href", "target_url")
+        .drop("pos", "span", "href")
         .withColumn("url_hash", url_hash(F.col("target_url")))
         .withColumn("host", url_host(F.col("target_url")))
         .withColumn("host_bucket", host_bucket(F.col("host"), num_buckets))
