@@ -1,0 +1,135 @@
+"""Property / metamorphic tests (SURVEY.md §5.2.3).
+
+(a) resume-equivalence — interrupt after batch k, resume from the last
+    committed snapshot, final state equals the uninterrupted run;
+(b) partitioning-invariance — crawl_order independent of the bucket
+    count / shuffle layout (the C9 determinism claim);
+(c) dedup correctness — bloom fast path returns exactly the exact
+    anti-join result (no false negatives by construction);
+(d) dedup idempotence — re-deduping already-merged discoveries yields
+    nothing new.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark import schemas
+from who_focus_crawler_spark.operators.dedup import (
+    bloom_build,
+    bloom_maybe_contains,
+    build_seen_filters,
+    dedup_against_seen,
+    part_id,
+)
+from who_focus_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+from who_focus_crawler_spark.sources.fixture_web import WebConfig
+
+PROP_WEB = WebConfig(n_hosts=6, n_pages=40, seed_hosts=(0, 1), max_batches=6)
+
+
+def _order(spark, catalog):
+    return [
+        (r.seq, r.batch, r.canon_url)
+        for r in catalog.read_table(spark, "crawl_order", schemas.CRAWL_ORDER)
+        .orderBy("seq")
+        .collect()
+    ]
+
+
+def _seen(spark, catalog):
+    return {
+        r.canon_url
+        for r in catalog.read_table(spark, "url_seen", schemas.URL_SEEN).collect()
+    }
+
+
+def test_resume_equivalence(spark, tmp_path):
+    full = run_crawl(
+        spark,
+        CrawlConfig(web=PROP_WEB, checkpoint_dir=str(tmp_path / "full"), num_buckets=8),
+    )
+    # interrupted run: stop after batch 3, then resume to completion
+    cfg_i = CrawlConfig(
+        web=PROP_WEB, checkpoint_dir=str(tmp_path / "interrupted"), num_buckets=8
+    )
+    run_crawl(spark, cfg_i, until_batch=3)
+    resumed = run_crawl(spark, cfg_i, resume=True)
+
+    assert _order(spark, resumed) == _order(spark, full)
+    assert _seen(spark, resumed) == _seen(spark, full)
+
+
+def test_partitioning_invariance(spark, tmp_path):
+    a = run_crawl(
+        spark,
+        CrawlConfig(web=PROP_WEB, checkpoint_dir=str(tmp_path / "b8"), num_buckets=8),
+    )
+    b = run_crawl(
+        spark,
+        CrawlConfig(web=PROP_WEB, checkpoint_dir=str(tmp_path / "b3"), num_buckets=3),
+    )
+    assert _order(spark, a) == _order(spark, b)
+    assert _seen(spark, a) == _seen(spark, b)
+
+
+def test_bloom_no_false_negatives():
+    rng = np.random.default_rng(42)
+    keys = rng.integers(0, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+    blob = bloom_build(keys, nbits=1 << 17, nhashes=7)
+    assert bloom_maybe_contains(blob, keys, 1 << 17, 7).all()
+    # false-positive rate stays low on fresh keys
+    fresh = rng.integers(0, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+    fp = bloom_maybe_contains(blob, fresh, 1 << 17, 7).mean()
+    assert fp < 0.05
+
+
+@pytest.fixture()
+def seen_and_candidates(spark):
+    P = 8
+    seen_urls = [(f"http://h{i % 5}.t/p/{i}",) for i in range(0, 600, 2)]
+    cand_urls = [(f"http://h{i % 5}.t/p/{i}",) for i in range(0, 900, 3)]
+    seen = (
+        spark.createDataFrame(seen_urls, ["canon_url"])
+        .withColumn("url_hash", F.xxhash64("canon_url"))
+        .withColumn("part_id", part_id(F.col("url_hash"), P))
+    )
+    cand = (
+        spark.createDataFrame(cand_urls, ["target_url"])
+        .withColumn("url_hash", F.xxhash64("target_url"))
+    )
+    return spark, seen, cand, P
+
+
+def test_bloom_dedup_equals_exact(seen_and_candidates):
+    spark, seen, cand, P = seen_and_candidates
+    filters = build_seen_filters(seen, P)
+    with_bloom = {
+        r.target_url for r in dedup_against_seen(cand, seen, filters, P).collect()
+    }
+    exact = {r.target_url for r in dedup_against_seen(cand, seen, None, P).collect()}
+    assert with_bloom == exact
+    # sanity: the expected set — multiples of 3 that are not even (≥600 all new)
+    want = {
+        f"http://h{i % 5}.t/p/{i}"
+        for i in range(0, 900, 3)
+        if i % 2 == 1 or i >= 600
+    }
+    assert exact == want
+
+
+def test_dedup_idempotent(seen_and_candidates):
+    spark, seen, cand, P = seen_and_candidates
+    new = dedup_against_seen(cand, seen, None, P)
+    # merge the discoveries into url_seen, then dedup the same batch again
+    merged = seen.unionByName(
+        new.select(
+            F.col("target_url").alias("canon_url"),
+            "url_hash",
+            part_id(F.col("url_hash"), P).alias("part_id"),
+        )
+    )
+    again = dedup_against_seen(cand, merged, None, P)
+    assert again.count() == 0

@@ -1,0 +1,165 @@
+"""Unit tests for the corpus layer (dedup / similarity / text /
+multimodal) and the staged canonicalizer's equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.corpus.dedup import (
+    exact_dedup,
+    exact_dedup_keep,
+    minhash_lsh_pairs,
+    simhash16,
+    simhash_pairs,
+)
+from who_focus_crawler_spark.corpus.multimodal import attach_media, decode_media
+from who_focus_crawler_spark.corpus.similarity import brute_force_topk, lsh_topk
+from who_focus_crawler_spark.corpus.text import predict_lang, quality_score, tokens
+from who_focus_crawler_spark.functions.urls import canonicalize, canonicalize_df
+
+MESSY_URLS = [
+    "http://a.example.test/p/1",
+    "HTTP://A.Example.TEST/p/1",
+    "http://a.example.test:80/p/1",
+    "https://a.example.test:443/x",
+    "https://a.example.test:8443/x",
+    "http://a.example.test/a/./b/../c",
+    "http://a.example.test/p/1#frag",
+    "http://a.example.test/p/1?utm_source=x&b=2&a=1",
+    "http://a.example.test/%7Euser/%41%2F",
+    "http://a.example.test",
+    "ftp://a.example.test/x",
+    "not a url",
+    "http:///missing-host",
+    "  http://a.example.test/ws  ",
+]
+
+
+def test_canonicalize_df_equals_column_form(spark):
+    df = spark.createDataFrame([(u,) for u in MESSY_URLS], ["url"])
+    staged = sorted(
+        r.canon_url for r in canonicalize_df(df, "url").select("canon_url").collect()
+    )
+    column = sorted(
+        r.c
+        for r in df.select(canonicalize(F.col("url")).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .collect()
+    )
+    assert staged == column
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    for i in range(40):
+        if i % 10 == 3:  # near-duplicate of doc i-1 (one word changed)
+            prev = rows[-1][1]
+            rows.append((i, prev.replace("river", "creek")))
+        elif i % 10 == 7:  # exact duplicate of doc 0
+            rows.append((i, rows[0][1]))
+        else:
+            rows.append((i, f"{base} variant {i} with extra words number {i * 7}"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    clusters = exact_dedup(docs).collect()
+    sizes = sorted(c.cluster_size for c in clusters)
+    assert sizes == [5]  # doc 0 + the four i%10==7 copies
+    assert clusters[0].keep_id == 0
+    kept = exact_dedup_keep(docs)
+    assert kept.count() == 40 - 4
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=8, shingle_k=3, jaccard_threshold=0.5
+    ).collect()
+    found = {(p.doc_a, p.doc_b) for p in pairs}
+    # the planted near-dup pairs (i-1, i) for i%10==3 must be found
+    for i in range(3, 40, 10):
+        if i % 10 == 3 and i > 0:
+            assert (i - 1, i) in found, (i, sorted(found))
+    for p in pairs:
+        assert 0.0 <= p.jaccard <= 1.0
+
+
+def test_simhash_banding_complete_for_hamming1(spark, docs):
+    """Two 8-bit halves find ALL pairs at Hamming ≤ 1 (pigeonhole)."""
+    sigs = docs.select("doc_id", simhash16(tokens(F.col("text"))).alias("sig")).collect()
+    brute = set()
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1 :]:
+            h = bin(a.sig ^ b.sig).count("1")
+            if h <= 1:
+                brute.add((min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id)))
+    found = {
+        (p.doc_a, p.doc_b) for p in simhash_pairs(docs, max_hamming=1).collect()
+    }
+    assert found == brute
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(60):
+        # three well-separated clusters on a circle + small deterministic jitter
+        angle = (i % 3) * 2.0 + (i // 3) * 0.01
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.1, 0.2]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_brute_force_topk(vectors):
+    top = brute_force_topk(vectors, query_vec_id=0, k=5).collect()
+    assert len(top) == 5
+    sims = [r.cosine_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+    # nearest neighbours of vec 0 are the same-cluster ids (i % 3 == 0)
+    assert all(r.vec_id % 3 == 0 for r in top)
+
+
+def test_lsh_topk_subset_of_bucket(vectors):
+    approx = lsh_topk(vectors, query_vec_id=0, k=5, nplanes=4).collect()
+    assert 0 < len(approx) <= 5
+    exact_ids = {r.vec_id for r in brute_force_topk(vectors, 0, k=20).collect()}
+    # every LSH hit is a genuinely similar vector (within exact top-20)
+    assert {r.vec_id for r in approx} <= exact_ids
+
+
+def test_langid_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is one of the animals of the house"),
+            (1, "le chat et la maison et le jardin un soir"),
+            (2, "der hund und das haus und ein garten"),
+            (3, "el perro y los gatos y una casa"),
+            (4, "zzz qqq www"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.pred for r in df.select(
+            "doc_id", predict_lang(tokens(F.col("text"))).alias("pred")
+        ).collect()
+    }
+    assert got == {0: "en", 1: "fr", 2: "de", 3: "es", 4: "und"}
+    q = df.select(quality_score(F.col("text")).alias("q")).collect()
+    assert all(0 <= r.q <= 1000 for r in q)
+
+
+def test_multimodal_stub(spark, docs):
+    media = attach_media(docs)
+    assert media.columns == ["media_id", "kind", "payload", "byte_len", "meta_json"]
+    frames = decode_media(media, frames_per_item=3, fake=True)
+    rows = frames.collect()
+    assert len(rows) == 40 * 3
+    assert all(len(r.feature) == 4 for r in rows)
+    with pytest.raises(NotImplementedError):
+        decode_media(media, fake=False)
