@@ -1,0 +1,66 @@
+"""spark-submit entrypoint for the crawl engine (BASELINE.json north_rule:
+"ships via spark-submit --py-files").
+
+    bash tools/make_dist.sh        # builds dist/who_focus_crawler_spark.zip
+    spark-submit --py-files dist/who_focus_crawler_spark.zip \
+        jobs/crawl.py --checkpoint-dir /tmp/crawl-ck --tier unit
+
+On a cluster, pass --master/--num-executors etc. to spark-submit as
+usual; the engine only requires the zip on the Python path. Resume after
+an interruption with --resume (picks up at the last committed snapshot).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+from who_focus_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+from who_focus_crawler_spark.sources.fixture_web import E2E_WEB, UNIT_WEB, WebConfig
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="who_focus_crawler_spark crawl job")
+    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--tier", choices=["unit", "e2e", "custom"], default="unit")
+    ap.add_argument("--batches", type=int, default=None)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--hosts", type=int, default=40)
+    ap.add_argument("--pages", type=int, default=2000)
+    args = ap.parse_args()
+
+    web = {
+        "unit": UNIT_WEB,
+        "e2e": E2E_WEB,
+        "custom": WebConfig(n_hosts=args.hosts, n_pages=args.pages),
+    }[args.tier]
+
+    spark = SparkSession.builder.appName("wfc-crawl").getOrCreate()
+    cfg = CrawlConfig(
+        web=web,
+        checkpoint_dir=args.checkpoint_dir,
+        num_buckets=args.buckets,
+        use_bloom=not args.no_bloom,
+        max_batches=args.batches,
+    )
+    catalog = run_crawl(spark, cfg, resume=args.resume)
+    st = catalog.state()
+    print(
+        json.dumps(
+            {
+                "snapshot": catalog.head(),
+                "next_batch": st["next_batch"],
+                "next_seq": st["next_seq"],
+                "finished": st["finished"],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Streaming-layer tests (R36-R40): drive each streaming operator with
+availableNow triggers over a parquet-directory source and check against
+batch-computed expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.streaming.pipeline import (
+    politeness_tokens,
+    run_to_memory,
+    session_stats,
+    stream_events,
+    streaming_dedup,
+    windowed_fetch_metrics,
+)
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    rows = []
+    for i in range(300):
+        # two activity bursts 2 h apart: the first burst's sessions and
+        # windows close under the 30-min watermark, the second stays open
+        base = T0 if i < 150 else T0 + dt.timedelta(hours=2)
+        k = i % 110  # url id; repeats ⇒ stream-level duplicates
+        rows.append(
+            (
+                base + dt.timedelta(minutes=i % 10),
+                f"h{k % 7}.test",
+                f"http://h{k % 7}.test/p/{k}",
+                float(1000 - i),
+            )
+        )
+    df = spark.createDataFrame(rows, ["ts", "host", "canon_url", "priority"])
+    df.repartition(3).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_windowed_metrics(spark, event_dir, tmp_path):
+    batch = spark.read.parquet(event_dir)
+    want = {
+        (r.ws, r.host): r.n
+        for r in batch.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "host"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "host", "n")
+        .collect()
+    }
+    # complete mode: every window is emitted → exact match with batch
+    out = windowed_fetch_metrics(stream_events(spark, event_dir))
+    run_to_memory(out, "win_complete", str(tmp_path / "ck1c"), output_mode="complete")
+    got_complete = {
+        (r.window_start, r.host): r.n_urls
+        for r in spark.sql("SELECT * FROM win_complete").collect()
+    }
+    assert got_complete == want
+    # append mode: only windows closed by the watermark are emitted —
+    # a strict, value-correct subset (R38 late-data semantics)
+    run_to_memory(
+        windowed_fetch_metrics(stream_events(spark, event_dir)),
+        "win_append",
+        str(tmp_path / "ck1a"),
+        output_mode="append",
+    )
+    got_append = {
+        (r.window_start, r.host): r.n_urls
+        for r in spark.sql("SELECT * FROM win_append").collect()
+    }
+    assert set(got_append) < set(want)
+    assert all(want[k] == v for k, v in got_append.items())
+    assert len(got_append) > 0
+
+
+def test_session_stats(spark, event_dir, tmp_path):
+    out = session_stats(stream_events(spark, event_dir), gap="5 minutes")
+    run_to_memory(out, "sess", str(tmp_path / "ck2"))
+    rows = spark.sql("SELECT * FROM sess").collect()
+    # burst A (events 0-149) merges into one closed session per host;
+    # burst B's sessions are still open past the watermark → not emitted
+    assert len(rows) == 7
+    assert all(r.session_start < T0 + dt.timedelta(hours=1) for r in rows)
+    assert sum(r.n_events for r in rows) == 150
+
+
+def test_streaming_dedup(spark, event_dir, tmp_path):
+    out = streaming_dedup(stream_events(spark, event_dir))
+    run_to_memory(out, "dedup", str(tmp_path / "ck3"))
+    rows = spark.sql("SELECT * FROM dedup").collect()
+    urls = [r.canon_url for r in rows]
+    assert len(urls) == len(set(urls)) == 110
+
+
+def test_politeness_tokens_stateful(spark, event_dir, tmp_path):
+    out = politeness_tokens(stream_events(spark, event_dir), budget=5)
+    run_to_memory(out, "tokens", str(tmp_path / "ck4"))
+    rows = spark.sql("SELECT * FROM tokens").collect()
+    by_host: dict[str, list[int]] = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r.admitted_seq)
+    assert set(by_host) == {f"h{i}.test" for i in range(7)}
+    for host, seqs in by_host.items():
+        assert sorted(seqs) == list(range(1, 6)), host  # exactly budget=5, 1..5
+
+
+def test_politeness_tokens_state_survives_restart(spark, event_dir, tmp_path):
+    """Second availableNow run over the same checkpoint must admit nothing
+    new (budget already spent, state restored from the state store).
+    File sink: the memory sink does not support checkpoint recovery."""
+    ck, out_dir = str(tmp_path / "ck5"), str(tmp_path / "tokens_out")
+
+    def run_once():
+        q = (
+            politeness_tokens(stream_events(spark, event_dir), budget=5)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_first = spark.read.parquet(out_dir).count()
+    assert n_first == 35
+    # append a new file with more events for the same hosts
+    extra = spark.createDataFrame(
+        [
+            (T0 + dt.timedelta(hours=3), f"h{i % 7}.test",
+             f"http://h{i % 7}.test/extra/{i}", 5000.0)
+            for i in range(70)
+        ],
+        ["ts", "host", "canon_url", "priority"],
+    )
+    extra.coalesce(1).write.mode("append").parquet(event_dir)
+    run_once()
+    n_second = spark.read.parquet(out_dir).count()
+    assert n_second == n_first  # budgets already exhausted: nothing admitted

@@ -1,0 +1,154 @@
+"""Streaming operators over a live discovery/fetch event stream.
+
+Source contract: a parquet-directory stream of discovery events
+(ts timestamp, host string, canon_url string, priority double) —
+at cluster scale this is the Iceberg/Kafka ingest of C12's output.
+
+- R36 windowed_fetch_metrics: tumbling-window per-host rates, with a
+  watermark (R38) so state is bounded and late rows beyond the horizon
+  are dropped.
+- R37 session_stats: per-host crawl sessions (session_window).
+- R39 streaming_dedup: watermark + dropDuplicates on canon_url — the
+  streaming approximation of C4 (exactness over all time needs the
+  batch anti-join; within the watermark horizon this is exact).
+- R40 politeness_tokens: arbitrary stateful per-host token budget via
+  applyInPandasWithState — admits at most `budget` URLs per host per
+  politeness window, carrying the token count across triggers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("canon_url", T.StringType(), False),
+        T.StructField("priority", T.DoubleType(), False),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """R5 streaming source: parquet directory stream with explicit schema
+    (schema'd, file-listing based — works identically on cloud storage)."""
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def windowed_fetch_metrics(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """R36+R38: per-(window, host) discovery counts and top priority."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("host"))
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.max("priority").alias("max_priority"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "host",
+            "n_urls",
+            "max_priority",
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """R37: per-host activity sessions (gap-based merge)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("host"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "host",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """R39: first occurrence per canon_url within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["canon_url"])
+
+
+_TOKEN_OUT = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("canon_url", T.StringType(), False),
+        T.StructField("admitted_seq", T.IntegerType(), False),
+    ]
+)
+_TOKEN_STATE = T.StructType([T.StructField("used", T.IntegerType(), False)])
+
+
+def politeness_tokens(
+    events: DataFrame, budget: int = 10
+) -> DataFrame:
+    """R40 (C7 streaming variant): per-host token budget carried across
+    micro-batches. Each host admits URLs in (priority desc, canon_url)
+    order within a trigger until its lifetime budget is spent; state is
+    one int per host — O(hosts) memory, partitioned by the group key."""
+
+    def admit(
+        key: tuple[str],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (host,) = key
+        used = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if used >= budget or pdf.empty:
+                continue
+            pdf = pdf.sort_values(
+                ["priority", "canon_url"], ascending=[False, True]
+            )
+            take = pdf.head(budget - used)
+            n = len(take)
+            out = pd.DataFrame(
+                {
+                    "host": take["host"].values,
+                    "canon_url": take["canon_url"].values,
+                    "admitted_seq": range(used + 1, used + n + 1),
+                }
+            )
+            used += n
+            yield out
+        state.update((used,))
+
+    return events.groupBy("host").applyInPandasWithState(
+        admit,
+        outputStructType=_TOKEN_OUT,
+        stateStructType=_TOKEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, checkpoint: str, output_mode: str = "append"
+):
+    """Drive a streaming frame to a memory sink with availableNow (test
+    harness path; production uses writeStream.toTable/parquet + trigger)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
