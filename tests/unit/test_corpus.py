@@ -163,3 +163,41 @@ def test_multimodal_stub(spark, docs):
     assert all(len(r.feature) == 4 for r in rows)
     with pytest.raises(NotImplementedError):
         decode_media(media, fake=False)
+
+
+def test_canonicalize_df_differential_fuzz(spark):
+    """Staged/native canonicalizer vs the authoritative Python twin on
+    adversarial URLs: dot segments (incl. beyond the native pass budget),
+    empty segments, percent-escapes, odd ports/hosts/queries."""
+    import random
+
+    rng = random.Random(7)
+    segs = ["a", "bb", ".", "..", "...", "p1", "x.y", "%41", "%7e", "%zz", ""]
+    urls = []
+    for _ in range(1500):
+        n = rng.randint(0, 9)
+        path = "/" + "/".join(rng.choice(segs) for _ in range(n)) if n else ""
+        urls.append(
+            rng.choice(["http", "https", "HTTP", "ftp"])
+            + "://"
+            + rng.choice(["H0.Ex.TEST", "h1.ex.test", "", "[::1]"])
+            + rng.choice(["", ":80", ":443", ":8080", ":"])
+            + path
+            + rng.choice(["", "?b=2&a=1", "?utm_source=x&z=9", "??"])
+            + rng.choice(["", "#f"])
+        )
+    urls += [
+        "http://h.t/" + "a/" * 12 + "../" * 12 + "end",
+        "http://h.t" + "/./" * 25 + "x",
+        "http://h.t/" + "../" * 6 + "x",
+        "http://h.t/a/./b/../c%41/%7euser/..",
+    ]
+    from who_focus_crawler_spark.functions.urls import canonicalize_py
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {
+        r.url: r.canon_url
+        for r in canonicalize_df(df, "url").select("url", "canon_url").collect()
+    }
+    for u in urls:
+        assert got.get(u) == canonicalize_py(u), u

@@ -29,6 +29,7 @@ def run_once(cpus: int, sf_dir: str, expand: int) -> dict:
         WFC_BENCH_EXPAND=str(expand),
         WFC_BENCH_QUERIES="0",
         WFC_BENCH_PARTITIONS="128",
+        WFC_BENCH_REPEAT=os.environ.get("WFC_BENCH_REPEAT", "3"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

@@ -85,19 +85,32 @@ def _path_fixup(paths: pd.Series) -> pd.Series:
     return paths.map(fix, na_action="ignore")
 
 
+_BIG = 1 << 30  # "rest of string" length for substring()
+
+
 def _url_part_exprs(url: Column) -> dict[str, Column]:
     """The C1 component expressions (single source of truth for both the
-    column form and the staged DataFrame form)."""
-    u = F.regexp_replace(F.trim(url), "#.*$", "")  # strip fragment
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
-    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    column form and the staged DataFrame form).
+
+    Delimiter-based (substring_index/instr/substr — cheap codegen'd string
+    ops) instead of regex wherever the frozen spec allows; the only
+    regexes left are the port strip/extract (must match ``:\\d*$`` digits-
+    only semantics, e.g. not split IPv6 brackets). Scheme validity needs
+    no regex: a URL without '://' yields scheme == whole string, which
+    fails the http/https check, exactly like the anchored-regex form."""
+    u = F.substring_index(F.trim(url), "#", 1)  # strip fragment
+    scheme = F.lower(F.substring_index(u, "://", 1))
+    rest = F.substring(u, F.instr(u, F.lit("://")) + 3, F.lit(_BIG))
+    authority = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
     host = F.lower(F.regexp_replace(authority, r":\d*$", ""))
     port = F.regexp_extract(authority, r":(\d+)$", 1)
-    after_auth = F.regexp_replace(rest, r"^[^/?]*", "")
-    raw_path = F.regexp_extract(after_auth, r"^([^?]*)", 1)
+    pathq = F.substring(rest, F.length(authority) + 1, F.lit(_BIG))
+    raw_path = F.substring_index(pathq, "?", 1)
     path0 = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
-    raw_query = F.regexp_extract(after_auth, r"\?(.*)$", 1)
+    qpos = F.instr(pathq, F.lit("?"))
+    raw_query = F.when(
+        qpos > 0, F.substring(pathq, qpos + 1, F.lit(_BIG))
+    ).otherwise(F.lit(""))
     return {
         "scheme": scheme,
         "host": host,
@@ -105,6 +118,25 @@ def _url_part_exprs(url: Column) -> dict[str, Column]:
         "path0": path0,
         "raw_query": raw_query,
     }
+
+
+def _native_dot_collapse(p: Column) -> Column:
+    """RFC 3986 §5.2.4 remove_dot_segments as bounded native regex passes.
+
+    Correct whenever it fully eliminates dot segments (the gate in
+    canonicalize_df re-checks and routes any survivor — deeper nesting
+    than the pass budget — to the Python fallback, which is
+    authoritative). Mirrors _collapse_dot_segments' frozen semantics,
+    including the kept trailing slash for paths ending in '/.' or '/..'."""
+    # trailing '/.' or '/..' behave like '/./', '/../' with the slash kept
+    out = F.regexp_replace(p, r"(/\.\.?)$", "$1/")
+    for _ in range(3):  # '/./' runs (each pass halves consecutive runs)
+        out = F.regexp_replace(out, r"/\./", "/")
+    for _ in range(4):  # '<seg>/../' pops; guard: seg must not be '..'
+        out = F.regexp_replace(out, r"/(?!\.\./)[^/]+/\.\./", "/")
+    for _ in range(2):  # leading '/../' (nothing to pop) collapses
+        out = F.regexp_replace(out, r"^/\.\./", "/")
+    return out
 
 
 def _assemble_core(
@@ -185,13 +217,36 @@ def canonicalize_df(
             "_c1_rq": p["raw_query"],
         }
     )
+    # The ONLY filter references the cheap scheme/host parts — predicate
+    # pushdown will inline those below the projection, which is fine.
+    # NEVER filter on the expensive derived columns (_c1_np/_c1_fp):
+    # pushdown substitutes their full defining expressions into the
+    # pushed predicate and the whole tree gets re-evaluated per filter
+    # (measured: branch-filters on the collapse/UDF columns re-expanded
+    # the plan into 256-task stages 5-10x the total work).
     step = step.filter(_url_ok(F.col("_c1_sch"), F.col("_c1_hst")))
+    # native dot-segment collapse (bounded passes), lazily gated per row
+    # to paths with a dot segment and no percent-escapes
+    p0 = F.col("_c1_p0")
     step = step.withColumn(
-        "_c1_fp",
-        F.coalesce(
-            _path_fixup(F.when(_needs_fix(F.col("_c1_p0")), F.col("_c1_p0"))),
-            F.col("_c1_p0"),
-        ),
+        "_c1_np",
+        F.when(
+            p0.contains("/.") & ~p0.contains("%"), _native_dot_collapse(p0)
+        ).otherwise(p0),
+    )
+    # Python fallback ONLY for rows native normalization can't finish:
+    # percent-escapes, '//'+dot interactions (empty-segment pops), or dot
+    # nesting deeper than the pass budget. The UDF input is NULL for
+    # every other row — on typical frontiers the Arrow crossing carries a
+    # null bitmap and Python computes nothing.
+    np = F.col("_c1_np")
+    gate = (
+        p0.contains("%")
+        | (p0.contains("/.") & p0.contains("//"))
+        | (np.contains("/.") & np.rlike(r"(^|/)\.\.?(/|$)"))
+    )
+    step = step.withColumn(
+        "_c1_fp", F.coalesce(_path_fixup(F.when(gate, p0)), np)
     )
     out = step.withColumn(
         out_col,
@@ -203,7 +258,9 @@ def canonicalize_df(
             F.col("_c1_rq"),
         ),
     )
-    return out.drop("_c1_sch", "_c1_hst", "_c1_prt", "_c1_p0", "_c1_rq", "_c1_fp")
+    return out.drop(
+        "_c1_sch", "_c1_hst", "_c1_prt", "_c1_p0", "_c1_rq", "_c1_np", "_c1_fp"
+    )
 
 
 _TRACK_PY = re.compile(TRACKING_PARAM_RE)
