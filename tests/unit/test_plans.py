@@ -1,0 +1,99 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations the engine
+relies on at 100 TB must be visible in the plan, not assumed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.functions.urls import canonicalize_df
+from who_focus_crawler_spark.harness import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_pushdown_and_pruning(spark):
+    df = REGISTRY["r_scan_project"][0](spark, SF)
+    plan = _formatted(df)
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1].split("]")[0]
+    # column pruning: the parquet ReadSchema must NOT include unused cols
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_shipdate" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_broadcast_join_chosen(spark):
+    df = REGISTRY["r_join_broadcast"][0](spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_anti_join_present(spark):
+    df = REGISTRY["r_join_anti"][0](spark, SF)
+    assert "LeftAnti" in _plan(df)
+
+
+def test_canonicalize_single_python_crossing(spark):
+    urls = spark.range(100).select(
+        F.concat(F.lit("http://h.t/a/../p/"), F.col("id").cast("string")).alias("url")
+    )
+    out = canonicalize_df(urls, "url")
+    plan = _plan(out)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_sort_within_partitions_no_global_exchange(spark):
+    df = REGISTRY["r_sort_within"][0](spark, SF)
+    plan = _plan(df)
+    assert "Sort" in plan
+    assert "rangepartitioning" not in plan.lower()  # no global sort exchange
+
+
+def test_partial_agg_and_codegen(spark):
+    df = REGISTRY["r_agg_q1"][0](spark, SF)
+    # map-side combine: partial aggregation before the exchange
+    assert "partial_sum" in _formatted(df)
+    # whole-stage codegen markers appear in the AQE final plan post-run
+    df.count()
+    assert "*(" in _plan(df)
+
+
+def test_span_equality_checker(spark):
+    from who_focus_crawler_spark.functions.verify import diff_documents
+
+    rows = [
+        (
+            "d1",
+            [("text", "a", None, 0), ("media", None, "m://1", 5)],
+        ),
+        ("d2", [("link", None, "http://x", 0)]),
+    ]
+    schema = "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    a = spark.createDataFrame(rows, schema)
+    assert diff_documents(a, a).count() == 0
+    # offsets differ but (kind, text, media_ref) equal -> still equal
+    rows_off = [
+        ("d1", [("text", "a", None, 9), ("media", None, "m://1", 99)]),
+        ("d2", [("link", None, "http://x", 7)]),
+    ]
+    b = spark.createDataFrame(rows_off, schema)
+    assert diff_documents(a, b).count() == 0
+    # changed media_ref -> flagged
+    rows_bad = [
+        ("d1", [("text", "a", None, 0), ("media", None, "m://2", 5)]),
+        ("d2", [("link", None, "http://x", 0)]),
+    ]
+    c = spark.createDataFrame(rows_bad, schema)
+    assert [r.doc_id for r in diff_documents(a, c).collect()] == ["d1"]
+    # missing doc -> flagged
+    assert diff_documents(a, a.filter(F.col("doc_id") != "d2")).count() == 1

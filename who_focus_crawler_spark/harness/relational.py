@@ -638,3 +638,159 @@ QUERIES = {
     "r_json": (r_json, R_JSON_SQL),
     "r_hash_math": (r_hash_math, R_HASH_MATH_SQL),
 }
+
+# --------------------------------------------------------------------------
+# R15 — cross join (small dims only)
+
+
+def r_join_cross(spark: SparkSession, sf: str) -> DataFrame:
+    region, nation = t(spark, sf, "region"), t(spark, sf, "nation")
+    return (
+        region.crossJoin(nation)
+        .select("r_name", "n_name", (F.col("r_regionkey") == F.col("n_regionkey")).alias("same_region"))
+    )
+
+
+R_JOIN_CROSS_SQL = """
+SELECT r_name, n_name, r_regionkey = n_regionkey AS same_region
+FROM region CROSS JOIN nation
+"""
+
+# --------------------------------------------------------------------------
+# R18 — cube (rollup's sibling: all grouping-set combinations)
+
+
+def r_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+R_AGG_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+# --------------------------------------------------------------------------
+# R19 — sketch aggregates (HLL / count-min are approximate by design ⇒
+# rows-only oracle; the exact column sanity-checks the estimates)
+
+
+def r_agg_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("approx_users"),
+        "exact_users",
+    )
+
+
+# --------------------------------------------------------------------------
+# R20 — grouped-aggregate pandas UDAF (Arrow-batched; rows-only oracle —
+# float sum order differs engine-to-engine)
+
+
+def r_udaf_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` turns the
+    # signature into strings, so the Series->float inference can't run
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_price(qty, price):
+        tot = float(qty.sum())
+        return float((qty * price).sum() / tot) if tot else 0.0
+
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                weighted_price(F.col("l_quantity"), F.col("l_extendedprice")), 2
+            ).alias("wavg_price")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# R25 — partition-local sort (sortWithinPartitions); the driver compare is
+# order-insensitive, so the oracle is the plain projection — the query's
+# point is that the physical plan sorts within partitions without a
+# global exchange (asserted in tests/unit/test_plans.py)
+
+
+def r_sort_within(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .repartition(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+R_SORT_WITHIN_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+"""
+
+# --------------------------------------------------------------------------
+# R27 — intersect
+
+
+def r_set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    cust, orders = t(spark, sf, "customer"), t(spark, sf, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = orders.filter(F.col("o_orderpriority").like("%URGENT%")).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(urgent)
+
+
+R_SET_INTERSECT_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '%URGENT%'
+"""
+
+# --------------------------------------------------------------------------
+# R34 — map/struct ops (map built from JSON props; values re-extracted)
+
+
+def r_map_struct(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    s = F.struct(F.col("event_id").alias("id"), F.col("value").alias("v"))
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "uid").alias("m_uid"),
+        F.map_keys(m)[0].alias("first_key"),
+        s.getField("v").alias("s_value"),
+    )
+
+
+R_MAP_STRUCT_SQL = """
+SELECT event_id, event_type AS m_type, CAST(user_id AS VARCHAR) AS m_uid,
+       'type' AS first_key, value AS s_value
+FROM events
+"""
+
+QUERIES.update(
+    {
+        "r_join_cross": (r_join_cross, R_JOIN_CROSS_SQL),
+        "r_agg_cube": (r_agg_cube, R_AGG_CUBE_SQL),
+        "r_agg_sketch": (r_agg_sketch, None),
+        "r_udaf_grouped": (r_udaf_grouped, None),
+        "r_sort_within": (r_sort_within, R_SORT_WITHIN_SQL),
+        "r_set_intersect": (r_set_intersect, R_SET_INTERSECT_SQL),
+        "r_map_struct": (r_map_struct, R_MAP_STRUCT_SQL),
+    }
+)
