@@ -63,8 +63,9 @@ def test_partial_agg_and_codegen(spark):
     df = REGISTRY["r_agg_q1"][0](spark, SF)
     # map-side combine: partial aggregation before the exchange
     assert "partial_sum" in _formatted(df)
-    # whole-stage codegen markers appear in the AQE final plan post-run
-    df.count()
+    # whole-stage codegen markers appear in the AQE final plan after THIS
+    # dataframe's own plan executes (count() would plan separately)
+    df.collect()
     assert "*(" in _plan(df)
 
 
