@@ -68,13 +68,28 @@ class SnapshotCatalog:
         """Write each table's delta/replacement, then atomically publish."""
         prev = self.manifest(snapshot_id - 1) if snapshot_id > 0 else None
         entry: dict[str, list[str]] = {}
+
+        def write(name: str, df: DataFrame) -> tuple[str, str]:
+            path = self.root / "data" / name / f"snap-{snapshot_id:06d}"
+            df.coalesce(num_files).write.mode("overwrite").parquet(str(path))
+            return name, str(path)
+
+        # write table files concurrently — Spark supports multi-threaded
+        # job submission from the driver; per-batch tables are small, so
+        # wall time is max(job) not sum(job) (batch overhead dominates the
+        # crawl loop at fixture scale)
+        from concurrent.futures import ThreadPoolExecutor
+
+        to_write = {n: df for n, df in tables.items() if df is not None}
+        with ThreadPoolExecutor(max_workers=max(len(to_write), 1)) as ex:
+            written = dict(
+                ex.map(lambda kv: write(*kv), to_write.items())
+            )
         for name, df in tables.items():
             if df is None:  # unchanged append-table: carry file list forward
                 entry[name] = list(prev["tables"][name]) if prev else []
                 continue
-            path = self.root / "data" / name / f"snap-{snapshot_id:06d}"
-            df.coalesce(num_files).write.mode("overwrite").parquet(str(path))
-            files = [str(path)]
+            files = [written[name]]
             if name in APPEND_TABLES and prev and name in prev["tables"]:
                 files = list(prev["tables"][name]) + files
             entry[name] = files

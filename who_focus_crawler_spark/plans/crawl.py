@@ -16,6 +16,8 @@ parallelism level — verified by tests/e2e + tests/prop.
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,10 +88,20 @@ def bootstrap(spark: SparkSession, cfg: CrawlConfig) -> SnapshotCatalog:
     return catalog
 
 
+_TIMING = os.environ.get("WFC_DEBUG_TIMING", "") == "1"
+
+
 def run_batch(
     spark: SparkSession, cfg: CrawlConfig, catalog: SnapshotCatalog
 ) -> dict:
     """Execute one fetch batch and commit it. Returns the batch stats."""
+    _t0 = time.time()
+    _marks: list[tuple[str, float]] = []
+
+    def _mark(label: str) -> None:
+        if _TIMING:
+            _marks.append((label, time.time()))
+
     st = catalog.state()
     assert st is not None and not st["finished"]
     batch, base_seq = st["next_batch"], st["next_seq"]
@@ -109,15 +121,23 @@ def run_batch(
     if host_state is None:
         host_state = _empty(spark, schemas.HOST_STATE)
 
-    # C6 + C8 + C7 — one cached candidate frame with decision flags
+    # C6 + C8 + C7 — select once (small: ≤ hosts × k rows), then decide
+    sel = select_candidates(frontier, cfg.web.select_k).localCheckpoint(eager=True)
     robots_cache = refresh_robots_cache(
-        select_candidates(frontier, cfg.web.select_k), robots_cache, cfg.web, batch
+        sel, robots_cache, cfg.web, batch
     ).localCheckpoint(eager=True)  # cache: broadcast twice below
+    _mark("select+robots")
     cand = apply_politeness(
-        apply_robots(select_candidates(frontier, cfg.web.select_k), robots_cache),
+        apply_robots(sel, robots_cache),
         cfg.web.politeness_k,
     ).persist()
-    n_selected = cand.count()
+    # one action for both counters; fetch is 1:1 with admitted rows
+    _c = cand.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("a"),
+    ).collect()[0]
+    n_selected, n_fetched = int(_c["n"]), int(_c["a"] or 0)
+    _mark("politeness+count")
     if n_selected == 0:
         catalog.commit(
             batch,
@@ -144,8 +164,8 @@ def run_batch(
     winners = dedup_in_batch(events)
     new_unique = dedup_against_seen(winners, url_seen, seen_filters, P).persist()
 
-    n_fetched = fetched.count()
     n_new = new_unique.count()
+    _mark("fetch+discover+dedup")
 
     # C5 — merge
     new_frontier_rows = new_unique.select(
@@ -229,6 +249,7 @@ def run_batch(
         F.col("canon_url").alias("doc_id"), "spans", "batch"
     )
 
+    _mark("plan_rest")
     catalog.commit(
         batch,
         {
@@ -247,6 +268,14 @@ def run_batch(
             "finished": False,
         },
     )
+    _mark("commit")
+    if _TIMING:
+        prev = _t0
+        parts = []
+        for label, ts in _marks:
+            parts.append(f"{label}={ts - prev:.1f}s")
+            prev = ts
+        print(f"[wfc-timing] batch={batch} total={time.time() - _t0:.1f}s " + " ".join(parts), flush=True)
     cand.unpersist()
     fetched.unpersist()
     new_unique.unpersist()
