@@ -48,10 +48,19 @@ def bootstrap_frontier(
     )
 
 
-def select_candidates(frontier: DataFrame, select_k: int) -> DataFrame:
+def select_candidates(
+    frontier: DataFrame, select_k: int, salt: int = 1
+) -> DataFrame:
     """C6 — host-bucketed priority queue: per host, top select_k by the
     frozen order. One shuffle on host; the window is the distributed
-    equivalent of a per-host priority queue (SURVEY.md §2.1 C6)."""
+    equivalent of a per-host priority queue (SURVEY.md §2.1 C6).
+
+    With salt > 1, runs the C17 two-phase salted top-k instead — exactly
+    the same result set, but no task ever holds a whole hot domain."""
+    if salt > 1:
+        from who_focus_crawler_spark.operators.salting import topk_per_host_salted
+
+        return topk_per_host_salted(frontier, select_k, host_order(), s=salt)
     w = Window.partitionBy("host").orderBy(*host_order())
     return (
         frontier.withColumn("rn_sel", F.row_number().over(w))

@@ -50,6 +50,7 @@ class CrawlConfig:
     checkpoint_dir: str
     num_buckets: int = 32
     use_bloom: bool = True
+    salt: int = 16  # C17: sub-partitions per host in the selection window
     max_batches: int | None = None  # default: web.max_batches
 
     @property
@@ -122,7 +123,9 @@ def run_batch(
         host_state = _empty(spark, schemas.HOST_STATE)
 
     # C6 + C8 + C7 — select once (small: ≤ hosts × k rows), then decide
-    sel = select_candidates(frontier, cfg.web.select_k).localCheckpoint(eager=True)
+    sel = select_candidates(
+        frontier, cfg.web.select_k, salt=cfg.salt
+    ).localCheckpoint(eager=True)
     robots_cache = refresh_robots_cache(
         sel, robots_cache, cfg.web, batch
     ).localCheckpoint(eager=True)  # cache: broadcast twice below
