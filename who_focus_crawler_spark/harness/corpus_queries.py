@@ -424,3 +424,71 @@ QUERIES = {
     "d_media_meta": (d_media_meta, D_MEDIA_META_SQL),
     "d_media_frames": (d_media_frames, None),
 }
+
+
+# --------------------------------------------------------------------------
+# Interleaved-document span surface (BASELINE.json input_hint table shape):
+# build spans array<struct<kind,text,media_ref,offset>> deterministically
+# from each document's tokens, then compute per-doc span statistics.
+
+
+def d_spans_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    toks9 = F.slice(X.tokens(F.col("text")), 1, 9)
+    spans = F.transform(
+        toks9,
+        lambda tok, i: F.struct(
+            F.when((i + 1) % 3 == 0, F.lit("link"))
+            .when((i + 1) % 2 == 0, F.lit("media"))
+            .otherwise(F.lit("text"))
+            .alias("kind"),
+            F.when((i + 1) % 3 != 0, F.when((i + 1) % 2 != 0, tok)).alias("text"),
+            F.when(
+                ((i + 1) % 3 == 0) | ((i + 1) % 2 == 0),
+                F.concat(F.lit("m://"), tok),
+            ).alias("media_ref"),
+            (i * 7).cast("int").alias("offset"),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.size(spans).cast("long").alias("n_spans"),
+        F.size(F.filter(spans, lambda s: s["kind"] == F.lit("text")))
+        .cast("long")
+        .alias("n_text"),
+        F.size(F.filter(spans, lambda s: s["kind"] == F.lit("media")))
+        .cast("long")
+        .alias("n_media"),
+        F.size(F.filter(spans, lambda s: s["kind"] == F.lit("link")))
+        .cast("long")
+        .alias("n_link"),
+        F.coalesce(
+            F.array_max(F.transform(spans, lambda s: s["offset"])), F.lit(0)
+        )
+        .cast("long")
+        .alias("max_offset"),
+    )
+
+
+D_SPANS_STATS_SQL = f"""
+WITH spans AS (
+  SELECT doc_id,
+         list_transform(list_slice({SQL_TOKS}, 1, 9), (tok, i) ->
+           struct_pack(
+             kind := CASE WHEN i % 3 = 0 THEN 'link'
+                          WHEN i % 2 = 0 THEN 'media'
+                          ELSE 'text' END,
+             off := (i - 1) * 7)) AS sp
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(sp) AS BIGINT) AS n_spans,
+       CAST(len(list_filter(sp, s -> s.kind = 'text')) AS BIGINT) AS n_text,
+       CAST(len(list_filter(sp, s -> s.kind = 'media')) AS BIGINT) AS n_media,
+       CAST(len(list_filter(sp, s -> s.kind = 'link')) AS BIGINT) AS n_link,
+       CAST(coalesce(list_max(list_transform(sp, s -> s.off)), 0) AS BIGINT)
+         AS max_offset
+FROM spans
+"""
+
+QUERIES["d_spans_stats"] = (d_spans_stats, D_SPANS_STATS_SQL)
