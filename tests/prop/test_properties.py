@@ -133,3 +133,24 @@ def test_dedup_idempotent(seen_and_candidates):
     )
     again = dedup_against_seen(cand, merged, None, P)
     assert again.count() == 0
+
+
+def test_cuckoo_crawl_matches_bloom(spark, tmp_path):
+    """The filter kind is a performance choice, never a semantic one."""
+    a = run_crawl(
+        spark,
+        CrawlConfig(
+            web=PROP_WEB, checkpoint_dir=str(tmp_path / "bloomk"), num_buckets=8
+        ),
+    )
+    b = run_crawl(
+        spark,
+        CrawlConfig(
+            web=PROP_WEB,
+            checkpoint_dir=str(tmp_path / "cuckook"),
+            num_buckets=8,
+            filter_kind="cuckoo",
+        ),
+    )
+    assert _order(spark, a) == _order(spark, b)
+    assert _seen(spark, a) == _seen(spark, b)

@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from who_focus_crawler_spark import schemas
 
 BLOOM_KIND = "bloom"
+CUCKOO_KIND = "cuckoo"  # operators/cuckoo.py — same negative-fast-path contract
 
 
 def part_id(url_hash_col: Column, num_parts: int) -> Column:
@@ -92,15 +93,42 @@ def _size_bits(n_keys: int, bits_per_key: int = 16) -> int:
 # ------------------------------------------------------ filter maintenance ---
 
 
+def _cuckoo_nbuckets(capacity: int) -> int:
+    # 4 slots/bucket at <=50% load
+    n = 1024
+    while n * 4 // 2 < capacity:
+        n *= 2
+    return n
+
+
 def build_seen_filters(
     url_seen: DataFrame, num_parts: int, capacity_per_part: int = 1 << 16,
-    nhashes: int = 7,
+    nhashes: int = 7, kind: str = BLOOM_KIND,
 ) -> DataFrame:
-    """Build per-partition bloom blobs from scratch over url_seen."""
+    """Build per-partition membership blobs from scratch over url_seen.
+
+    kind="bloom": blob = bit array, meta = (nbits, nhashes).
+    kind="cuckoo": blob = fingerprint table, meta = (nbuckets, slots) in
+    the same (nbits, nhashes) columns."""
     nbits = _size_bits(capacity_per_part)
+    nbuckets = _cuckoo_nbuckets(capacity_per_part)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(pdf["part_id"].iloc[0])
+        if kind == CUCKOO_KIND:
+            from who_focus_crawler_spark.operators.cuckoo import CuckooFilter
+
+            f = CuckooFilter(nbuckets=nbuckets, slots=4)
+            f.insert(_as_u64(pdf["url_hash"]))
+            return pd.DataFrame(
+                {
+                    "part_id": [pid],
+                    "kind": [CUCKOO_KIND],
+                    "nbits": [nbuckets],
+                    "nhashes": [4],
+                    "blob": [f.to_bytes()],
+                }
+            )
         blob = bloom_build(_as_u64(pdf["url_hash"]), nbits, nhashes)
         return pd.DataFrame(
             {
@@ -118,6 +146,7 @@ def build_seen_filters(
 def update_seen_filters(
     seen_filters: DataFrame, new_urls: DataFrame, num_parts: int,
     capacity_per_part: int = 1 << 16, nhashes: int = 7,
+    kind: str = BLOOM_KIND,
 ) -> DataFrame:
     """Incrementally OR the new URLs' bits into each partition's blob.
 
@@ -127,12 +156,34 @@ def update_seen_filters(
     hard-part: the 10^10 frontier forbids rebuild-per-batch).
     """
     nbits_default = _size_bits(capacity_per_part)
+    nbuckets_default = _cuckoo_nbuckets(capacity_per_part)
     adds = new_urls.select(
         part_id(F.col("url_hash"), num_parts).alias("part_id"), "url_hash"
     )
 
     def upd(key, filt: pd.DataFrame, add: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
+        k = filt["kind"].iloc[0] if len(filt) > 0 else kind
+        if k == CUCKOO_KIND:
+            from who_focus_crawler_spark.operators.cuckoo import CuckooFilter
+
+            if len(filt) > 0:
+                nb, sl = int(filt["nbits"].iloc[0]), int(filt["nhashes"].iloc[0])
+                f = CuckooFilter.from_bytes(filt["blob"].iloc[0], nb, sl)
+            else:
+                nb, sl = nbuckets_default, 4
+                f = CuckooFilter(nbuckets=nb, slots=sl)
+            if len(add) > 0:
+                f.insert(_as_u64(add["url_hash"]))
+            return pd.DataFrame(
+                {
+                    "part_id": [pid],
+                    "kind": [CUCKOO_KIND],
+                    "nbits": [nb],
+                    "nhashes": [sl],
+                    "blob": [f.to_bytes()],
+                }
+            )
         if len(filt) > 0:
             nbits = int(filt["nbits"].iloc[0])
             nh = int(filt["nhashes"].iloc[0])
@@ -176,12 +227,22 @@ def mark_maybe_seen(
             return cand_pdf.assign(maybe_seen=pd.Series([], dtype=bool))
         if len(filt) == 0:
             return cand_pdf.assign(maybe_seen=False)
-        ok = bloom_maybe_contains(
-            filt["blob"].iloc[0],
-            _as_u64(cand_pdf["url_hash"]),
-            int(filt["nbits"].iloc[0]),
-            int(filt["nhashes"].iloc[0]),
-        )
+        if filt["kind"].iloc[0] == CUCKOO_KIND:
+            from who_focus_crawler_spark.operators.cuckoo import CuckooFilter
+
+            f = CuckooFilter.from_bytes(
+                filt["blob"].iloc[0],
+                int(filt["nbits"].iloc[0]),
+                int(filt["nhashes"].iloc[0]),
+            )
+            ok = f.maybe_contains(_as_u64(cand_pdf["url_hash"]))
+        else:
+            ok = bloom_maybe_contains(
+                filt["blob"].iloc[0],
+                _as_u64(cand_pdf["url_hash"]),
+                int(filt["nbits"].iloc[0]),
+                int(filt["nhashes"].iloc[0]),
+            )
         return cand_pdf.assign(maybe_seen=ok)
 
     return (

@@ -50,6 +50,7 @@ class CrawlConfig:
     checkpoint_dir: str
     num_buckets: int = 32
     use_bloom: bool = True
+    filter_kind: str = "bloom"  # or "cuckoo" (operators/cuckoo.py)
     salt: int = 16  # C17: sub-partitions per host in the selection window
     max_batches: int | None = None  # default: web.max_batches
 
@@ -71,7 +72,7 @@ def bootstrap(spark: SparkSession, cfg: CrawlConfig) -> SnapshotCatalog:
         "canon_url",
         part_id(F.col("url_hash"), cfg.num_buckets).alias("part_id"),
     )
-    filters = build_seen_filters(url_seen, cfg.num_buckets)
+    filters = build_seen_filters(url_seen, cfg.num_buckets, kind=cfg.filter_kind)
     catalog.commit(
         0,
         {
@@ -192,7 +193,7 @@ def run_batch(
         part_id(F.col("url_hash"), P).alias("part_id"),
     )
     filters2 = (
-        update_seen_filters(seen_filters, url_seen_delta, P)
+        update_seen_filters(seen_filters, url_seen_delta, P, kind=cfg.filter_kind)
         if seen_filters is not None
         else None
     )
