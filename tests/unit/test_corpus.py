@@ -201,3 +201,18 @@ def test_canonicalize_df_differential_fuzz(spark):
     }
     for u in urls:
         assert got.get(u) == canonicalize_py(u), u
+
+
+def test_ivf_topk_matches_brute_force_on_separated_clusters(vectors):
+    from who_focus_crawler_spark.corpus.similarity import ivf_topk
+
+    exact = [r.vec_id for r in brute_force_topk(vectors, 0, k=5).collect()]
+    approx = [
+        r.vec_id
+        for r in ivf_topk(
+            vectors, query_vec_id=0, k=5, n_clusters=3, nprobe=1, iters=4
+        ).collect()
+    ]
+    # three well-separated clusters: probing the query's own cluster
+    # recovers the exact neighbours
+    assert approx == exact

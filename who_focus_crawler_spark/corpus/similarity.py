@@ -124,3 +124,131 @@ def lsh_topk(
         .orderBy(F.desc("cosine_sim"), "vec_id")
         .limit(k)
     )
+
+
+# ------------------------------------------------------------------- IVF ---
+
+
+def ivf_fit_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    Assignment is fully distributed (broadcast centroids → argmin over a
+    posexploded distance sum); the centroid update collects only
+    n_clusters × dim partial sums to the driver — the only driver-side
+    data regardless of corpus size. Init = the first `n_clusters` vectors
+    by id (deterministic; no RNG, resume-safe)."""
+    init = (
+        embeddings.orderBy(id_col)
+        .limit(n_clusters)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("dim", "v")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = (r["s"], r["n"])
+        new_centroids = []
+        for c, old in enumerate(centroids):
+            dims = by_cluster.get(c)
+            if not dims:
+                new_centroids.append(old)  # empty cluster keeps its centroid
+                continue
+            new_centroids.append(
+                [dims[d][0] / dims[d][1] for d in range(len(old))]
+            )
+        centroids = new_centroids
+    return centroids
+
+
+def _dist2_to(vec: Column, centroid: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(x)) for x in centroid]),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the nearest-centroid id. Centroids ride in the plan as
+    literals (broadcast-equivalent); ties break on the lower cluster id."""
+    packed = [
+        F.struct(
+            F.round(_dist2_to(F.col(vec_col), c), 9).alias("d"),
+            F.lit(i).alias("c"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    best = F.least(*packed)
+    return embeddings.withColumn("cluster", best["c"])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: rank by cosine only within the `nprobe`
+    clusters nearest to the query. At corpus scale the assignment is a
+    partition column and the probe prunes partitions instead of scanning."""
+    import math
+
+    centroids = ivf_fit_centroids(embeddings, n_clusters, iters, id_col, vec_col)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    qvec = [
+        float(x)
+        for x in embeddings.filter(F.col(id_col) == query_vec_id)
+        .select(vec_col)
+        .collect()[0][0]
+    ]
+    order = sorted(
+        range(len(centroids)),
+        key=lambda c: (
+            math.fsum((a - b) ** 2 for a, b in zip(qvec, centroids[c])),
+            c,
+        ),
+    )
+    probe = order[:nprobe]
+    q = assigned.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    return (
+        assigned.filter(F.col("cluster").isin(*probe))
+        .filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(k)
+    )

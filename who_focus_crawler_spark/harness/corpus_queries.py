@@ -492,3 +492,14 @@ FROM spans
 """
 
 QUERIES["d_spans_stats"] = (d_spans_stats, D_SPANS_STATS_SQL)
+
+
+def d_sim_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer, nprobe clusters): iterative —
+    not SQL-expressible, rows-only oracle by design."""
+    return S.ivf_topk(
+        t(spark, sf, "embeddings"), query_vec_id=0, k=10, n_clusters=8, nprobe=2
+    )
+
+
+QUERIES["d_sim_ann_ivf"] = (d_sim_ann_ivf, None)
