@@ -51,7 +51,7 @@ def main() -> None:
     # box, not the job.
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    expand = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+    expand = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     r_n = run_once(n, sf_dir, expand)
     r_4n = run_once(4 * n, sf_dir, expand)
     eff = (r_4n["value"] / r_n["value"]) / 4.0

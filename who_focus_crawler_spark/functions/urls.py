@@ -248,14 +248,22 @@ def canonicalize_df(
     step = step.withColumn(
         "_c1_fp", F.coalesce(_path_fixup(F.when(gate, p0)), np)
     )
+    # coalesce with '' marks the column non-nullable (it cannot actually
+    # be null after the validity filter): otherwise joins on canon_url
+    # infer an IsNotNull(canon_url) constraint whose pushed filter inlines
+    # the WHOLE defining expression — including a second ArrowEvalPython
+    # (observed in the flagship anti-join plan)
     out = step.withColumn(
         out_col,
-        _assemble_core(
-            F.col("_c1_sch"),
-            F.col("_c1_hst"),
-            F.col("_c1_prt"),
-            F.col("_c1_fp"),
-            F.col("_c1_rq"),
+        F.coalesce(
+            _assemble_core(
+                F.col("_c1_sch"),
+                F.col("_c1_hst"),
+                F.col("_c1_prt"),
+                F.col("_c1_fp"),
+                F.col("_c1_rq"),
+            ),
+            F.lit(""),
         ),
     )
     return out.drop(
