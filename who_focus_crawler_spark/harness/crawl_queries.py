@@ -405,3 +405,91 @@ QUERIES = {
     "s_session_window": (s_session_window, S_SESSION_WINDOW_SQL),
     "s_dedup_first": (s_dedup_first, S_DEDUP_FIRST_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# C13 — focus/relevance scoring (discoveries from documents, scored by
+# parent relevance + URL features, integer arithmetic — value-exact)
+
+
+def c_focus_score(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.scoring import (
+        focus_priority,
+        relevance_score,
+    )
+
+    d = t(spark, sf, "documents")
+    # each doc "discovers" one URL: depth = doc_id % 4, target named by
+    # the doc's 3rd token (so some URLs contain topic keywords)
+    from who_focus_crawler_spark.corpus.text import tokens
+
+    tok3 = F.element_at(tokens(F.col("text")), 3)
+    target = F.concat(
+        F.lit("http://h"), (F.col("doc_id") % 9).cast("string"),
+        F.lit(".example.org/"), F.coalesce(tok3, F.lit("p")),
+        F.lit("/"), F.col("doc_id").cast("string"),
+    )
+    depth = (F.col("doc_id") % 4).cast("int")
+    return d.select(
+        "doc_id",
+        relevance_score(F.col("text")).alias("parent_rel"),
+        depth.alias("depth"),
+        focus_priority(relevance_score(F.col("text")), depth, target).alias(
+            "priority_pts"
+        ),
+    )
+
+
+C_FOCUS_SCORE_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+              x -> x IN ('query','data','stream','table'))) AS BIGINT)
+           AS parent_rel,
+         CAST(doc_id % 4 AS INTEGER) AS depth,
+         concat('http://h', CAST(doc_id % 9 AS VARCHAR), '.example.org/',
+                coalesce(regexp_extract_all(lower(text), '[a-z0-9]+')[3], 'p'),
+                '/', CAST(doc_id AS VARCHAR)) AS target
+  FROM documents
+)
+SELECT doc_id, parent_rel, depth,
+       CAST((parent_rel * 100) // (1 + depth)
+            + (CASE WHEN contains(lower(target), 'query') THEN 10 ELSE 0 END)
+            + (CASE WHEN contains(lower(target), 'data') THEN 10 ELSE 0 END)
+            + (CASE WHEN contains(lower(target), 'stream') THEN 10 ELSE 0 END)
+            + (CASE WHEN contains(lower(target), 'table') THEN 10 ELSE 0 END)
+            AS BIGINT) AS priority_pts
+FROM base
+"""
+
+# --------------------------------------------------------------------------
+# R36 (sliding variant) — 6-hour windows sliding every 3 hours
+
+
+def s_window_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+# each event belongs to 2 sliding windows: starts at bucket(t,3h) and
+# bucket(t,3h) - 3h (both epoch-aligned, matching Spark's origin)
+S_WINDOW_SLIDING_SQL = """
+WITH exploded AS (
+  SELECT time_bucket(INTERVAL '3 hours', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '3 hours', ts) - INTERVAL '3 hours', value
+  FROM events
+)
+SELECT window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM exploded GROUP BY window_start
+"""
+
+QUERIES["c_focus_score"] = (c_focus_score, C_FOCUS_SCORE_SQL)
+QUERIES["s_window_sliding"] = (s_window_sliding, S_WINDOW_SLIDING_SQL)
