@@ -216,3 +216,32 @@ def test_ivf_topk_matches_brute_force_on_separated_clusters(vectors):
     # three well-separated clusters: probing the query's own cluster
     # recovers the exact neighbours
     assert approx == exact
+
+
+def test_crawl_output_feeds_corpus_pipeline(spark, tmp_path):
+    """End-to-end bridge: crawl the fixture web, project the interleaved
+    spans into the corpus view, and run the training-data ops over it."""
+    from who_focus_crawler_spark import schemas
+    from who_focus_crawler_spark.corpus.interleaved import corpus_view, media_table
+    from who_focus_crawler_spark.corpus.text import quality_score
+    from who_focus_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from who_focus_crawler_spark.sources.fixture_web import WebConfig
+
+    web = WebConfig(n_hosts=4, n_pages=24, seed_hosts=(0, 1), max_batches=4)
+    cat = run_crawl(
+        spark,
+        CrawlConfig(web=web, checkpoint_dir=str(tmp_path / "bridge"), num_buckets=4),
+    )
+    docs = cat.read_table(spark, "documents", schemas.DOCUMENTS_OUT)
+    view = corpus_view(docs)
+    rows = view.collect()
+    assert len(rows) > 0
+    assert all(r.n_spans > 0 for r in rows)
+    # text spans made it through in order; quality scorer runs on them
+    q = view.select(quality_score(F.col("text")).alias("q")).collect()
+    assert all(0 <= r.q <= 1000 for r in q)
+    # media occurrences exploded with offsets
+    media = media_table(docs).collect()
+    assert all(m.media_ref.startswith("media://") for m in media)
+    # exact dedup over crawled texts: fixture pages are distinct
+    assert exact_dedup(view, "text", "doc_id").count() == 0
