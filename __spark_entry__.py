@@ -8,11 +8,18 @@ DuckDB value-hash comparison at sf0.01.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from who_focus_crawler_spark import harness
+# the driver may import this file by path from another cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from who_focus_crawler_spark import harness  # noqa: E402
 from who_focus_crawler_spark.harness.flagship import flagship_schedule
 
 
