@@ -93,9 +93,12 @@ def minhash_lsh_pairs(
         shingles(tokens(F.col(text_col)), shingle_k).alias("sh"),
     ).withColumn("sig", minhash_signature_from_shingles(F.col("sh"), num_hashes))
 
+    # Scale shape: the band self-join shuffles only (band, band_key,
+    # doc_id) — never the shingle arrays. Shingles re-attach to the
+    # (few) surviving candidate pairs afterwards; at corpus scale that
+    # turns an O(corpus)·|shingles| shuffle into O(candidates).
     banded = base.select(
         "doc_id",
-        "sh",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -111,29 +114,26 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_key"),
     )
-
-    left = banded.select(
-        F.col("band"),
-        F.col("band_key"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-    )
-    right = banded.select(
-        F.col("band"),
-        F.col("band_key"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-    )
+    left = banded.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    right = banded.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     cand = (
         left.join(right, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_tbl = base.select("doc_id", "sh")
+    pairs = cand.join(
+        sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
         )
