@@ -92,6 +92,10 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc_id"),
         shingles(tokens(F.col(text_col)), shingle_k).alias("sh"),
     ).withColumn("sig", minhash_signature_from_shingles(F.col("sh"), num_hashes))
+    # materialize the shingle/signature table once (three consumers:
+    # banding + both sides of the candidate re-join) — at corpus scale
+    # this is a persisted artifact, not a recompute
+    base = base.localCheckpoint(eager=False)
 
     # Scale shape: the band self-join shuffles only (band, band_key,
     # doc_id) — never the shingle arrays. Shingles re-attach to the
