@@ -493,3 +493,102 @@ FROM exploded GROUP BY window_start
 
 QUERIES["c_focus_score"] = (c_focus_score, C_FOCUS_SCORE_SQL)
 QUERIES["s_window_sliding"] = (s_window_sliding, S_WINDOW_SLIDING_SQL)
+
+
+# --------------------------------------------------------------------------
+# C8 — robots.txt gate: RFC 9309 longest-match over a fixed rule set,
+# evaluated by the real operator (pandas UDF) on the Spark side and
+# reproduced analytically by the oracle (the rules are known constants)
+
+
+def c_robots_gate(spark: SparkSession, sf: str) -> DataFrame:
+    import json as _json
+
+    from who_focus_crawler_spark.operators.robots import apply_robots
+
+    o = t(spark, sf, "orders")
+    host = F.concat(F.lit("h"), (F.col("o_custkey") % 4).cast("string"), F.lit(".t"))
+    path = F.when(
+        F.col("o_orderkey") % 11 == 7,
+        F.concat(F.lit("/private/p/"), (F.col("o_orderkey") % 3).cast("string")),
+    ).otherwise(F.concat(F.lit("/p/"), F.col("o_orderkey").cast("string")))
+    cand = o.select(
+        "o_orderkey",
+        host.alias("host"),
+        F.concat(F.lit("http://"), host, path).alias("canon_url"),
+    )
+    # fixed rule set: h0 disallows /private/ but allows /private/p/0 back
+    # (longest-match exercise); h1 disallows everything; h2 has no file
+    rules = spark.createDataFrame(
+        [
+            ("h0.t", _json.dumps([[False, "/private/"], [True, "/private/p/0"]]), 1),
+            ("h1.t", _json.dumps([[False, "/"]]), 1),
+            ("h3.t", _json.dumps([[True, "/"]]), 1),
+        ],
+        ["host", "rules_json", "fetched_in_batch"],
+    )
+    return apply_robots(cand, rules).select("o_orderkey", "host", "robots_ok")
+
+
+C_ROBOTS_GATE_SQL = """
+SELECT o_orderkey,
+       concat('h', CAST(o_custkey % 4 AS VARCHAR), '.t') AS host,
+       CASE
+         WHEN o_custkey % 4 = 1 THEN FALSE            -- h1: disallow /
+         WHEN o_custkey % 4 = 0 AND o_orderkey % 11 = 7
+              AND o_orderkey % 3 <> 0 THEN FALSE      -- h0: /private/ blocked
+         ELSE TRUE                                    -- h0 /private/p/0 wins
+       END AS robots_ok                               -- h2: no robots file
+FROM orders
+"""
+
+# --------------------------------------------------------------------------
+# C5 — frontier merge: (frontier ∖ consumed) ∪ discoveries, per-host counts
+
+
+def c_frontier_merge(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    e = t(spark, sf, "events")
+    frontier = o.select(
+        F.concat(F.lit("http://h"), (F.col("o_orderkey") % 10).cast("string"),
+                 F.lit(".t/p/"), F.col("o_orderkey").cast("string")).alias("canon_url"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 10).cast("string"), F.lit(".t")).alias("host"),
+    )
+    consumed = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.concat(F.lit("http://h"), (F.col("o_orderkey") % 10).cast("string"),
+                 F.lit(".t/p/"), F.col("o_orderkey").cast("string")).alias("canon_url")
+    )
+    new_rows = e.select(
+        F.concat(F.lit("http://h"), (F.col("event_id") % 10).cast("string"),
+                 F.lit(".t/n/"), F.col("event_id").cast("string")).alias("canon_url"),
+        F.concat(F.lit("h"), (F.col("event_id") % 10).cast("string"), F.lit(".t")).alias("host"),
+    )
+    merged = frontier.join(
+        F.broadcast(consumed), "canon_url", "left_anti"
+    ).unionByName(new_rows)
+    return merged.groupBy("host").agg(F.count("*").alias("n_frontier"))
+
+
+C_FRONTIER_MERGE_SQL = """
+WITH frontier AS (
+  SELECT concat('http://h', CAST(o_orderkey % 10 AS VARCHAR), '.t/p/',
+                CAST(o_orderkey AS VARCHAR)) AS canon_url,
+         concat('h', CAST(o_orderkey % 10 AS VARCHAR), '.t') AS host
+  FROM orders
+), kept AS (
+  SELECT * FROM frontier
+  WHERE canon_url NOT IN (
+    SELECT concat('http://h', CAST(o_orderkey % 10 AS VARCHAR), '.t/p/',
+                  CAST(o_orderkey AS VARCHAR))
+    FROM orders WHERE o_orderkey % 7 = 0
+  )
+), merged AS (
+  SELECT host FROM kept
+  UNION ALL
+  SELECT concat('h', CAST(event_id % 10 AS VARCHAR), '.t') AS host FROM events
+)
+SELECT host, count(*) AS n_frontier FROM merged GROUP BY host
+"""
+
+QUERIES["c_robots_gate"] = (c_robots_gate, C_ROBOTS_GATE_SQL)
+QUERIES["c_frontier_merge"] = (c_frontier_merge, C_FRONTIER_MERGE_SQL)
