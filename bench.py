@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from who_focus_crawler_spark.functions.urls import canonicalize_df, url_hash, url_host
 from who_focus_crawler_spark.harness import REGISTRY
+from who_focus_crawler_spark.operators.sequencer import global_row_number
 from who_focus_crawler_spark.session import get_spark
 
 BENCH_QUERIES = [
@@ -94,8 +95,11 @@ def run_frontier_pipeline(spark: SparkSession, frontier: DataFrame) -> int:
     new = cand.join(seen, ["url_hash", "canon_url"], "left_anti")
     wh = Window.partitionBy("host").orderBy(F.desc("priority"), "canon_url")
     admitted = new.withColumn("rk", F.row_number().over(wh)).filter(F.col("rk") <= 8)
-    wg = Window.orderBy(F.desc("priority"), "host", "canon_url")
-    out = admitted.select(F.row_number().over(wg).alias("seq"), "canon_url", "host")
+    # C9: two-phase distributed rank (operators/sequencer.py) — no
+    # single-task global window in the north-metric pipeline
+    out = global_row_number(
+        admitted, [F.desc("priority"), F.asc("host"), F.asc("canon_url")], "seq", 0
+    ).select("seq", "canon_url", "host")
     return out.count()
 
 

@@ -10,7 +10,7 @@ from who_focus_crawler_spark.corpus.dedup import (
     exact_dedup,
     exact_dedup_keep,
     minhash_lsh_pairs,
-    simhash16,
+    simhash64_bands,
     simhash_pairs,
 )
 from who_focus_crawler_spark.corpus.multimodal import attach_media, decode_media
@@ -87,19 +87,95 @@ def test_minhash_finds_near_dups(docs):
         assert 0.0 <= p.jaccard <= 1.0
 
 
-def test_simhash_banding_complete_for_hamming1(spark, docs):
-    """Two 8-bit halves find ALL pairs at Hamming ≤ 1 (pigeonhole)."""
-    sigs = docs.select("doc_id", simhash16(tokens(F.col("text"))).alias("sig")).collect()
+def test_simhash_banding_complete_for_hamming3(spark, docs):
+    """4 × 16-bit bands find ALL pairs at Hamming ≤ 3 (pigeonhole:
+    3 flipped bits leave at least one band untouched)."""
+    staged = docs.withColumn("bands", simhash64_bands(tokens(F.col("text"))))
+    sigs = [
+        (r.doc_id, sum(b << (16 * k) for k, b in enumerate(r.bands)))
+        for r in staged.select("doc_id", "bands").collect()
+    ]
     brute = set()
-    for i, a in enumerate(sigs):
-        for b in sigs[i + 1 :]:
-            h = bin(a.sig ^ b.sig).count("1")
-            if h <= 1:
-                brute.add((min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id)))
+    for i, (ida, sa) in enumerate(sigs):
+        for idb, sb in sigs[i + 1 :]:
+            if bin(sa ^ sb).count("1") <= 3:
+                brute.add((min(ida, idb), max(ida, idb)))
     found = {
-        (p.doc_a, p.doc_b) for p in simhash_pairs(docs, max_hamming=1).collect()
+        (p.doc_a, p.doc_b) for p in simhash_pairs(docs, max_hamming=3).collect()
     }
     assert found == brute
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B, B~C (A≁C directly) must land in ONE cluster, keep = min id;
+    convergence mode and the fixed-round oracle mode must agree."""
+    from who_focus_crawler_spark.corpus.clusters import (
+        dedup_keep,
+        near_dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True), 21: (20, False), 22: (20, False), 23: (20, False),
+    }
+    fixed = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in near_dup_clusters(pairs, n_iters=4).collect()
+    }
+    assert fixed == got  # 4 rounds ≥ the diameter of every test component
+    # whole-corpus keep decision: isolated docs keep themselves
+    docs = spark.createDataFrame([(i,) for i in range(25)], ["doc_id"])
+    kept = dedup_keep(docs, pairs)
+    assert kept.count() == 25
+    assert kept.filter(F.col("keep")).count() == 25 - 6  # six dropped dups
+    assert {r.doc_id for r in kept.filter(~F.col("keep")).collect()} == {
+        2, 3, 11, 21, 22, 23
+    }
+
+
+def test_near_dup_clusters_on_minhash_pairs(docs):
+    """End-to-end: minhash pairs → clusters. Planted (i-1, i) near-dups
+    co-cluster; labels are true transitive-closure components (keep ⇔
+    doc_id == cluster_id == component min)."""
+    from who_focus_crawler_spark.corpus.clusters import near_dup_clusters
+
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=8, shingle_k=3, jaccard_threshold=0.5
+    )
+    edge_list = [(p.doc_a, p.doc_b) for p in pairs.collect()]
+    cl = {r.doc_id: r for r in near_dup_clusters(pairs).collect()}
+    for i in range(3, 40, 10):
+        assert cl[i].cluster_id == cl[i - 1].cluster_id
+    # every edge joins same-cluster nodes, keep == (id == cluster min)
+    for a, b in edge_list:
+        assert cl[a].cluster_id == cl[b].cluster_id
+    by_cluster: dict[int, list[int]] = {}
+    for d, r in cl.items():
+        by_cluster.setdefault(r.cluster_id, []).append(d)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        for d in members:
+            assert cl[d].keep == (d == cid)
+    # python-side union-find over the same edges agrees on components
+    parent = {d: d for d in cl}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edge_list:
+        parent[find(a)] = find(b)
+    for d, r in cl.items():
+        assert r.cluster_id == min(m for m in cl if find(m) == find(d))
 
 
 @pytest.fixture(scope="module")

@@ -34,6 +34,12 @@ CASES = [
     ("ftp://example.com/a", None),
     ("not a url", None),
     ("http:///pathonly", None),
+    # separator-less junk (ADVICE r1: used to canonicalize to "http://tp/")
+    ("http", None),
+    ("https", None),
+    ("HTTP#x", None),
+    ("  http  ", None),
+    ("http:/example.com/a", None),
 ]
 
 

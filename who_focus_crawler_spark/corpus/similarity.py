@@ -216,13 +216,23 @@ def ivf_topk(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: rank by cosine only within the `nprobe`
-    clusters nearest to the query. At corpus scale the assignment is a
-    partition column and the probe prunes partitions instead of scanning."""
+    clusters nearest to the query.
+
+    Fit and probe are SPLIT (VERDICT r1): pass `centroids` from a prior
+    :func:`ivf_fit_centroids` (the persisted index sidecar — at corpus
+    scale the assignment is a partition column written once and the
+    probe prunes partitions). When `centroids` is None this fits inline
+    — a convenience for one-shot exploration only; a serving path must
+    never refit per query (5 Lloyd iterations × full scan each)."""
     import math
 
-    centroids = ivf_fit_centroids(embeddings, n_clusters, iters, id_col, vec_col)
+    if centroids is None:
+        centroids = ivf_fit_centroids(
+            embeddings, n_clusters, iters, id_col, vec_col
+        )
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     qvec = [
         float(x)

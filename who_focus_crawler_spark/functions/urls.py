@@ -96,10 +96,14 @@ def _url_part_exprs(url: Column) -> dict[str, Column]:
     ops) instead of regex wherever the frozen spec allows; the only
     regexes left are the port strip/extract (must match ``:\\d*$`` digits-
     only semantics, e.g. not split IPv6 brackets). Scheme validity needs
-    no regex: a URL without '://' yields scheme == whole string, which
-    fails the http/https check, exactly like the anchored-regex form."""
+    no regex, but DOES need the '://' presence check: without it a bare
+    "http"/"https" (substring_index returns the whole string) would pass
+    the allowlist and canonicalize to garbage ("http" → "http://tp/"),
+    diverging from the authoritative canonicalize_py (ADVICE r1)."""
     u = F.substring_index(F.trim(url), "#", 1)  # strip fragment
-    scheme = F.lower(F.substring_index(u, "://", 1))
+    scheme = F.when(
+        F.instr(u, F.lit("://")) > 0, F.lower(F.substring_index(u, "://", 1))
+    ).otherwise(F.lit(""))
     rest = F.substring(u, F.instr(u, F.lit("://")) + 3, F.lit(_BIG))
     authority = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
     host = F.lower(F.regexp_replace(authority, r":\d*$", ""))

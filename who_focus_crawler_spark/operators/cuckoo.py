@@ -39,23 +39,65 @@ class CuckooFilter:
     """Vectorized fixed-size cuckoo filter over uint64 keys."""
 
     def __init__(self, nbuckets: int = 1 << 13, slots: int = 4):
+        # power-of-two buckets is REQUIRED: _bucket2's XOR pairing is an
+        # involution only then (b ^ alt < nbuckets); otherwise a kicked
+        # fingerprint can land in a bucket maybe_contains never probes
+        # → false negatives.
+        if nbuckets <= 0 or (nbuckets & (nbuckets - 1)) != 0:
+            raise ValueError(f"nbuckets must be a power of two, got {nbuckets}")
         self.nbuckets, self.slots = nbuckets, slots
         self.table = np.zeros((nbuckets, slots), dtype=np.uint16)
 
     # ------------------------------------------------------------- insert
     def insert(self, hashes: np.ndarray, max_kicks: int = 200) -> bool:
-        """Insert all keys; False if the filter overflowed (caller should
-        resize/rebuild — overflow never loses exactness because the filter
-        is only a negative fast path, but it must be reported)."""
+        """Insert all keys; False if the filter overflowed.
+
+        IMPORTANT: an overflow means the kick loop dropped a resident
+        fingerprint — the table now HAS false negatives and must not be
+        probed again (callers rebuild at larger size or mark the
+        partition saturated; see operators/dedup.py).
+
+        Vectorized common case: one numpy scatter places every key whose
+        primary bucket has a free slot, a second scatter the remainder's
+        secondary buckets; only keys whose both buckets are full take the
+        per-key kick loop (at ≤50% design load that's a tiny residue).
+        """
         fps = _fingerprint(hashes)
         b1s = _bucket1(hashes, self.nbuckets)
         b2s = _bucket2(b1s, fps, self.nbuckets)
+        pending = self._bulk_place(fps, b1s, np.arange(len(fps)))
+        pending = self._bulk_place(fps, b2s, pending)
         rng = np.random.default_rng(42)  # deterministic kick choice
         ok = True
-        for fp, b1, b2 in zip(fps, b1s, b2s):
-            if not self._insert_one(int(fp), int(b1), int(b2), rng, max_kicks):
+        for i in pending:
+            if not self._insert_one(
+                int(fps[i]), int(b1s[i]), int(b2s[i]), rng, max_kicks
+            ):
                 ok = False
         return ok
+
+    def _bulk_place(self, fps: np.ndarray, buckets: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        """Scatter fps[idx] into free slots of buckets[idx] (delete()-made
+        holes included); returns the sub-indices that did not fit."""
+        if len(idx) == 0:
+            return idx
+        order = idx[np.argsort(buckets[idx], kind="stable")]
+        bs = buckets[order]
+        # within-group rank among same-bucket keys in this batch
+        first = np.zeros(len(bs), dtype=bool)
+        first[0] = True
+        first[1:] = bs[1:] != bs[:-1]
+        group_start = np.maximum.accumulate(np.where(first, np.arange(len(bs)), 0))
+        within = np.arange(len(bs)) - group_start
+        # each key takes the (within+1)-th free slot of its bucket
+        free = self.table[bs] == 0  # (k, slots) — read-only copy
+        cumfree = free.cumsum(axis=1)
+        want = (within + 1)[:, None]
+        match = free & (cumfree == want)
+        placed = match.any(axis=1)
+        slot = match.argmax(axis=1)
+        self.table.flat[bs[placed] * self.slots + slot[placed]] = fps[order[placed]]
+        return order[~placed]
 
     def _insert_one(self, fp: int, b1: int, b2: int, rng, max_kicks: int) -> bool:
         for b in (b1, b2):
@@ -115,6 +157,8 @@ class CuckooFilter:
 
     @classmethod
     def from_bytes(cls, blob: bytes, nbuckets: int, slots: int) -> "CuckooFilter":
+        if nbuckets <= 0 or (nbuckets & (nbuckets - 1)) != 0:
+            raise ValueError(f"nbuckets must be a power of two, got {nbuckets}")
         f = cls.__new__(cls)
         f.nbuckets, f.slots = nbuckets, slots
         f.table = np.frombuffer(blob, dtype=np.uint16).reshape(nbuckets, slots).copy()

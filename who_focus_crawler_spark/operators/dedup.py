@@ -27,6 +27,13 @@ from who_focus_crawler_spark import schemas
 
 BLOOM_KIND = "bloom"
 CUCKOO_KIND = "cuckoo"  # operators/cuckoo.py — same negative-fast-path contract
+# A cuckoo overflow DROPS a resident fingerprint (kick-loop eviction), so an
+# overflowed table would answer "definitely new" for seen URLs — breaking the
+# mandated exactness. A partition whose filter overflowed is marked saturated:
+# every candidate in it takes the exact anti-join path until a full rebuild
+# (build_seen_filters over url_seen) restores a right-sized filter.
+SATURATED_KIND = "cuckoo_saturated"
+_MAX_CUCKOO_NBUCKETS = 1 << 26  # 64 Mi buckets × 4 slots × 2 B = 512 MiB blob
 
 
 def part_id(url_hash_col: Column, num_parts: int) -> Column:
@@ -118,17 +125,33 @@ def build_seen_filters(
         if kind == CUCKOO_KIND:
             from who_focus_crawler_spark.operators.cuckoo import CuckooFilter
 
-            f = CuckooFilter(nbuckets=nbuckets, slots=4)
-            f.insert(_as_u64(pdf["url_hash"]))
-            return pd.DataFrame(
-                {
-                    "part_id": [pid],
-                    "kind": [CUCKOO_KIND],
-                    "nbits": [nbuckets],
-                    "nhashes": [4],
-                    "blob": [f.to_bytes()],
-                }
-            )
+            # full key set in hand ⇒ overflow is recoverable: rebuild at
+            # doubled nbuckets until it fits (or give up → saturated)
+            keys = _as_u64(pdf["url_hash"])
+            nb = max(nbuckets, _cuckoo_nbuckets(len(keys)))
+            while True:
+                f = CuckooFilter(nbuckets=nb, slots=4)
+                if f.insert(keys):
+                    return pd.DataFrame(
+                        {
+                            "part_id": [pid],
+                            "kind": [CUCKOO_KIND],
+                            "nbits": [nb],
+                            "nhashes": [4],
+                            "blob": [f.to_bytes()],
+                        }
+                    )
+                if nb >= _MAX_CUCKOO_NBUCKETS:
+                    return pd.DataFrame(
+                        {
+                            "part_id": [pid],
+                            "kind": [SATURATED_KIND],
+                            "nbits": [nb],
+                            "nhashes": [4],
+                            "blob": [b""],
+                        }
+                    )
+                nb *= 2
         blob = bloom_build(_as_u64(pdf["url_hash"]), nbits, nhashes)
         return pd.DataFrame(
             {
@@ -164,6 +187,10 @@ def update_seen_filters(
     def upd(key, filt: pd.DataFrame, add: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
         k = filt["kind"].iloc[0] if len(filt) > 0 else kind
+        if k == SATURATED_KIND:
+            return filt.iloc[:1][
+                ["part_id", "kind", "nbits", "nhashes", "blob"]
+            ]  # stays saturated until a full rebuild from url_seen
         if k == CUCKOO_KIND:
             from who_focus_crawler_spark.operators.cuckoo import CuckooFilter
 
@@ -173,8 +200,19 @@ def update_seen_filters(
             else:
                 nb, sl = nbuckets_default, 4
                 f = CuckooFilter(nbuckets=nb, slots=sl)
-            if len(add) > 0:
-                f.insert(_as_u64(add["url_hash"]))
+            if len(add) > 0 and not f.insert(_as_u64(add["url_hash"])):
+                # overflow dropped a fingerprint: this table is no longer
+                # a sound negative path — demote the partition (incremental
+                # update has no key set to rebuild from)
+                return pd.DataFrame(
+                    {
+                        "part_id": [pid],
+                        "kind": [SATURATED_KIND],
+                        "nbits": [nb],
+                        "nhashes": [sl],
+                        "blob": [b""],
+                    }
+                )
             return pd.DataFrame(
                 {
                     "part_id": [pid],
@@ -227,6 +265,9 @@ def mark_maybe_seen(
             return cand_pdf.assign(maybe_seen=pd.Series([], dtype=bool))
         if len(filt) == 0:
             return cand_pdf.assign(maybe_seen=False)
+        if filt["kind"].iloc[0] == SATURATED_KIND:
+            # overflowed filter is unsound — force the exact anti-join
+            return cand_pdf.assign(maybe_seen=True)
         if filt["kind"].iloc[0] == CUCKOO_KIND:
             from who_focus_crawler_spark.operators.cuckoo import CuckooFilter
 

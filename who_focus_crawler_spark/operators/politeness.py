@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from who_focus_crawler_spark.operators.frontier import host_order
+from who_focus_crawler_spark.operators.sequencer import global_row_number
 
 
 def schedule_order() -> list:
@@ -38,12 +39,11 @@ def assign_seq(admitted: DataFrame, base_seq: int) -> DataFrame:
     """C9 — global total order within the batch; seq continues from
     ``base_seq``.
 
-    A single-partition window is acceptable because the batch is
-    politeness-bounded (≤ hosts × politeness_k rows reach this point); at
-    extreme host counts this becomes a two-phase rank (range-partitioned
-    local sort + per-partition offset), semantics unchanged.
+    Two-phase distributed rank (``operators/sequencer.py``): the batch is
+    ≤ hosts × politeness_k rows, which at production budgets is millions —
+    a naive global ``Window.orderBy`` would pull all of them through ONE
+    task. The two-phase rank assigns the identical sequence (schedule key
+    ends in the unique canon_url ⇒ strict total order) with every stage
+    partition-parallel.
     """
-    w = Window.orderBy(*schedule_order())
-    return admitted.withColumn(
-        "seq", (F.row_number().over(w) + F.lit(base_seq)).cast("long")
-    )
+    return global_row_number(admitted, schedule_order(), "seq", base_seq)

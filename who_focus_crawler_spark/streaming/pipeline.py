@@ -109,15 +109,19 @@ def politeness_tokens(
     ) -> Iterable[pd.DataFrame]:
         (host,) = key
         used = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            if used >= budget or pdf.empty:
-                continue
-            pdf = pdf.sort_values(
+        # concat the Arrow chunks BEFORE sorting: a host whose micro-batch
+        # spans several chunks must still admit in the single total
+        # (priority desc, canon_url) order, independent of chunk
+        # boundaries (ADVICE r1)
+        frames = list(pdfs)
+        batch = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+        if used < budget and not batch.empty:
+            batch = batch.sort_values(
                 ["priority", "canon_url"], ascending=[False, True]
             )
-            take = pdf.head(budget - used)
+            take = batch.head(budget - used)
             n = len(take)
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
                     "host": take["host"].values,
                     "canon_url": take["canon_url"].values,
@@ -125,7 +129,6 @@ def politeness_tokens(
                 }
             )
             used += n
-            yield out
         state.update((used,))
 
     return events.groupBy("host").applyInPandasWithState(
