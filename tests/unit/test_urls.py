@@ -66,6 +66,103 @@ def test_canonicalize_idempotent(spark):
         assert r["c2"] == r["url"]
 
 
+# RFC 3986 §5.4 resolution vectors (normal + abnormal), adapted: our
+# resolver output feeds C1, so expectations are the CANONICAL form (dot
+# segments collapsed, fragment stripped). Scheme-ful refs ("g:h",
+# "http:g") pass through and are dropped by the scheme/separator check —
+# the strict-parser behavior of §5.4.2, not urllib's legacy merge.
+RESOLVE_BASE = "http://a/b/c/d;p?q"
+RESOLVE_CASES = [
+    ("g", "http://a/b/c/g"),
+    ("./g", "http://a/b/c/g"),
+    ("g/", "http://a/b/c/g/"),
+    ("/g", "http://a/g"),
+    ("//g", "http://g/"),
+    ("?y", "http://a/b/c/d;p?y"),
+    ("g?y", "http://a/b/c/g?y"),
+    (";x", "http://a/b/c/;x"),
+    ("g;x", "http://a/b/c/g;x"),
+    ("", "http://a/b/c/d;p?q"),
+    ("#s", "http://a/b/c/d;p?q"),
+    (".", "http://a/b/c/"),
+    ("./", "http://a/b/c/"),
+    ("..", "http://a/b/"),
+    ("../", "http://a/b/"),
+    ("../g", "http://a/b/g"),
+    ("../..", "http://a/"),
+    ("../../", "http://a/"),
+    ("../../g", "http://a/g"),
+    # abnormal (§5.4.2)
+    ("../../../g", "http://a/g"),
+    ("../../../../g", "http://a/g"),
+    ("/./g", "http://a/g"),
+    ("/../g", "http://a/g"),
+    ("g.", "http://a/b/c/g."),
+    (".g", "http://a/b/c/.g"),
+    ("g..", "http://a/b/c/g.."),
+    ("..g", "http://a/b/c/..g"),
+    ("./../g", "http://a/b/g"),
+    ("./g/.", "http://a/b/c/g/"),
+    ("g/./h", "http://a/b/c/g/h"),
+    ("g/../h", "http://a/b/c/h"),
+    ("g;x=1/./y", "http://a/b/c/g;x=1/y"),
+    ("g;x=1/../y", "http://a/b/c/y"),
+    # scheme-ful refs are passed through and dropped by C1 (strict form)
+    ("g:h", None),
+    ("mailto:x@y.z", None),
+    ("javascript:alert(1)", None),
+    ("http:g", None),
+]
+
+
+def test_resolve_py_rfc3986_vectors():
+    from who_focus_crawler_spark.functions.urls import resolve_py
+
+    for href, want in RESOLVE_CASES:
+        got = canonicalize_py(resolve_py(RESOLVE_BASE, href))
+        assert got == want, (href, got, want)
+
+
+def test_resolve_spark_matches_python(spark):
+    from who_focus_crawler_spark.functions.urls import resolve_py, resolve_ref
+
+    hrefs = [h for h, _ in RESOLVE_CASES]
+    # extra bases: canonical crawl URLs incl. ports and root paths
+    bases = [
+        RESOLVE_BASE,
+        "http://h3.example.test/p/7",
+        "http://h0.example.test/private/p/0",
+        "https://x.test:8443/a/b?k=1",
+        "http://root.test/",
+    ]
+    rows = [(b, h) for b in bases for h in hrefs]
+    df = spark.createDataFrame(rows, ["base", "href"])
+    got = df.select(
+        "base", "href", resolve_ref(F.col("base"), F.col("href")).alias("r")
+    ).collect()
+    for r in got:
+        assert r.r == resolve_py(r.base, r.href), (r.base, r.href, r.r)
+
+
+def test_resolve_matches_urljoin_on_common_shapes():
+    """Differential vs the stdlib resolver on the href shapes a crawler
+    actually meets (no scheme-ful refs: there we are intentionally
+    stricter than urllib's legacy same-scheme merge)."""
+    from urllib.parse import urljoin
+
+    from who_focus_crawler_spark.functions.urls import resolve_py
+
+    bases = [RESOLVE_BASE, "http://h.test/x/y/z", "http://h.test/"]
+    hrefs = [
+        h for h, _ in RESOLVE_CASES if not h or h[0] in "./?#" or ":" not in h
+    ]
+    for b in bases:
+        for h in hrefs:
+            ours = canonicalize_py(resolve_py(b, h))
+            theirs = canonicalize_py(urljoin(b, h))
+            assert ours == theirs, (b, h, ours, theirs)
+
+
 def test_host_and_bucket(spark):
     df = spark.createDataFrame(
         [("http://h1.example.test:8080/a",), ("https://h2.example.test/b",)],

@@ -331,6 +331,78 @@ def url_host_py(canon_url: str) -> str:
     return m.group(1) if m else ""
 
 
+# --------------------------------------------------- C12 href resolution ---
+
+# RFC 3986 §5 reference resolution, specialized to the crawl case: the
+# base is ALWAYS one of our canonical URLs (http(s)://host[:port]/path
+# [?query], no fragment, path starts '/'), and dot-segment removal
+# (§5.2.4) is NOT done here — the resolved string feeds C1
+# (canonicalize_df), whose path normalization applies it. Rules, in
+# order (first match wins):
+#   1. ''            → base                      (§5.2.2 same-document)
+#   2. '#f'          → base (canonical base has no fragment; C1 strips)
+#   3. scheme ':'    → href as-is (§5.2.2 "ref has scheme"; non-http —
+#                      mailto:, javascript:, g:h — is then DROPPED by
+#                      C1's allowlist, never merged into a crawlable URL.
+#                      Deviation from urllib's legacy same-scheme compat:
+#                      'http:g' resolves to 'http:g' → dropped, not
+#                      'http://base/g'; RFC 3986 calls the strict form
+#                      correct.)
+#   4. '//auth/p'    → base-scheme ':' href       (network-path ref)
+#   5. '/p'          → origin + href              (absolute-path ref)
+#   6. '?q'          → origin + base-path + href
+#   7. 'rel/p'       → origin + base-dir + href   (§5.3 merge)
+
+_SCHEME_REF_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+
+
+def _base_parts(base: Column) -> tuple[Column, Column, Column]:
+    """(origin, path, dir) of a canonical base URL."""
+    origin = F.regexp_extract(base, r"^([^/?#]*://[^/?#]*)", 1)
+    path = F.regexp_extract(base, r"^[^/?#]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    base_dir = F.regexp_replace(path, r"[^/]*$", "")
+    return origin, path, base_dir
+
+
+def resolve_ref(base: Column, href: Column) -> Column:
+    """C12 — resolve an href against its page's canonical URL (native
+    string expressions only; output feeds C1 which normalizes dots and
+    drops non-http results)."""
+    origin, path, base_dir = _base_parts(base)
+    return (
+        F.when(href.isNull() | (href == ""), base)
+        .when(href.startswith("#"), base)
+        .when(href.rlike(_SCHEME_REF_RE), href)
+        .when(href.startswith("//"), F.concat(F.substring_index(base, "://", 1), F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .when(href.startswith("?"), F.concat(origin, path, href))
+        .otherwise(F.concat(origin, base_dir, href))
+    )
+
+
+_SCHEME_REF_PY = re.compile(_SCHEME_REF_RE)
+
+
+def resolve_py(base: str, href: str | None) -> str:
+    """Pure-Python twin of :func:`resolve_ref` (golden generator side)."""
+    if not href or href.startswith("#"):
+        return base
+    if _SCHEME_REF_PY.match(href):
+        return href
+    m = re.match(r"^([^/?#]*)://([^/?#]*)([^?#]*)", base)
+    scheme, auth, path = m.group(1), m.group(2), m.group(3) or "/"
+    origin = f"{scheme}://{auth}"
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    if href.startswith("/"):
+        return origin + href
+    if href.startswith("?"):
+        return origin + path + href
+    base_dir = re.sub(r"[^/]*$", "", path)
+    return origin + base_dir + href
+
+
 def url_hash(canon_url: Column) -> Column:
     """C2 — 64-bit signature: Spark-native xxhash64 (BASELINE.json north_star)."""
     return F.xxhash64(canon_url)

@@ -1,9 +1,11 @@
 """C12 — link discovery & resolution from span sequences.
 
-posexplode the ordered spans, keep kind='link', canonicalize targets
-(C1 — all native except the gated path fix-up), attach lineage
-(seed → depth+1 → discovering batch) and the frozen in-batch discovery
-tie-break key (parent_seq, span offset).
+posexplode the ordered spans, keep kind='link', resolve
+relative→absolute against the parent's canonical URL (RFC 3986 §5,
+functions/urls.resolve_ref — all native string expressions),
+canonicalize targets (C1 — native except the gated path fix-up), attach
+lineage (seed → depth+1 → discovering batch) and the frozen in-batch
+discovery tie-break key (parent_seq, span offset).
 """
 
 from __future__ import annotations
@@ -14,6 +16,7 @@ from pyspark.sql import functions as F
 from who_focus_crawler_spark.functions.urls import (
     canonicalize_df,
     host_bucket,
+    resolve_ref,
     url_hash,
     url_host,
 )
@@ -30,16 +33,20 @@ def discover_links(fetched: DataFrame, num_buckets: int) -> DataFrame:
         F.col("batch"),
         F.col("url_hash").alias("parent_hash"),
         F.col("host").alias("parent_host"),
+        F.col("canon_url").alias("_base"),
         (F.col("depth") + 1).alias("depth"),
         F.col("seed_id"),
         F.posexplode("spans").alias("pos", "span"),
     ).filter(F.col("span.kind") == "link")
-    links = links.withColumn("href", F.col("span.media_ref")).withColumn(
-        "offset", F.col("span.offset")
-    )
+    # RFC 3986 §5: most real-page hrefs are relative — resolve against
+    # the parent canon_url BEFORE canonicalization (which would silently
+    # drop anything without '://')
+    links = links.withColumn(
+        "href", resolve_ref(F.col("_base"), F.col("span.media_ref"))
+    ).withColumn("offset", F.col("span.offset"))
     return (
         canonicalize_df(links, "href", "target_url")
-        .drop("pos", "span", "href")
+        .drop("pos", "span", "href", "_base")
         .withColumn("url_hash", url_hash(F.col("target_url")))
         .withColumn("host", url_host(F.col("target_url")))
         .withColumn("host_bucket", host_bucket(F.col("host"), num_buckets))

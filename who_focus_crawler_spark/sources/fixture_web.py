@@ -19,7 +19,7 @@ from __future__ import annotations
 import hashlib
 from dataclasses import dataclass, field
 
-from who_focus_crawler_spark.functions.urls import canonicalize_py
+from who_focus_crawler_spark.functions.urls import canonicalize_py, resolve_py
 
 
 def h64(s: str) -> int:
@@ -40,6 +40,9 @@ class WebConfig:
     politeness_k: int = 2  # C7: fetches admitted per host per batch
     max_batches: int = 50
     agent: str = "wfc-bot"
+    # C8: re-fetch a host's robots.txt when its cache row is older than
+    # this many batches; None = cache forever (fixture rules never change)
+    robots_ttl_batches: int | None = None
 
     def pages_per_host(self) -> list[int]:
         hot = max(1, int(self.n_pages * self.hot_host_frac))
@@ -101,6 +104,36 @@ def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
 
 
 # -------------------------------------------------------------- content ---
+
+
+def _rel_path(base_dir: str, tpath: str) -> str:
+    """Relative path from a base directory to a target path (both
+    absolute, base_dir ends with '/'). Inverse exercise for RFC 3986 §5
+    merge + §5.2.4 dot collapse."""
+    bsegs = base_dir.split("/")[1:-1]
+    tsegs = tpath.split("/")[1:]
+    i = 0
+    while i < len(bsegs) and i < len(tsegs) - 1 and bsegs[i] == tsegs[i]:
+        i += 1
+    return "../" * (len(bsegs) - i) + "/".join(tsegs[i:])
+
+
+def _mk_relative(base_url: str, target: str, r: int) -> str:
+    """Relative form of a link target (exercises C12 resolution).
+
+    Same-host targets: path-absolute, dotted-relative, or './'-prefixed
+    relative; any target: scheme-relative ('//host/path')."""
+    t_host, t_rest = target.split("://", 1)[1].split("/", 1)
+    t_path = "/" + t_rest
+    p_host, p_rest = base_url.split("://", 1)[1].split("/", 1)
+    v = r % 4
+    if v == 3 or t_host != p_host:
+        return f"//{t_host}{t_path}"
+    base_dir = ("/" + p_rest)[: ("/" + p_rest).rfind("/") + 1]
+    if v == 0:
+        return t_path
+    rel = _rel_path(base_dir, t_path)
+    return rel if v == 1 else "./" + rel
 
 
 def _mk_messy(target: str, r: int) -> str:
@@ -173,6 +206,8 @@ def synth_spans(canon_url: str, cfg: WebConfig) -> list[dict]:
             href = target
             if h64(f"{canon_url}|{k}|m") % 20 == 0:  # ~5% messy forms
                 href = _mk_messy(target, h64(f"{canon_url}|{k}|v"))
+            elif h64(f"{canon_url}|{k}|r") % 4 == 0:  # ~25% relative (C12)
+                href = _mk_relative(canon_url, target, h64(f"{canon_url}|{k}|w"))
             spans.append(
                 {"kind": "link", "text": None, "media_ref": href, "offset": offset}
             )
@@ -180,15 +215,17 @@ def synth_spans(canon_url: str, cfg: WebConfig) -> list[dict]:
     return spans
 
 
-def extract_links(spans: list[dict]) -> list[tuple[str, int]]:
+def extract_links(spans: list[dict], base_url: str) -> list[tuple[str, int]]:
     """(canonical link target, span offset) pairs, in document order.
 
-    Canonicalization drops invalid targets; offset is the in-batch
+    Hrefs resolve relative→absolute against the page URL (RFC 3986 §5,
+    resolve_py — same frozen rules as the Spark resolve_ref expression);
+    canonicalization then drops invalid targets; offset is the in-batch
     first-discovery tie-break (SURVEY.md §5.3 freeze)."""
     out = []
     for s in spans:
         if s["kind"] == "link" and s["media_ref"]:
-            c = canonicalize_py(s["media_ref"])
+            c = canonicalize_py(resolve_py(base_url, s["media_ref"]))
             if c is not None:
                 out.append((c, s["offset"]))
     return out

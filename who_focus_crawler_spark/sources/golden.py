@@ -150,7 +150,7 @@ def run_golden(cfg: WebConfig, max_batches: int | None = None) -> GoldenResult:
         for pseq, e in fetched:
             spans = synth_spans(e.canon_url, cfg)
             res.documents[e.canon_url] = spans
-            for target, off in extract_links(spans):
+            for target, off in extract_links(spans, e.canon_url):
                 m(e.host)["discovered"] += 1
                 events.append((pseq, off, target, e))
         winners: dict[str, tuple[int, int, FrontierEntry]] = {}
