@@ -192,6 +192,28 @@ def vectors(spark):
     )
 
 
+def test_cosine_neardup_pairs(vectors):
+    """Near-identical vectors (same cluster, tiny angular jitter) pair;
+    cross-cluster vectors (cos < threshold) never do; every reported
+    pair's exact cosine clears the threshold."""
+    import math
+
+    from who_focus_crawler_spark.corpus.similarity import cosine_neardup_pairs
+
+    pairs = cosine_neardup_pairs(vectors, threshold=0.99, nplanes=4).collect()
+    assert len(pairs) > 0
+    rows = {r.vec_id: r.embedding for r in vectors.collect()}
+    for p in pairs:
+        a, b = rows[p.vec_a], rows[p.vec_b]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        exact = dot / (na * nb)
+        assert exact >= 0.99
+        assert abs(exact - p.cosine_sim) < 1e-5
+        assert p.vec_a % 3 == p.vec_b % 3  # same planted cluster only
+
+
 def test_brute_force_topk(vectors):
     top = brute_force_topk(vectors, query_vec_id=0, k=5).collect()
     assert len(top) == 5

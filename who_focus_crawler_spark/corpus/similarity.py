@@ -126,6 +126,44 @@ def lsh_topk(
     )
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    nplanes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (task brief: dedup family).
+
+    Scale shape mirrors MinHash-LSH: vectors shuffle once on their
+    ``nplanes``-bit hyperplane signature, candidate pairs form only
+    inside equal-signature buckets (never all-pairs), and the exact
+    cosine verifies each candidate. Raise ``nplanes`` as the corpus
+    grows (bucket count = 2^nplanes; collision rate for angle θ is
+    (1 − θ/π)^nplanes). Returns (vec_a, vec_b, cosine_sim ≥ threshold).
+    """
+    sigs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), nplanes).alias("sig"),
+    )
+    a = sigs.select(
+        "sig", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")
+    )
+    b = sigs.select(
+        "sig", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")
+    )
+    return (
+        a.join(b, "sig")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6)
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", "cosine_sim")
+    )
+
+
 # ------------------------------------------------------------------- IVF ---
 
 

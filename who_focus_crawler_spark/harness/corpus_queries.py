@@ -237,10 +237,10 @@ def d_sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _ann_sql() -> str:
+def _sig_sql(nplanes: int) -> str:
     # one projection term per hyperplane; sign(p, d) md5-derived, d 0-based
     projs = []
-    for p in range(_ANN_PLANES):
+    for p in range(nplanes):
         sign = (
             f"(CASE WHEN CAST(concat('0x', substring(md5(concat('{p}', ':', "
             f"CAST(i - 1 AS VARCHAR))), 1, 1)) AS INTEGER) >= 8 "
@@ -251,7 +251,11 @@ def _ann_sql() -> str:
             f"x::DOUBLE * {sign}), 'sum')"
         )
         projs.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
-    sig = " + ".join(projs)
+    return " + ".join(projs)
+
+
+def _ann_sql() -> str:
+    sig = _sig_sql(_ANN_PLANES)
     return f"""
 WITH sigs AS (
   SELECT vec_id, embedding, CAST({sig} AS BIGINT) AS sig FROM embeddings
@@ -512,6 +516,44 @@ FROM spans
 
 QUERIES["d_spans_stats"] = (d_spans_stats, D_SPANS_STATS_SQL)
 
+
+_ND_THRESH, _ND_PLANES = 0.3, 4
+
+
+def d_sim_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed + exact verify.
+
+    Threshold 0.3 is tuned to the synthetic random embeddings (real
+    near-dup corpora use ~0.95); it exercises the operator on 124
+    value-checked pairs at sf0.01 instead of a vacuous 0-row pass."""
+    return S.cosine_neardup_pairs(
+        t(spark, sf, "embeddings"), threshold=_ND_THRESH, nplanes=_ND_PLANES
+    )
+
+
+def _neardup_sql() -> str:
+    sig = _sig_sql(_ND_PLANES)
+    cos = (
+        "list_aggregate(list_transform(a.embedding,"
+        " (x, i) -> x::DOUBLE * b.embedding[i]::DOUBLE), 'sum')"
+        " / greatest("
+        "sqrt(list_aggregate(list_transform(a.embedding,"
+        " x -> x::DOUBLE * x::DOUBLE), 'sum')) *"
+        " sqrt(list_aggregate(list_transform(b.embedding,"
+        " x -> x::DOUBLE * x::DOUBLE), 'sum')), 1e-12)"
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, CAST({sig} AS BIGINT) AS sig FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({cos}, 6) AS cosine_sim
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE round({cos}, 6) >= {_ND_THRESH}
+"""
+
+
+QUERIES["d_sim_neardup"] = (d_sim_neardup, _neardup_sql())
 
 _IVF_CENTROIDS: dict[str, list[list[float]]] = {}
 
