@@ -517,6 +517,43 @@ FROM spans
 QUERIES["d_spans_stats"] = (d_spans_stats, D_SPANS_STATS_SQL)
 
 
+def d_corpus_select(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-set selection: language gate (predicted 'en')
+    + quality threshold, aggregated per source — the composition a real
+    data pipeline runs over the verified text operators (integer sums
+    only, so the oracle hash is exact)."""
+    d = t(spark, sf, "documents")
+    toks = X.tokens(F.col("text"))
+    sel = d.select(
+        "doc_id",
+        "source",
+        X.predict_lang(toks).alias("pred_lang"),
+        X.quality_score(F.col("text")).alias("quality"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).filter((F.col("pred_lang") == "en") & (F.col("quality") >= 700))
+    return sel.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("quality").cast("long").alias("sum_quality"),
+    )
+
+
+def _corpus_select_sql() -> str:
+    return f"""
+WITH q AS ({D_TEXT_QUALITY_SQL}), l AS ({_langid_sql()})
+SELECT d.source AS source, count(*) AS n_docs,
+       CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(q.quality) AS BIGINT) AS sum_quality
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN l ON l.doc_id = d.doc_id
+WHERE l.pred_lang = 'en' AND q.quality >= 700
+GROUP BY d.source
+"""
+
+
+QUERIES["d_corpus_select"] = (d_corpus_select, _corpus_select_sql())
+
 _ND_THRESH, _ND_PLANES = 0.3, 4
 
 
