@@ -228,42 +228,16 @@ def r_join_asof(spark: SparkSession, sf: str) -> DataFrame:
     ev = t(spark, sf, "events").select(
         "user_id", F.col("ts"), F.col("event_id"), F.col("value")
     )
-    # Tag and union both sides; per user ordered by (ts, is_order, event_id
-    # desc) the last non-null event_id before each order row is the as-of
-    # match. event_id is unique per ts tie → deterministic.
-    o_tag = orders.select(
+    from who_focus_crawler_spark.operators.asof import asof_join
+
+    return asof_join(
+        orders, ev, on="ts", by="user_id",
+        value_cols=["event_id", "value"], tie_col="event_id",
+    ).select(
+        "o_orderkey",
         "user_id",
-        "ts",
-        F.lit(1).alias("is_order"),
-        F.col("o_orderkey"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("double").alias("value"),
-    )
-    e_tag = ev.select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("is_order"),
-        F.lit(None).cast("long").alias("o_orderkey"),
         "event_id",
-        "value",
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_order", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        o_tag.unionByName(e_tag)
-        .withColumn("last_event_id", F.last("event_id", ignorenulls=True).over(w))
-        .withColumn("last_value", F.last("value", ignorenulls=True).over(w))
-        .filter(F.col("is_order") == 1)
-        .filter(F.col("last_event_id").isNotNull())
-        .select(
-            "o_orderkey",
-            "user_id",
-            F.col("last_event_id").alias("event_id"),
-            F.round("last_value", 2).alias("value"),
-        )
+        F.round("value", 2).alias("value"),
     )
 
 
