@@ -421,8 +421,9 @@ FROM documents
 
 def d_media_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Frame sampling through the mapInPandas decode stub (fake decoder —
-    no codecs in this container). Rows-only oracle: per-frame features are
-    produced Python-side."""
+    no codecs in this container). Value-exact oracle: the fake feature is
+    integer byte statistics of payload slices, which DuckDB reproduces
+    byte-for-byte on this ASCII corpus (f1 = sum(chunk bytes) mod 251)."""
     media = MM.attach_media(t(spark, sf, "documents"))
     frames = MM.decode_media(media, frames_per_item=3, fake=True)
     return frames.select(
@@ -430,6 +431,33 @@ def d_media_frames(spark: SparkSession, sf: str) -> DataFrame:
         "frame_idx",
         F.round(F.element_at("feature", 2).cast("double"), 2).alias("f1"),
     )
+
+
+# chunk i (i=0..2) of the utf-8 payload, step = max(byte_len // 3, 1);
+# empty chunk (never on this corpus — no sub-3-char docs) → b"\\x00" → 0
+D_MEDIA_FRAMES_SQL = """
+WITH m AS (
+  SELECT concat('m', CAST(doc_id AS VARCHAR)) AS media_id, text,
+         greatest(octet_length(CAST(text AS BLOB)) // 3, 1) AS step
+  FROM documents
+), fr AS (
+  SELECT media_id,
+         CAST(unnest(generate_series(0, 2)) AS INTEGER) AS frame_idx,
+         text, step
+  FROM m
+), ch AS (
+  SELECT media_id, frame_idx,
+         substring(text, frame_idx * step + 1, step) AS chunk
+  FROM fr
+)
+SELECT media_id, frame_idx,
+       round(CASE WHEN length(chunk) = 0 THEN 0.0
+                  ELSE (list_aggregate(list_transform(
+                          generate_series(1, length(chunk)),
+                          j -> ascii(substring(chunk, j, 1))), 'sum')
+                        % 251)::DOUBLE END, 2) AS f1
+FROM ch
+"""
 
 
 QUERIES = {
@@ -445,7 +473,7 @@ QUERIES = {
     "d_text_quality": (d_text_quality, D_TEXT_QUALITY_SQL),
     "d_text_fingerprint": (d_text_fingerprint, D_TEXT_FINGERPRINT_SQL),
     "d_media_meta": (d_media_meta, D_MEDIA_META_SQL),
-    "d_media_frames": (d_media_frames, None),
+    "d_media_frames": (d_media_frames, D_MEDIA_FRAMES_SQL),
 }
 
 

@@ -691,24 +691,51 @@ def r_agg_sketch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def r_udaf_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """R20 grouped-agg pandas UDAF — numerics-aware so the oracle is
+    VALUE-EXACT (the r1 float-order formulation was rows-only): the UDAF
+    accumulates quantity-weighted revenue in integer cents (np.rint of
+    2-dp prices — exact int64, order-independent sum, ≤ 3·10^13 « 2^53),
+    and only the final /100 returns to double, which both engines round
+    identically."""
+    import numpy as np
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     # explicit functionType: `from __future__ import annotations` turns the
     # signature into strings, so the Series->float inference can't run
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def weighted_price(qty, price):
-        tot = float(qty.sum())
-        return float((qty * price).sum() / tot) if tot else 0.0
+    def revenue_cents(qty, price):
+        cents = np.rint(price.to_numpy() * 100.0).astype("int64")
+        q = qty.to_numpy().astype("int64")
+        return float((cents * q).sum())
+
+    # a GROUPED_AGG UDF cannot mix with JVM aggregates in one agg() —
+    # the companion sum is a second pandas UDAF
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def qty_sum(qty):
+        return int(qty.to_numpy().astype("int64").sum())
 
     return (
         t(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.round(
-                weighted_price(F.col("l_quantity"), F.col("l_extendedprice")), 2
-            ).alias("wavg_price")
+                revenue_cents(F.col("l_quantity"), F.col("l_extendedprice"))
+                / 100.0,
+                2,
+            ).alias("weighted_revenue"),
+            qty_sum(F.col("l_quantity")).alias("total_qty"),
         )
     )
+
+
+R_UDAF_GROUPED_SQL = """
+SELECT l_returnflag,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) / 100.0, 2)
+         AS weighted_revenue,
+       CAST(sum(l_quantity) AS BIGINT) AS total_qty
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # --------------------------------------------------------------------------
@@ -781,7 +808,7 @@ QUERIES.update(
         "r_join_cross": (r_join_cross, R_JOIN_CROSS_SQL),
         "r_agg_cube": (r_agg_cube, R_AGG_CUBE_SQL),
         "r_agg_sketch": (r_agg_sketch, None),
-        "r_udaf_grouped": (r_udaf_grouped, None),
+        "r_udaf_grouped": (r_udaf_grouped, R_UDAF_GROUPED_SQL),
         "r_sort_within": (r_sort_within, R_SORT_WITHIN_SQL),
         "r_set_intersect": (r_set_intersect, R_SET_INTERSECT_SQL),
         "r_map_struct": (r_map_struct, R_MAP_STRUCT_SQL),
