@@ -66,6 +66,25 @@ def test_no_single_partition_window_over_rows(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_assign_seq_small_batch_path_equals_two_phase(spark):
+    """The proven-small one-window path and the two-phase rank assign the
+    identical sequence (the crawl loop picks by known count)."""
+    from pyspark.sql import functions as F
+
+    from who_focus_crawler_spark.operators.politeness import assign_seq
+
+    df = _frontier(spark, n=800).select(
+        "priority",
+        "host",
+        F.col("url_id").alias("canon_url"),
+        F.lit(1).alias("depth"),
+    )
+    small = assign_seq(df, 41, n_rows=800)
+    big = assign_seq(df, 41, n_rows=200_000)  # forced two-phase
+    assert small.exceptAll(big).count() == 0
+    assert big.exceptAll(small).count() == 0
+
+
 def test_partition_count_invariance(spark):
     # same sequence whatever the source layout / target partition count
     a = global_row_number(_frontier(spark, parts=2), ORDER(), "seq", 0,

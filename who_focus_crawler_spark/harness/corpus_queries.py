@@ -545,6 +545,39 @@ FROM spans
 QUERIES["d_spans_stats"] = (d_spans_stats, D_SPANS_STATS_SQL)
 
 
+def d_text_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-50 tokens by total occurrences
+    (tie-broken on the token — deterministic), with document frequency.
+    The explode→agg→top-k shape every tokenizer/vocab-build pipeline
+    runs; at 100 TB it is one shuffle on the token plus a
+    TakeOrderedAndProject."""
+    d = t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(50)
+    )
+
+
+D_TEXT_VOCAB_SQL = f"""
+SELECT token, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 50
+"""
+
+QUERIES["d_text_vocab"] = (d_text_vocab, D_TEXT_VOCAB_SQL)
+
+
 def d_corpus_select(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end training-set selection: language gate (predicted 'en')
     + quality threshold, aggregated per source — the composition a real

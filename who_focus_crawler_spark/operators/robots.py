@@ -98,7 +98,7 @@ def _robots_match(rules_json: pd.Series, path: pd.Series) -> pd.Series:
             m = p.str.startswith(prefix) & (len(prefix) > best_len)
             best_allow = best_allow.mask(m, bool(allow))
             best_len = best_len.mask(m, len(prefix))
-        out[sel] = best_allow
+        out[sel] = best_allow.to_numpy(dtype=bool)
     return out
 
 

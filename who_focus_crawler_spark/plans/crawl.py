@@ -159,7 +159,10 @@ def run_batch(
 
     # C9 + C10/C11
     admitted = assign_seq(
-        cand.filter(F.col("admitted")).withColumn("batch", F.lit(batch)), base_seq - 1
+        cand.filter(F.col("admitted")).withColumn("batch", F.lit(batch)),
+        base_seq - 1,
+        n_rows=n_fetched,  # proven count ⇒ small batches skip the
+        # two-phase rank's fixed overhead (same total order either way)
     )
     fetched = fetch_and_extract(admitted, cfg.web).persist()
 
