@@ -610,3 +610,58 @@ SELECT host, count(*) AS n_frontier FROM merged GROUP BY host
 
 QUERIES["c_robots_gate"] = (c_robots_gate, C_ROBOTS_GATE_SQL)
 QUERIES["c_frontier_merge"] = (c_frontier_merge, C_FRONTIER_MERGE_SQL)
+
+
+# --------------------------------------------------------------------------
+# C12 — relative→absolute href resolution (RFC 3986 §5) + canonicalization,
+# value-checked: the oracle reconstructs the expected canonical target
+# analytically from the generation rule for every reference shape
+
+
+def c_resolve_refs(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.functions.urls import resolve_ref
+
+    o = t(spark, sf, "orders")
+    key = F.col("o_orderkey").cast("string")
+    host = F.concat(
+        F.lit("h"), (F.col("o_custkey") % 12).cast("string"), F.lit(".example.org")
+    )
+    base = F.concat(F.lit("http://"), host, F.lit("/a/b/p"), key)
+    v = F.col("o_orderkey") % 6
+    href = (
+        F.when(v == 0, F.concat(F.lit("http://"), host, F.lit("/p/"), key))
+        .when(v == 1, F.concat(F.lit("/x/"), key))
+        .when(v == 2, F.concat(F.lit("../q/"), key))
+        .when(v == 3, F.concat(F.lit("./s"), key))
+        .when(v == 4, F.concat(F.lit("//h0.example.org/z/"), key))
+        .otherwise(F.lit("?b=2&a=1&utm_campaign=x"))
+    )
+    resolved = o.select(
+        "o_orderkey", resolve_ref(base, href).alias("abs_url")
+    )
+    return canonicalize_df(resolved, "abs_url", "target_url").select(
+        "o_orderkey", "target_url"
+    )
+
+
+C_RESOLVE_REFS_SQL = """
+SELECT o_orderkey,
+       CASE o_orderkey % 6
+         WHEN 0 THEN concat('http://h', CAST(o_custkey % 12 AS VARCHAR),
+                            '.example.org/p/', CAST(o_orderkey AS VARCHAR))
+         WHEN 1 THEN concat('http://h', CAST(o_custkey % 12 AS VARCHAR),
+                            '.example.org/x/', CAST(o_orderkey AS VARCHAR))
+         WHEN 2 THEN concat('http://h', CAST(o_custkey % 12 AS VARCHAR),
+                            '.example.org/a/q/', CAST(o_orderkey AS VARCHAR))
+         WHEN 3 THEN concat('http://h', CAST(o_custkey % 12 AS VARCHAR),
+                            '.example.org/a/b/s', CAST(o_orderkey AS VARCHAR))
+         WHEN 4 THEN concat('http://h0.example.org/z/',
+                            CAST(o_orderkey AS VARCHAR))
+         ELSE concat('http://h', CAST(o_custkey % 12 AS VARCHAR),
+                     '.example.org/a/b/p', CAST(o_orderkey AS VARCHAR),
+                     '?a=1&b=2')
+       END AS target_url
+FROM orders
+"""
+
+QUERIES["c_resolve_refs"] = (c_resolve_refs, C_RESOLVE_REFS_SQL)
