@@ -98,6 +98,63 @@ def test_streaming_dedup(spark, event_dir, tmp_path):
     assert len(urls) == len(set(urls)) == 110
 
 
+def test_streaming_ingest_canonicalize_dedup(spark, tmp_path):
+    """The batch C1 canonicalizer inside a streaming query: messy
+    variants collapse to one frontier row; a checkpointed restart with
+    re-discovered URLs admits only the genuinely new one."""
+    from who_focus_crawler_spark.functions.urls import canonicalize_py
+    from who_focus_crawler_spark.streaming.pipeline import (
+        ingest_frontier,
+        stream_raw_urls,
+    )
+
+    raw_dir = str(tmp_path / "raw")
+    ck, out_dir = str(tmp_path / "ck_ing"), str(tmp_path / "ingest_out")
+    batch1 = [
+        (T0, "HTTP://H1.TEST/p/1", 9.0),            # messy variants of
+        (T0, "http://h1.test:80/p/1", 8.0),          # ONE canonical URL
+        (T0, "http://h1.test/x/../p/1#frag", 7.0),
+        (T0, "http://h2.test/p/2?utm_source=x&b=1", 6.0),
+        (T0, "not a url", 5.0),                      # dropped by C1
+    ]
+    spark.createDataFrame(batch1, ["ts", "url", "priority"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(raw_dir)
+
+    def run_once():
+        q = (
+            ingest_frontier(stream_raw_urls(spark, raw_dir))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    got = {r.canon_url for r in rows}
+    assert got == {"http://h1.test/p/1", "http://h2.test/p/2?b=1"}
+    assert {r.host for r in rows} == {"h1.test", "h2.test"}
+    for r in rows:
+        assert canonicalize_py(r.canon_url) == r.canon_url  # idempotent form
+    # restart: re-discoveries of seen URLs (inside the watermark horizon)
+    # are suppressed by the restored state; the new URL is admitted
+    batch2 = [
+        (T0 + dt.timedelta(minutes=5), "http://h1.test/p/1", 4.0),
+        (T0 + dt.timedelta(minutes=5), "HTTP://H2.TEST/p/2?b=1", 3.0),
+        (T0 + dt.timedelta(minutes=5), "http://h3.test/p/3", 2.0),
+    ]
+    spark.createDataFrame(batch2, ["ts", "url", "priority"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(raw_dir)
+    run_once()
+    got2 = {r.canon_url for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == got | {"http://h3.test/p/3"}
+
+
 def test_politeness_tokens_stateful(spark, event_dir, tmp_path):
     out = politeness_tokens(stream_events(spark, event_dir), budget=5)
     run_to_memory(out, "tokens", str(tmp_path / "ck4"))

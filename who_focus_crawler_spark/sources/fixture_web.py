@@ -17,7 +17,7 @@ canon_url, which any engine can reproduce).
 from __future__ import annotations
 
 import hashlib
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from who_focus_crawler_spark.functions.urls import canonicalize_py, resolve_py
 

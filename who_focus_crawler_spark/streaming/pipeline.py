@@ -42,6 +42,42 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
 
 
+RAW_URL_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("priority", T.DoubleType(), False),
+    ]
+)
+
+
+def stream_raw_urls(spark: SparkSession, path: str) -> DataFrame:
+    """R5 source for the ingest pipeline: raw (possibly messy) URL
+    discoveries as a parquet-directory stream."""
+    return spark.readStream.schema(RAW_URL_SCHEMA).parquet(path)
+
+
+def ingest_frontier(raw: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming frontier ingestion: the BATCH C1 operator (staged
+    canonicalizer, one Arrow crossing) runs unchanged inside the
+    streaming query, then C3 host extraction and watermarked
+    first-occurrence dedup on the canonical form — messy variants of one
+    URL collapse to a single admitted frontier row, and a restart from
+    the checkpoint never re-admits a canonical URL whose state is still
+    within the watermark horizon (the batch anti-join owns exactness
+    beyond it, as in C4)."""
+    from who_focus_crawler_spark.functions.urls import canonicalize_df, url_host
+
+    canon = canonicalize_df(raw, "url", "canon_url").withColumn(
+        "host", url_host(F.col("canon_url"))
+    )
+    return (
+        canon.withWatermark("ts", watermark)
+        .dropDuplicates(["canon_url"])
+        .select("ts", "host", "canon_url", "priority")
+    )
+
+
 def windowed_fetch_metrics(
     events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:
