@@ -192,6 +192,61 @@ def vectors(spark):
     )
 
 
+def test_redact_pii(spark):
+    from who_focus_crawler_spark.corpus.text import pii_counts, redact_pii
+
+    rows = [
+        ("reach me at bob.smith+x@mail.example.org today", "<EMAIL>", 1, 0, 0),
+        ("server 192.168.001.1 then 10.0.0.7", "<IP>", 0, 0, 2),
+        ("call +1 555-123-4567 now", "<PHONE>", 0, 1, 0),
+        ("two mails a@b.co c@d.io", "<EMAIL>", 2, 0, 0),
+        ("no pii here at all", None, 0, 0, 0),
+        ("version 1.2.3 is not an ip", None, 0, 0, 0),
+    ]
+    df = spark.createDataFrame([(r[0],) for r in rows], ["text"])
+    counts = pii_counts(F.col("text"))
+    got = df.select(
+        "text",
+        redact_pii(F.col("text")).alias("red"),
+        counts["n_emails"].alias("e"),
+        counts["n_phones"].alias("p"),
+        counts["n_ips"].alias("i"),
+    ).collect()
+    by_text = {r.text: r for r in got}
+    for text, marker, e, p, i in rows:
+        r = by_text[text]
+        assert (r.e, r.p, r.i) == (e, p, i), text
+        if marker:
+            assert marker in r.red and "@" not in r.red.replace("<EMAIL>", "")
+        else:
+            assert r.red == text
+
+
+def test_top_gram_count(spark):
+    from who_focus_crawler_spark.corpus.text import repetition_stats
+
+    rows = [
+        ("the cat the cat the cat sat", 3),   # "the cat" ×3 of 6 grams
+        ("a b c d e", 1),                      # all grams unique
+        ("x x x x", 3),                        # "x x" ×3
+        ("one", 0),                            # < 2 tokens → 0 grams
+    ]
+    df = spark.createDataFrame([(t_,) for t_, _ in rows], ["text"])
+    stats = repetition_stats(F.col("text"))
+    got = {
+        r.text: (r.top, r.n)
+        for r in df.select(
+            "text",
+            stats["top_gram_count"].alias("top"),
+            stats["n_grams"].alias("n"),
+        ).collect()
+    }
+    assert got["the cat the cat the cat sat"][0] == 3
+    assert got["a b c d e"] == (1, 4)
+    assert got["x x x x"] == (3, 3)
+    assert got["one"] == (0, 0)
+
+
 def test_cosine_neardup_pairs(vectors):
     """Near-identical vectors (same cluster, tiny angular jitter) pair;
     cross-cluster vectors (cos < threshold) never do; every reported

@@ -131,6 +131,92 @@ def quality_score(text: Column) -> Column:
     return (length_term + stop_term + punct_term).cast("long")
 
 
+# ------------------------------------------------------------------- PII ---
+
+# Redaction patterns restricted to the Java-regex ∩ RE2 common subset so
+# the DuckDB oracle evaluates them identically (no backrefs, no lookaround).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d\- ]{7,}\d"
+
+
+def redact_pii(text: Column) -> Column:
+    """Training-data PII scrub: emails → <EMAIL>, phone-like sequences
+    (international form, ≥ 9 digits/separators) → <PHONE>, IPv4 → <IP>.
+    Native chained regexp_replace — codegen'd, no Python. Email first so
+    its host part can't be half-eaten by the IP pattern."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Occurrence counts per PII class (on the raw text)."""
+    return {
+        "n_emails": F.size(
+            F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0))
+        ).cast("long"),
+        "n_phones": F.size(
+            F.regexp_extract_all(text, F.lit(PII_PHONE_RE), F.lit(0))
+        ).cast("long"),
+        "n_ips": F.size(
+            F.regexp_extract_all(text, F.lit(PII_IPV4_RE), F.lit(0))
+        ).cast("long"),
+    }
+
+
+# ------------------------------------------------------- repetition (Gopher) ---
+
+
+def ngrams_all(toks: Column, k: int) -> Column:
+    """ALL k-token grams in order (with repeats — unlike shingles())."""
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_gram_count(toks: Column, k: int = 2) -> Column:
+    """Occurrences of the document's most frequent k-gram — the Gopher
+    repetition signal (Rae et al. 2021 §A1.1: drop docs whose top n-gram
+    covers too much of the text). Computed per row as a sorted-array
+    max-run fold (one pass, no explode/shuffle): equal grams are adjacent
+    after array_sort, so the longest run IS the top count."""
+    sorted_g = F.array_sort(ngrams_all(toks, k))
+    state = F.aggregate(
+        sorted_g,
+        F.struct(
+            F.lit(0).alias("cur"), F.lit(0).alias("best"), F.lit("").alias("prev")
+        ),
+        lambda acc, g: F.struct(
+            F.when(g == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            g.alias("prev"),
+        ),
+    )
+    return state["best"].cast("long")
+
+
+def repetition_stats(text: Column, k: int = 2) -> dict[str, Column]:
+    toks = tokens(text)
+    n_grams = F.size(ngrams_all(toks, k)).cast("long")
+    top = top_gram_count(toks, k)
+    return {
+        "n_grams": n_grams,
+        "top_gram_count": top,
+        "top_gram_frac": F.round(
+            top.cast("double") / F.greatest(n_grams, F.lit(1)), 6
+        ),
+    }
+
+
 def fingerprint(toks: Column, k: int = 4) -> Column:
     """Document fingerprint: minimum md5 over all k-token rolling windows
     (winnowing-style min-sampling with a single global window). Documents

@@ -545,6 +545,104 @@ FROM spans
 QUERIES["d_spans_stats"] = (d_spans_stats, D_SPANS_STATS_SQL)
 
 
+def d_text_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub: deterministic synthetic PII is appended to each doc
+    (emails/phone/IP keyed off doc_id — the corpus itself has none), then
+    the native redaction chain runs; the oracle reproduces counts AND the
+    full redacted text (compared by md5)."""
+    d = t(spark, sf, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com or +1 555-000"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    base = d.select("doc_id", pii_text.alias("pt"))
+    counts = X.pii_counts(F.col("pt"))
+    return base.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+        F.md5(X.redact_pii(F.col("pt"))).alias("redacted_md5"),
+    )
+
+
+D_TEXT_PII_SQL = rf"""
+WITH p AS (
+  SELECT doc_id,
+         concat(text, ' contact u', CAST(doc_id AS VARCHAR), '@ex',
+                CAST(doc_id % 7 AS VARCHAR), '.com or +1 555-000',
+                CAST(doc_id % 10 AS VARCHAR), ' from 10.0.',
+                CAST(doc_id % 256 AS VARCHAR), '.',
+                CAST(doc_id % 100 AS VARCHAR)) AS pt
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(pt, '{X.PII_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(pt, '{X.PII_PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(pt, '{X.PII_IPV4_RE}')) AS BIGINT)
+         AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(pt,
+             '{X.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{X.PII_PHONE_RE}', '<PHONE>', 'g'),
+             '{X.PII_IPV4_RE}', '<IP>', 'g')) AS redacted_md5
+FROM p
+"""
+
+QUERIES["d_text_pii"] = (d_text_pii, D_TEXT_PII_SQL)
+
+
+def d_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filter signal: the most frequent 2-gram's
+    share of all 2-grams per document."""
+    d = t(spark, sf, "documents")
+    stats = X.repetition_stats(F.col("text"), k=2)
+    return d.select(
+        "doc_id",
+        stats["n_grams"].alias("n_grams"),
+        stats["top_gram_count"].alias("top_gram_count"),
+        stats["top_gram_frac"].alias("top_gram_frac"),
+    )
+
+
+D_TEXT_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 2 THEN
+           list_transform(generate_series(1, len(tk) - 1),
+             i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+         ELSE [] END AS g
+  FROM toks
+), counted AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+  GROUP BY doc_id, gram
+)
+SELECT g.doc_id,
+       CAST(len(g.g) AS BIGINT) AS n_grams,
+       CAST(coalesce(mx.top, 0) AS BIGINT) AS top_gram_count,
+       round(coalesce(mx.top, 0)::DOUBLE / greatest(len(g.g), 1), 6)
+         AS top_gram_frac
+FROM grams g
+LEFT JOIN (SELECT doc_id, max(c) AS top FROM counted GROUP BY doc_id) mx
+  ON g.doc_id = mx.doc_id
+"""
+
+QUERIES["d_text_repetition"] = (d_text_repetition, D_TEXT_REPETITION_SQL)
+
+
 def d_text_vocab(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus vocabulary statistics: top-50 tokens by total occurrences
     (tie-broken on the token — deterministic), with document frequency.
