@@ -1,0 +1,64 @@
+"""Integer PageRank (host authority): structure, determinism, mass."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.operators.hostrank import host_rank
+
+SCALE = 10**9
+
+
+def _edges(spark, pairs, parts=1):
+    return spark.createDataFrame(pairs, ["src", "dst"]).repartition(parts)
+
+
+def test_hub_ranks_highest_and_symmetry(spark):
+    # a, b, c, d all link to hub; hub links back to all of them — the
+    # hub aggregates four full contributions and returns quarters, so it
+    # dominates at the fixed point (no 2-cycle oscillation)
+    leaves = ["a", "b", "c", "d"]
+    pairs = [(x, "hub") for x in leaves] + [("hub", x) for x in leaves]
+    r = {x.host: x.rank_units for x in host_rank(_edges(spark, pairs), 10).collect()}
+    assert r["hub"] == max(r.values())
+    assert r["a"] == r["b"] == r["c"] == r["d"]  # symmetric nodes
+    # conservation: floors only shrink total mass (no dangling here)
+    assert 0.9 * SCALE < sum(r.values()) <= SCALE
+
+
+def test_hostrank_partitioning_invariance(spark):
+    pairs = [
+        (f"h{i % 13}", f"h{(i * 7 + 3) % 13}") for i in range(60)
+    ] + [("h1", "h2"), ("h2", "h1")]
+    a = {
+        x.host: x.rank_units
+        for x in host_rank(_edges(spark, pairs, parts=1), 8).collect()
+    }
+    b = {
+        x.host: x.rank_units
+        for x in host_rank(_edges(spark, pairs, parts=7), 8).collect()
+    }
+    assert a == b  # bit-identical: integer arithmetic, no float sums
+
+
+def test_hostrank_matches_python_reference(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    got = {
+        x.host: x.rank_units for x in host_rank(_edges(spark, pairs), 6).collect()
+    }
+    # plain-python twin of the exact integer recurrence
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    out = {}
+    for s, _ in pairs:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: SCALE // n for v in nodes}
+    for _ in range(6):
+        in_sum = dict.fromkeys(nodes, 0)
+        for s, d in pairs:
+            in_sum[d] += rank[s] // out[s]
+        rank = {
+            v: (15 * (SCALE // n)) // 100 + (85 * in_sum[v]) // 100
+            for v in nodes
+        }
+    assert got == rank

@@ -665,3 +665,64 @@ FROM orders
 """
 
 QUERIES["c_resolve_refs"] = (c_resolve_refs, C_RESOLVE_REFS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Host-authority PageRank (integer micro-units — bit-exact across engines)
+# over a host graph synthesized from orders; fixed rounds so the oracle is
+# a finite CTE chain reproducing the identical integer recurrence.
+
+_HR_ITERS, _HR_SCALE = 5, 10**9
+
+
+def c_host_rank(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.hostrank import host_rank
+
+    o = t(spark, sf, "orders")
+    edges = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 12).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 7).cast("string")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return host_rank(edges, n_iters=_HR_ITERS, scale=_HR_SCALE)
+
+
+def _host_rank_sql() -> str:
+    step_tmpl = """, r{i} AS (
+  SELECT v.host,
+         (15 * ({scale} // nn.n)) // 100
+         + (85 * coalesce(s.in_sum, 0)) // 100 AS rank_units
+  FROM nodes v CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS host, sum(r.rank_units // d.out_deg) AS in_sum
+    FROM edges e
+    JOIN r{prev} r ON e.src = r.host
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON v.host = s.host
+)"""
+    sql = f"""
+WITH edges AS (
+  SELECT DISTINCT concat('h', CAST(o_custkey % 12 AS VARCHAR)) AS src,
+         concat('h', CAST(o_orderkey % 7 AS VARCHAR)) AS dst
+  FROM orders
+  WHERE concat('h', CAST(o_custkey % 12 AS VARCHAR))
+        <> concat('h', CAST(o_orderkey % 7 AS VARCHAR))
+), nodes AS (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+), deg AS (
+  SELECT src, count(*) AS out_deg FROM edges GROUP BY src
+), nn AS (
+  SELECT count(*) AS n FROM nodes
+), r0 AS (
+  SELECT host, CAST({_HR_SCALE} // nn.n AS BIGINT) AS rank_units
+  FROM nodes CROSS JOIN nn
+)"""
+    for i in range(1, _HR_ITERS + 1):
+        sql += step_tmpl.format(i=i, prev=i - 1, scale=_HR_SCALE)
+    sql += f"""
+SELECT host, CAST(rank_units AS BIGINT) AS rank_units FROM r{_HR_ITERS}
+"""
+    return sql
+
+
+QUERIES["c_host_rank"] = (c_host_rank, _host_rank_sql())
