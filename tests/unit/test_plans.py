@@ -69,6 +69,39 @@ def test_partial_agg_and_codegen(spark):
     assert "*(" in _plan(df)
 
 
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Co-located join via bucketing: two tables bucketed on the join key
+    join WITHOUT a shuffle on either side — the physical plan has no
+    Exchange above the scans. At 100 TB this is how url_seen joins the
+    frontier without moving the big table every batch."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(10_000).select(
+            F.col("id").alias("url_hash"),
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("canon_url"),
+        )
+        right = spark.range(0, 10_000, 3).select(
+            F.col("id").alias("url_hash"), F.lit(1).alias("seen")
+        )
+        for name, df in (("b_frontier", left), ("b_seen", right)):
+            # external table location: the warehouse dir is a static conf
+            df.write.mode("overwrite").option(
+                "path", str(tmp_path / name)
+            ).bucketBy(8, "url_hash").sortBy("url_hash").saveAsTable(name)
+        j = spark.table("b_frontier").join(spark.table("b_seen"), "url_hash")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+        assert j.count() == len(range(0, 10_000, 3))
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_frontier")
+        spark.sql("DROP TABLE IF EXISTS b_seen")
+
+
 def test_span_equality_checker(spark):
     from who_focus_crawler_spark.functions.verify import diff_documents
 
