@@ -192,6 +192,31 @@ def vectors(spark):
     )
 
 
+def test_threshold_distinct_sketch(spark):
+    """Deterministic KMV-family sketch: estimate within ~4/sqrt(n_sampled)
+    of truth, exact determinism across partitionings, and duplicates
+    never inflate the estimate."""
+    from who_focus_crawler_spark.functions.sketch import distinct_estimate
+
+    n_true = 60_000
+    base = spark.range(n_true).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key")
+    )
+    with_dups = base.unionAll(base.limit(20_000))  # duplicates
+    got = distinct_estimate(with_dups, "key", threshold_bits=52).collect()[0]
+    assert got.n_sampled > 50
+    rel_err = abs(got.est_distinct - n_true) / n_true
+    assert rel_err < 4 / (got.n_sampled ** 0.5), (got, rel_err)
+    # determinism: different layout, identical integers
+    again = distinct_estimate(
+        with_dups.repartition(13), "key", threshold_bits=52
+    ).collect()[0]
+    assert (again.n_sampled, again.est_distinct) == (
+        got.n_sampled,
+        got.est_distinct,
+    )
+
+
 def test_redact_pii(spark):
     from who_focus_crawler_spark.corpus.text import pii_counts, redact_pii
 

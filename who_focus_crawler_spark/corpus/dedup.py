@@ -33,13 +33,16 @@ def _spread(df: DataFrame) -> DataFrame:
     A small corpus parquet arrives as ONE input partition, serializing
     the signature stage on a single core (measured: 32× under-use at
     sf0.1). The exchange moves only (id, text) — the bytes the map must
-    read anyway — and on an already-parallel 100 TB scan (one partition
-    per ~128 MB file split) it degenerates to an even rebalance whose
-    cost is noise next to the signature CPU. Width = executor cores
-    (defaultParallelism), NOT shuffle.partitions: a CPU-bound map wants
-    one slice per core, and oversplitting measurably hurts (128 slices
-    of a 60k-doc corpus ran ~2× slower than 32 on 32 cores)."""
+    read anyway. CONDITIONAL: a 100 TB scan already yields one partition
+    per ~128 MB split (≥ cores), so it passes through untouched — no
+    corpus-wide text shuffle at scale; only a scan narrower than the
+    core count gets spread. Width = executor cores (defaultParallelism),
+    NOT shuffle.partitions: a CPU-bound map wants one slice per core,
+    and oversplitting measurably hurts (128 slices of a 60k-doc corpus
+    ran ~2× slower than 32 on 32 cores)."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:  # plan-time metadata, no job
+        return df
     return df.repartition(n)
 
 

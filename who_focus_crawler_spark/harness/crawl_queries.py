@@ -726,3 +726,45 @@ SELECT host, CAST(rank_units AS BIGINT) AS rank_units FROM r{_HR_ITERS}
 
 
 QUERIES["c_host_rank"] = (c_host_rank, _host_rank_sql())
+
+
+# --------------------------------------------------------------------------
+# R19 (deterministic variant) — threshold/KMV-family distinct sketch over
+# per-host URLs: value-exact (unlike HLL, which is rows-only by nature)
+
+_SK_BITS = 54  # sample rate 2^-(60-54) = 1/64
+
+
+def r_sketch_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.functions.sketch import distinct_estimate
+
+    o = t(spark, sf, "orders")
+    urls = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 8).cast("string")).alias("host"),
+        F.concat(
+            F.lit("http://h"), (F.col("o_custkey") % 8).cast("string"),
+            F.lit(".t/p/"), F.col("o_orderkey").cast("string"),
+        ).alias("canon_url"),
+    )
+    return distinct_estimate(
+        urls, "canon_url", ["host"], threshold_bits=_SK_BITS
+    )
+
+
+R_SKETCH_DISTINCT_SQL = f"""
+WITH u AS (
+  SELECT concat('h', CAST(o_custkey % 8 AS VARCHAR)) AS host,
+         concat('http://h', CAST(o_custkey % 8 AS VARCHAR), '.t/p/',
+                CAST(o_orderkey AS VARCHAR)) AS canon_url
+  FROM orders
+)
+SELECT host, count(DISTINCT canon_url) AS n_sampled,
+       CAST(count(DISTINCT canon_url) * {1 << (60 - _SK_BITS)} AS BIGINT)
+         AS est_distinct
+FROM u
+WHERE CAST(concat('0x', substring(md5(canon_url), 1, 15)) AS BIGINT)
+      < {1 << _SK_BITS}
+GROUP BY host
+"""
+
+QUERIES["r_sketch_distinct"] = (r_sketch_distinct, R_SKETCH_DISTINCT_SQL)
