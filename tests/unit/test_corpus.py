@@ -294,6 +294,27 @@ def test_cosine_neardup_pairs(vectors):
         assert p.vec_a % 3 == p.vec_b % 3  # same planted cluster only
 
 
+def test_cosine_neardup_banding_improves_recall(vectors):
+    """OR-amplification: every pair a single band finds is found with
+    more bands, and all reported pairs clear the exact-cosine threshold."""
+    from who_focus_crawler_spark.corpus.similarity import cosine_neardup_pairs
+
+    one = {
+        (p.vec_a, p.vec_b)
+        for p in cosine_neardup_pairs(
+            vectors, threshold=0.99, nplanes=6, bands=1
+        ).collect()
+    }
+    three = {
+        (p.vec_a, p.vec_b)
+        for p in cosine_neardup_pairs(
+            vectors, threshold=0.99, nplanes=6, bands=3
+        ).collect()
+    }
+    assert one <= three
+    assert len(three) >= len(one)
+
+
 def test_brute_force_topk(vectors):
     top = brute_force_topk(vectors, query_vec_id=0, k=5).collect()
     assert len(top) == 5

@@ -75,17 +75,18 @@ def hyperplane_sign(plane: int | Column, dim: Column) -> Column:
     return F.when(h >= 8, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
-def lsh_signature(vec: Column, nplanes: int) -> Column:
+def lsh_signature(vec: Column, nplanes: int, plane_offset: int = 0) -> Column:
     """`nplanes`-bit random-hyperplane signature as a long.
 
-    Bit p = [ Σ_d sign(p,d)·vec[d] >= 0 ]."""
+    Bit p = [ Σ_d sign(plane_offset + p, d)·vec[d] >= 0 ] —
+    ``plane_offset`` selects an independent plane family per LSH band."""
     sig = F.lit(0).cast("long")
     for p in range(nplanes):
         proj = F.aggregate(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda v, d: v.cast("double") * hyperplane_sign(p, d),
+                lambda v, d: v.cast("double") * hyperplane_sign(plane_offset + p, d),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -130,32 +131,50 @@ def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.3,
     nplanes: int = 4,
+    bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (task brief: dedup family).
 
-    Scale shape mirrors MinHash-LSH: vectors shuffle once on their
-    ``nplanes``-bit hyperplane signature, candidate pairs form only
-    inside equal-signature buckets (never all-pairs), and the exact
-    cosine verifies each candidate. Raise ``nplanes`` as the corpus
-    grows (bucket count = 2^nplanes; collision rate for angle θ is
-    (1 − θ/π)^nplanes). Returns (vec_a, vec_b, cosine_sim ≥ threshold).
+    Scale shape mirrors MinHash-LSH: each vector gets ``bands``
+    independent ``nplanes``-bit hyperplane signatures (band b uses plane
+    ids b·nplanes..), candidate pairs form inside equal (band, sig)
+    buckets only (never all-pairs), duplicates collapse, and the exact
+    cosine verifies each candidate. Tuning at corpus scale: raise
+    ``nplanes`` for precision/bucket count (2^nplanes buckets per band;
+    one-band collision rate at angle θ is (1 − θ/π)^nplanes) and
+    ``bands`` for recall (miss rate = (1 − p)^bands — the classic
+    AND-OR amplification). Returns (vec_a, vec_b, cosine_sim ≥ threshold).
     """
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_signature(F.col(vec_col), nplanes, plane_offset=b * nplanes).alias(
+                    "sig"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
     sigs = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        lsh_signature(F.col(vec_col), nplanes).alias("sig"),
+        F.explode(band_sigs).alias("bs"),
+    ).select(
+        "vec_id", "vec", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
     a = sigs.select(
-        "sig", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")
+        "band", "sig", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")
     )
     b = sigs.select(
-        "sig", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")
+        "band", "sig", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")
     )
     return (
-        a.join(b, "sig")
+        a.join(b, ["band", "sig"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
         .withColumn(
             "cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6)
         )
