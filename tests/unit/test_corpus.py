@@ -444,3 +444,29 @@ def test_crawl_output_feeds_corpus_pipeline(spark, tmp_path):
     assert all(m.media_ref.startswith("media://") for m in media)
     # exact dedup over crawled texts: fixture pages are distinct
     assert exact_dedup(view, "text", "doc_id").count() == 0
+    # ---- full training-set journey over the crawled corpus ----
+    from who_focus_crawler_spark.corpus.clusters import dedup_keep
+    from who_focus_crawler_spark.corpus.text import (
+        predict_lang,
+        redact_pii,
+        repetition_stats,
+        tokens,
+    )
+
+    pairs = minhash_lsh_pairs(
+        view, num_hashes=8, bands=8, shingle_k=3, jaccard_threshold=0.8
+    )
+    kept = dedup_keep(view, pairs).filter(F.col("keep"))
+    assert kept.count() > 0
+    rep = repetition_stats(F.col("text"))
+    final = kept.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("clean_text"),
+        predict_lang(tokens(F.col("text"))).alias("lang"),
+        quality_score(F.col("text")).alias("quality"),
+        rep["top_gram_frac"].alias("rep_frac"),
+    ).filter((F.col("quality") >= 200) & (F.col("rep_frac") < 0.9))
+    out = final.collect()
+    assert len(out) > 0
+    assert all("@" not in r.clean_text or "<EMAIL>" in r.clean_text for r in out)
+    assert all(r.lang in ("en", "und") for r in out)
