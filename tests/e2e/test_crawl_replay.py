@@ -92,3 +92,30 @@ def test_politeness_invariant(crawled):
         .count()
     )
     assert over == 0
+
+
+def test_expire_snapshots_keeps_head_history(crawled):
+    """Iceberg-style maintenance: after expiring to the last 3 snapshots,
+    HEAD still reads the COMPLETE crawl history (retained manifests carry
+    full append-table file lists), old manifests are gone, and storage
+    shrank; crawl_order equality vs golden still holds."""
+    spark, catalog, golden = crawled
+    head = catalog.head()
+    assert head is not None and head > 4  # enough history to expire
+    before = len(list(catalog.root.glob("manifest-*.json")))
+    res = catalog.expire_snapshots(keep_last=3)
+    assert res["manifests_removed"] == before - 3
+    assert res["files_removed"] > 0
+    assert catalog.head() == head
+    rows = (
+        catalog.read_table(spark, "crawl_order", schemas.CRAWL_ORDER)
+        .orderBy("seq")
+        .collect()
+    )
+    got = [(r.seq, r.batch, r.canon_url, r.host, r.depth, r.seed_id) for r in rows]
+    assert got == golden.crawl_order
+    # time travel inside the retained window still works
+    prev = catalog.read_table(
+        spark, "crawl_order", schemas.CRAWL_ORDER, snapshot_id=head - 1
+    )
+    assert prev.count() <= len(got)

@@ -32,6 +32,49 @@ def test_canonicalize_py_idempotent(scheme, host, port, rest):
         assert canonicalize_py(c) == c, (u, c)
 
 
+# relative-reference grammar without scheme-ful refs (where we are
+# intentionally stricter than urllib's legacy same-scheme merge) and
+# without the bare-"?" ref (RFC 3986 §5.3 says a present-but-empty ref
+# query REPLACES the base query; urllib keeps the base query there)
+_seg = st.text(alphabet="abz09._~-", min_size=0, max_size=6)
+_ref = st.one_of(
+    st.just(""),
+    st.builds(lambda s: "#" + s, _seg),
+    st.builds(lambda s: "?" + s, _seg.filter(bool)),
+    # non-empty path segments only: '//' inside a relative path is another
+    # urllib-vs-RFC divergence corner (urllib collapses empty segments,
+    # RFC remove_dot_segments preserves them — we follow RFC)
+    st.builds(lambda parts: "/".join(parts),
+              st.lists(st.one_of(_seg.filter(bool), st.just("."), st.just("..")),
+                       min_size=1, max_size=5)),
+    st.builds(lambda parts: "/" + "/".join(parts),
+              st.lists(_seg.filter(bool), min_size=0, max_size=4)),
+    st.builds(lambda h, p: f"//{h}/{p}",
+              st.sampled_from(["x.test", "y.test"]), _seg),
+)
+
+
+@given(
+    base_segs=st.lists(_seg.filter(bool), min_size=0, max_size=4),
+    query=st.sampled_from(["", "?k=1", "?b=2&a=1"]),
+    href=_ref,
+)
+@settings(max_examples=500, deadline=None)
+def test_resolve_py_matches_urljoin(base_segs, query, href):
+    """resolve_py ∘ canonicalize_py ≡ urljoin ∘ canonicalize_py over the
+    crawler-relevant reference grammar (RFC 3986 §5)."""
+    from urllib.parse import urljoin
+
+    from who_focus_crawler_spark.functions.urls import resolve_py
+
+    base = "http://h.test/" + "/".join(base_segs) + query
+    base = canonicalize_py(base)
+    assert base is not None
+    ours = canonicalize_py(resolve_py(base, href))
+    theirs = canonicalize_py(urljoin(base, href))
+    assert ours == theirs, (base, href, ours, theirs)
+
+
 @given(
     seed=st.integers(min_value=0, max_value=2**32 - 1),
     n=st.integers(min_value=1, max_value=2000),

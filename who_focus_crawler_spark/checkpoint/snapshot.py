@@ -135,3 +135,46 @@ class SnapshotCatalog:
         if sid is None:
             return None
         return self.manifest(sid)["state"]
+
+    # ----------------------------------------------------------- maintain
+    def expire_snapshots(self, keep_last: int) -> dict:
+        """Iceberg-style maintenance: drop manifests older than the last
+        ``keep_last`` snapshots and delete data files no retained
+        manifest references.
+
+        Append-table files referenced by a retained manifest survive even
+        if they were WRITTEN by an expired snapshot (the retained
+        manifest carries the full file list), so time travel keeps
+        working across the retained window while storage stops growing
+        without bound. HEAD is never expired. Returns counts:
+        {"manifests_removed", "files_removed"}."""
+        head = self.head()
+        if head is None:
+            return {"manifests_removed": 0, "files_removed": 0}
+        all_ids = sorted(
+            int(p.stem.split("-")[1]) for p in self.root.glob("manifest-*.json")
+        )
+        keep_ids = set(all_ids[-max(keep_last, 1):]) | {head}
+        referenced: set[str] = set()
+        for sid in keep_ids:
+            for files in self.manifest(sid)["tables"].values():
+                referenced.update(files)
+        removed_files = 0
+        data_root = self.root / "data"
+        if data_root.exists():
+            import shutil
+
+            for table_dir in data_root.iterdir():
+                for snap_dir in table_dir.iterdir():
+                    if str(snap_dir) not in referenced:
+                        shutil.rmtree(snap_dir)
+                        removed_files += 1
+        removed_manifests = 0
+        for sid in all_ids:
+            if sid not in keep_ids:
+                self._manifest_path(sid).unlink()
+                removed_manifests += 1
+        return {
+            "manifests_removed": removed_manifests,
+            "files_removed": removed_files,
+        }
