@@ -470,3 +470,23 @@ def test_crawl_output_feeds_corpus_pipeline(spark, tmp_path):
     assert len(out) > 0
     assert all("@" not in r.clean_text or "<EMAIL>" in r.clean_text for r in out)
     assert all(r.lang in ("en", "und") for r in out)
+
+
+def test_corpus_pipeline_job(spark, tmp_path):
+    """jobs/corpus.py end-to-end over the testdata documents: exact dedup
+    → near-dup clusters → redact → lang/quality/repetition gates → parquet."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from corpus import run_corpus_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "kept")
+    stats = run_corpus_pipeline(spark, docs, output=out)
+    kept = spark.read.parquet(out)
+    assert stats["n_input"] == 500
+    assert 0 < stats["n_kept"] == kept.count() <= stats["n_after_exact_dedup"]
+    assert set(kept.columns) == {"doc_id", "text", "quality"}
+    assert kept.filter(F.col("quality") < 200).count() == 0
