@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 
 def run_corpus_pipeline(
-    spark: SparkSession,
     docs: DataFrame,
     output: str | None = None,
     minhash_threshold: float = 0.8,
@@ -44,7 +43,11 @@ def run_corpus_pipeline(
     )
 
     n_in = docs.count()
-    exact = exact_dedup_keep(docs)
+    # exact-dedup output feeds three consumers (pair mining, keep join,
+    # count) — materialize once instead of re-running the scan + md5
+    # window per action
+    exact = exact_dedup_keep(docs).persist()
+    n_exact = exact.count()
     pairs = minhash_lsh_pairs(exact, jaccard_threshold=minhash_threshold)
     kept = dedup_keep(exact, pairs).filter(F.col("keep"))
     rep = repetition_stats(F.col("text"))
@@ -62,13 +65,11 @@ def run_corpus_pipeline(
             & (F.col("rep_frac") < max_repetition)
         )
         .select("doc_id", "text", "quality")
+        .persist()
     )
+    n_kept = final.count()  # one pipeline execution; the write below reuses it
     if output:
         final.write.mode("overwrite").parquet(output)
-        n_kept = spark.read.parquet(output).count()
-    else:
-        n_kept = final.count()
-    n_exact = exact.count()
     stats = {
         "n_input": n_in,
         "n_after_exact_dedup": n_exact,
@@ -76,6 +77,8 @@ def run_corpus_pipeline(
         "dropped_exact_dup": n_in - n_exact,
         "dropped_neardup_or_filtered": n_exact - n_kept,
     }
+    final.unpersist()
+    exact.unpersist()
     return stats
 
 
@@ -104,7 +107,6 @@ def main() -> None:
     else:
         docs = spark.read.parquet(args.input).select("doc_id", "text")
     stats = run_corpus_pipeline(
-        spark,
         docs,
         output=args.output,
         minhash_threshold=args.minhash_threshold,

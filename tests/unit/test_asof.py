@@ -46,6 +46,36 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_row_atomic_with_null_values(spark):
+    """A NULL in a carried value column must NOT stitch fields from two
+    different right rows: the as-of match is the whole anchor row."""
+    left = spark.createDataFrame([("u1", _dt(13), "p")], ["user_id", "ts", "label"])
+    right = spark.createDataFrame(
+        [("u1", _dt(11), 1, 7.0), ("u1", _dt(12), 2, None)],
+        ["user_id", "ts", "event_id", "value"],
+    )
+    rows = asof_join(
+        left, right, on="ts", by="user_id",
+        value_cols=["event_id", "value"], tie_col="event_id",
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # anchor row is (event_id=2, value=NULL) — value must stay NULL, not
+    # be back-filled with 7.0 from the earlier row
+    assert (r.event_id, r.value) == (2, None)
+
+
+def test_asof_join_rejects_column_collision(spark):
+    import pytest
+
+    left = spark.createDataFrame([("u1", 5, 1)], ["user_id", "ts", "event_id"])
+    right = spark.createDataFrame(
+        [("u1", 3, 7)], ["user_id", "ts", "event_id"]
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="ts", by="user_id")
+
+
 def test_asof_join_default_value_cols(spark):
     left = spark.createDataFrame([("u1", 5, "x")], ["user_id", "ts", "k"])
     right = spark.createDataFrame(

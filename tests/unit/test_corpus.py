@@ -484,7 +484,7 @@ def test_corpus_pipeline_job(spark, tmp_path):
         "doc_id", "text"
     )
     out = str(tmp_path / "kept")
-    stats = run_corpus_pipeline(spark, docs, output=out)
+    stats = run_corpus_pipeline(docs, output=out)
     kept = spark.read.parquet(out)
     assert stats["n_input"] == 500
     assert 0 < stats["n_kept"] == kept.count() <= stats["n_after_exact_dedup"]

@@ -167,8 +167,10 @@ class SnapshotCatalog:
             for table_dir in data_root.iterdir():
                 for snap_dir in table_dir.iterdir():
                     if str(snap_dir) not in referenced:
+                        removed_files += sum(
+                            1 for p in snap_dir.rglob("*") if p.is_file()
+                        )
                         shutil.rmtree(snap_dir)
-                        removed_files += 1
         removed_manifests = 0
         for sid in all_ids:
             if sid not in keep_ids:

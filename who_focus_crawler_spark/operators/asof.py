@@ -42,41 +42,55 @@ def asof_join(
     if tie_col is None:
         tie_col = value_cols[0]
     left_cols = left.columns
+    clash = set(left_cols) & set(value_cols)
+    if clash:
+        raise ValueError(
+            f"carried right columns {sorted(clash)} collide with left "
+            "columns; alias one side before the as-of join"
+        )
 
+    from pyspark.sql import types as T
+
+    # the right row's value columns ride as ONE struct, so the carried
+    # match is row-atomic: independent per-column last(ignorenulls) could
+    # stitch fields from DIFFERENT right rows whenever a value column
+    # contains NULLs (the struct itself is non-null for every right row,
+    # null only on left rows)
+    payload_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l_tag = left.select(
         *left_cols,
         F.lit(1).alias("_is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(payload_t).alias("_r_pay"),
     )
     r_tag = right.select(
         F.col(by),
         F.col(on),
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r_pay"),
     )
     for c in left_cols:
         if c not in (by, on):
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    r_tag = r_tag.select(*left_cols, "_is_left", *[f"_r_{c}" for c in value_cols])
+    r_tag = r_tag.select(*left_cols, "_is_left", "_r_pay")
 
     # right rows sort BEFORE the left row at equal ts (_is_left asc) so
     # ts == left.ts is an inclusive match; equal-ts right rows resolve
     # by tie_col ascending ⇒ last() picks the greatest
     w = (
         Window.partitionBy(by)
-        .orderBy(on, "_is_left", f"_r_{tie_col}")
+        .orderBy(on, "_is_left", F.col("_r_pay")[tie_col])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = l_tag.unionByName(r_tag)
-    for c in value_cols:
-        carried = carried.withColumn(
-            f"_last_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
-        )
+    carried = l_tag.unionByName(r_tag).withColumn(
+        "_last_pay", F.last("_r_pay", ignorenulls=True).over(w)
+    )
     return (
         carried.filter(F.col("_is_left") == 1)
-        .filter(F.col(f"_last_{tie_col}").isNotNull())
+        .filter(F.col("_last_pay").isNotNull())
         .select(
             *left_cols,
-            *[F.col(f"_last_{c}").alias(c) for c in value_cols],
+            *[F.col("_last_pay")[c].alias(c) for c in value_cols],
         )
     )

@@ -40,9 +40,17 @@ def discover_links(fetched: DataFrame, num_buckets: int) -> DataFrame:
     ).filter(F.col("span.kind") == "link")
     # RFC 3986 §5: most real-page hrefs are relative — resolve against
     # the parent canon_url BEFORE canonicalization (which would silently
-    # drop anything without '://')
+    # drop anything without '://'). NULL/empty hrefs stay NULL and drop:
+    # resolve_ref's RFC same-document rule would map them to the parent
+    # URL itself, discovering a spurious self-link the golden extractor
+    # (fixture_web.extract_links) correctly skips.
+    raw_href = F.col("span.media_ref")
     links = links.withColumn(
-        "href", resolve_ref(F.col("_base"), F.col("span.media_ref"))
+        "href",
+        F.when(
+            raw_href.isNotNull() & (raw_href != ""),
+            resolve_ref(F.col("_base"), raw_href),
+        ),
     ).withColumn("offset", F.col("span.offset"))
     return (
         canonicalize_df(links, "href", "target_url")

@@ -69,7 +69,8 @@ def refresh_robots_cache(
     fresh = (
         robots_cache
         if ttl is None
-        else robots_cache.filter(F.col("fetched_in_batch") > batch - ttl)
+        # keep rows aged <= ttl batches (expired means STRICTLY older)
+        else robots_cache.filter(F.col("fetched_in_batch") >= batch - ttl)
     )
     new_hosts = (
         candidates.select("host")

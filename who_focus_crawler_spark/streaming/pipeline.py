@@ -71,9 +71,14 @@ def ingest_frontier(raw: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     canon = canonicalize_df(raw, "url", "canon_url").withColumn(
         "host", url_host(F.col("canon_url"))
     )
+    # dropDuplicatesWithinWatermark, NOT dropDuplicates: plain dedup only
+    # evicts state when the event-time column is part of the subset, so
+    # keying on canon_url alone would grow the state store forever; the
+    # WithinWatermark variant expires each key once it falls behind the
+    # watermark — state stays O(horizon), as the contract above promises
     return (
         canon.withWatermark("ts", watermark)
-        .dropDuplicates(["canon_url"])
+        .dropDuplicatesWithinWatermark(["canon_url"])
         .select("ts", "host", "canon_url", "priority")
     )
 
