@@ -1,0 +1,101 @@
+"""Deterministic sampling/splitting: reproducibility, disjointness,
+and the no-shuffle plan guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.corpus.sampling import (
+    SAMPLE_BUCKETS,
+    fraction_threshold,
+    hash_sample,
+    sample_bucket,
+    split_assign,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=2000, parts=8):
+    return spark.range(n).repartition(parts).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("fr"), F.lit("de")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    a = sorted(
+        r.doc_id for r in hash_sample(_docs(spark, parts=3), "doc_id", 0.3).collect()
+    )
+    b = sorted(
+        r.doc_id for r in hash_sample(_docs(spark, parts=17), "doc_id", 0.3).collect()
+    )
+    assert a == b
+    # fraction lands near target (md5 buckets are uniform)
+    assert 0.25 * 2000 < len(a) < 0.35 * 2000
+
+
+def test_hash_sample_is_subset_monotone(spark):
+    """A smaller fraction with the same seed selects a subset of a
+    larger one (threshold semantics, key-stable sample growth)."""
+    small = {r.doc_id for r in hash_sample(_docs(spark), "doc_id", 0.1).collect()}
+    big = {r.doc_id for r in hash_sample(_docs(spark), "doc_id", 0.4).collect()}
+    assert small <= big
+
+
+def test_hash_sample_plan_has_no_exchange(spark):
+    base = spark.range(1000).select(F.col("id").alias("doc_id"))
+    plan = hash_sample(
+        base, "doc_id", 0.25
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # scan-level filter, no shuffle
+
+
+def test_split_assign_exhaustive_disjoint_and_weighted(spark):
+    out = split_assign(
+        _docs(spark), "doc_id", {"train": 8, "val": 1, "test": 1}
+    )
+    counts = {r.split: r.n for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # exhaustive: every row labeled
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1400  # ~1600 expected
+    # splits and an equally-seeded sample agree: bucket ranges partition
+    thr = fraction_threshold(0.8)
+    train_ids = {r.doc_id for r in out.filter(F.col("split") == "train").collect()}
+    bucket = sample_bucket(F.col("doc_id"), "split")
+    expect = {
+        r.doc_id
+        for r in _docs(spark).filter(bucket < F.lit(thr)).collect()
+    }
+    assert train_ids == expect
+
+
+def test_stratified_sample_per_stratum_rates(spark):
+    out = stratified_sample(
+        _docs(spark), "doc_id", "lang", {"en": 0.6, "fr": 0.2},
+        default_fraction=0.0,
+    )
+    n = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert "de" not in n  # default 0: stratum fully excluded
+    assert n["en"] > n.get("fr", 0) * 2  # 0.6 vs 0.2 on ~equal strata
+
+
+def test_seeds_are_independent(spark):
+    """Different seeds must not select correlated key sets."""
+    a = {r.doc_id for r in hash_sample(_docs(spark), "doc_id", 0.5, "sA").collect()}
+    b = {r.doc_id for r in hash_sample(_docs(spark), "doc_id", 0.5, "sB").collect()}
+    overlap = len(a & b) / 2000
+    assert 0.15 < overlap < 0.35  # ≈0.25 if independent; equal-seed would be 0.5
+
+
+def test_threshold_bounds():
+    assert fraction_threshold(0.0) == 0
+    assert fraction_threshold(1.0) == SAMPLE_BUCKETS
+    import pytest
+
+    with pytest.raises(ValueError):
+        fraction_threshold(1.5)

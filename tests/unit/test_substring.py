@@ -1,0 +1,73 @@
+"""Duplicated n-gram coverage: hand-built corpus with known shared
+n-grams, per-position counting, and the coverage filter."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.corpus.substring import (
+    dup_ngram_coverage,
+    filter_by_dup_coverage,
+    positional_ngrams,
+)
+from who_focus_crawler_spark.corpus.text import tokens
+
+
+def _corpus(spark):
+    rows = [
+        # docs 1 and 2 share the trigram "the quick fox"; doc 2 repeats it
+        (1, "the quick fox jumps high"),
+        (2, "see the quick fox and the quick fox again"),
+        (3, "entirely different words here"),
+        (4, "ab"),  # < 3 tokens → zero grams
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_positional_ngrams_keep_duplicates(spark):
+    df = spark.createDataFrame([("a b a b a",)], ["text"])
+    grams = df.select(
+        positional_ngrams(tokens(F.col("text")), 2).alias("g")
+    ).first().g
+    assert grams == ["a b", "b a", "a b", "b a"]  # positions, not a set
+
+
+def test_dup_ngram_coverage_counts(spark):
+    out = {
+        r.doc_id: (r.n_grams, r.n_dup)
+        for r in dup_ngram_coverage(_corpus(spark), n=3).collect()
+    }
+    # doc1: 3 grams; "the quick fox" is shared → 1 dup position
+    assert out[1] == (3, 1)
+    # doc2: 7 grams; "the quick fox" occurs at 2 positions → 2 dup positions
+    assert out[2] == (7, 2)
+    assert out[3] == (2, 0)
+    assert out[4] == (0, 0)  # short doc still present, zeros
+
+
+def test_within_doc_repeats_do_not_count_as_cross_doc(spark):
+    rows = [(1, "x y x y x y"), (2, "nothing shared at all")]
+    out = {
+        r.doc_id: r.n_dup
+        for r in dup_ngram_coverage(
+            spark.createDataFrame(rows, ["doc_id", "text"]), n=2
+        ).collect()
+    }
+    # "x y"/"y x" repeat only inside doc 1 → doc frequency 1 → not dup
+    assert out[1] == 0
+
+
+def test_filter_by_dup_coverage(spark):
+    # doc2 dup share 2/7 ≈ 286‰; doc1 1/3 ≈ 333‰
+    kept_300 = {
+        r.doc_id
+        for r in filter_by_dup_coverage(_corpus(spark), n=3, max_dup_permille=300)
+        .collect()
+    }
+    assert kept_300 == {2, 3, 4}
+    kept_all = {
+        r.doc_id
+        for r in filter_by_dup_coverage(_corpus(spark), n=3, max_dup_permille=1000)
+        .collect()
+    }
+    assert kept_all == {1, 2, 3, 4}

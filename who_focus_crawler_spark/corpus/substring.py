@@ -1,0 +1,123 @@
+"""Cross-document duplicated n-gram coverage (substring-level dup signal).
+
+MinHash/SimHash flag whole documents that look alike; training corpora
+also need the finer signal "what fraction of THIS doc is boilerplate
+that recurs elsewhere" (the motivation behind exact-substring dedup in
+Lee et al., "Deduplicating Training Data Makes Language Models Better",
+ACL 2022). Suffix-array exact-substring matching doesn't distribute
+cheaply; the standard scalable proxy — used here — is positional
+token n-gram coverage:
+
+  a doc position is *duplicated* if its n-gram occurs in ≥ 2 distinct
+  documents; a doc's dup coverage is (# duplicated positions, # total
+  positions).
+
+Shapes at 100 TB (everything shuffles slim):
+  - positional n-grams are hashed to a 60-bit int BEFORE any shuffle —
+    the exchange carries (gram_hash:long, doc_id), never gram text;
+  - document frequency is a partial+final count over distinct
+    (gram_hash, doc_id) pairs;
+  - the "is duplicated" test re-attaches via LEFT SEMI join on
+    gram_hash — no payload widening, no all-pairs step anywhere.
+
+Tokenizer/hash conventions are the frozen corpus/text.py ones, so the
+DuckDB oracle (harness/corpus_queries.py::d_dup_ngrams) checks values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.corpus.text import md5_hash60, tokens
+
+
+def positional_ngrams(toks: Column, n: int) -> Column:
+    """All n-token grams in order (POSITIONAL — duplicates kept, unlike
+    ``text.shingles`` which distincts for set-similarity)."""
+    length = F.size(toks)
+    return F.when(
+        length >= n,
+        F.transform(
+            F.sequence(F.lit(1), length - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_coverage(
+    docs: DataFrame,
+    n: int = 5,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc duplicated-position counts: (doc_id, n_grams, n_dup).
+
+    ``n_grams`` = number of n-gram positions in the doc (0 when the doc
+    has fewer than n tokens); ``n_dup`` = positions whose gram appears
+    in at least 2 distinct docs. Integer outputs only — engine-portable
+    for value-exact oracle comparison; compute ratios downstream.
+    """
+    base = docs.select(doc_col, text_col)
+    # Explicit not-null on the doc key: the outer joins below infer
+    # IsNotNull(doc_id) into two of the three per_gram consumers but not
+    # the third, which would break structural plan equality and defeat
+    # ReuseExchange — pinning the filter here keeps all three branches
+    # canonically identical (r1 lesson: inferred join-key filters).
+    grams = base.filter(F.col(doc_col).isNotNull()).select(
+        doc_col,
+        F.explode(positional_ngrams(tokens(F.col(text_col)), n)).alias("_gram"),
+    ).select(doc_col, md5_hash60(F.col("_gram")).alias("g"))
+    # Aggregate to (doc, gram, multiplicity) FIRST so the tokenize +
+    # explode + hash pipeline and its shuffle run ONCE for the three
+    # consumers below. ReuseExchange alone can't dedupe these subtrees
+    # (each consumer prunes different columns off the aggregate, so the
+    # canonical plans differ); pin one materialization with a lazy
+    # localCheckpoint — the same 3-consumer pattern as the MinHash
+    # signature table (corpus/dedup.py). The checkpointed frame is the
+    # slim (doc_id, g, m) triple, far smaller than the corpus text.
+    per_gram = (
+        grams.groupBy(doc_col, "g")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    # document frequency counts each doc once regardless of how often it
+    # repeats the gram internally
+    dup_grams = (
+        per_gram.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    per_doc_total = per_gram.groupBy(doc_col).agg(F.sum("m").alias("n_grams"))
+    per_doc_dup = (
+        per_gram.join(dup_grams, "g", "left_semi")
+        .groupBy(doc_col)
+        .agg(F.sum("m").alias("n_dup"))
+    )
+    return (
+        base.select(doc_col)
+        .join(per_doc_total, doc_col, "left")
+        .join(per_doc_dup, doc_col, "left")
+        .select(
+            doc_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+        )
+    )
+
+
+def filter_by_dup_coverage(
+    docs: DataFrame,
+    n: int = 5,
+    max_dup_permille: int = 500,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop docs whose duplicated-position share exceeds the threshold
+    (integer per-mille compare — no float thresholds in the plan)."""
+    cov = dup_ngram_coverage(docs, n=n, doc_col=doc_col, text_col=text_col)
+    keep = cov.filter(
+        F.col("n_dup") * F.lit(1000) <= F.lit(max_dup_permille) * F.col("n_grams")
+    ).select(doc_col)
+    return docs.join(keep, doc_col, "left_semi")

@@ -19,6 +19,7 @@ from who_focus_crawler_spark.harness import (  # noqa: E402
     corpus_queries,
     crawl_queries,
     flagship,
+    pipeline_queries,
     relational,
 )
 
@@ -27,6 +28,7 @@ REGISTRY["flagship_schedule"] = (flagship.flagship_schedule, flagship.FLAGSHIP_S
 REGISTRY.update(relational.QUERIES)
 REGISTRY.update(crawl_queries.QUERIES)
 REGISTRY.update(corpus_queries.QUERIES)
+REGISTRY.update(pipeline_queries.QUERIES)
 
 
 def queries() -> dict[str, QueryFn]:

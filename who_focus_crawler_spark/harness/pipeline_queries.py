@@ -1,0 +1,196 @@
+"""Training-pipeline queries (p-series) with DuckDB oracle SQL:
+deterministic sampling / splitting / stratification, token-budget
+mixture selection, and duplicated-n-gram coverage.
+
+Hash parity: selection decisions are md5-bucket-derived with an
+identical construction on both engines (corpus/sampling.py convention:
+bucket = 60-bit md5-hex prefix of "<seed>:<key>" mod 2^20), so every
+oracle here checks VALUES — which exact docs were chosen — not shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.corpus import mixture as MX
+from who_focus_crawler_spark.corpus import sampling as SP
+from who_focus_crawler_spark.corpus import substring as SUB
+from who_focus_crawler_spark.corpus import text as X
+from who_focus_crawler_spark.harness.corpus_queries import SQL_TOKS
+from who_focus_crawler_spark.harness.util import t
+
+QUERIES: dict = {}
+
+
+def _sql_bucket(seed: str, key: str) -> str:
+    """DuckDB twin of corpus/sampling.py::sample_bucket."""
+    return (
+        f"CAST(concat('0x', substring(md5(concat('{seed}', ':', "
+        f"CAST({key} AS VARCHAR))), 1, 15)) AS BIGINT) % {SP.SAMPLE_BUCKETS}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling
+
+
+def d_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """25% deterministic sample of documents by doc_id (seed 's1')."""
+    d = t(spark, sf, "documents")
+    return SP.hash_sample(d, "doc_id", 0.25, seed="s1").select(
+        "doc_id", "source", "lang"
+    )
+
+
+D_SAMPLE_HASH_SQL = f"""
+SELECT doc_id, source, lang FROM documents
+WHERE {_sql_bucket('s1', 'doc_id')} < {SP.fraction_threshold(0.25)}
+"""
+
+QUERIES["d_sample_hash"] = (d_sample_hash, D_SAMPLE_HASH_SQL)
+
+
+# --------------------------------------------------------------------------
+# Train/val/test split — per-split per-lang doc and token totals
+
+
+def d_sample_split(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    labeled = SP.split_assign(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="sp"
+    )
+    return labeled.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(X.tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+
+
+D_SAMPLE_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT lang, len({SQL_TOKS}) AS n_toks,
+         {_sql_bucket('sp', 'doc_id')} AS bk
+  FROM documents
+)
+SELECT CASE WHEN bk < {SP.fraction_threshold(0.8)} THEN 'train'
+            WHEN bk < {SP.fraction_threshold(0.9)} THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1, 2
+"""
+
+QUERIES["d_sample_split"] = (d_sample_split, D_SAMPLE_SPLIT_SQL)
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling — per-language quotas
+
+
+def d_sample_strata(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return SP.stratified_sample(
+        d,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "fr": 0.25},
+        default_fraction=0.1,
+        seed="st",
+    ).select("doc_id", "lang")
+
+
+D_SAMPLE_STRATA_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_sql_bucket('st', 'doc_id')} <
+      CASE WHEN lang = 'en' THEN {SP.fraction_threshold(0.5)}
+           WHEN lang = 'fr' THEN {SP.fraction_threshold(0.25)}
+           ELSE {SP.fraction_threshold(0.1)} END
+"""
+
+QUERIES["d_sample_strata"] = (d_sample_strata, D_SAMPLE_STRATA_SQL)
+
+
+# --------------------------------------------------------------------------
+# Token-budget mixture selection (two-phase grouped prefix sum)
+
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+_MIX_BUDGET = 3000
+
+
+def d_mixture_budget(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").withColumn(
+        "n_tokens", F.size(X.tokens(F.col("text"))).cast("long")
+    )
+    picked = MX.mixture_select(
+        d, _MIX_WEIGHTS, _MIX_BUDGET, seed="mx",
+    )
+    return picked.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+def _mixture_sql() -> str:
+    budgets = MX.source_budgets(_MIX_WEIGHTS, _MIX_BUDGET)
+    case = " ".join(
+        f"WHEN source = '{s}' THEN {b}" for s, b in budgets.items()
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
+         {_sql_bucket('mx', 'doc_id')} AS prio
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY prio, doc_id ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) AS cum_tokens
+  FROM d
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c
+WHERE cum_tokens <= CASE {case} ELSE 0 END
+"""
+
+
+QUERIES["d_mixture_budget"] = (d_mixture_budget, _mixture_sql())
+
+
+# --------------------------------------------------------------------------
+# Duplicated n-gram coverage (substring-level dup signal)
+
+_DUP_N = 3
+
+
+def d_dup_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return SUB.dup_ngram_coverage(d, n=_DUP_N)
+
+
+D_DUP_NGRAMS_SQL = f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+grams AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS g
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(tk) - {_DUP_N - 1}, 0)),
+             i -> array_to_string(list_slice(tk, i, i + {_DUP_N - 1}), ' ')
+           )) AS g
+    FROM tk
+  )
+),
+dupg AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+  WHERE df >= 2
+)
+SELECT t.doc_id,
+       CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup
+FROM tk t
+LEFT JOIN (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id) tot
+  USING (doc_id)
+LEFT JOIN (SELECT doc_id, count(*) AS n_dup FROM grams
+           WHERE g IN (SELECT g FROM dupg) GROUP BY doc_id) dup
+  USING (doc_id)
+"""
+
+QUERIES["d_dup_ngrams"] = (d_dup_ngrams, D_DUP_NGRAMS_SQL)
