@@ -1,0 +1,80 @@
+"""Crawl-trap URL scoring and registrable-domain extraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.functions.domains import registrable_domain
+from who_focus_crawler_spark.functions.traps import flag_traps, trap_features
+
+
+def _score(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["canon_url"])
+    return {r.canon_url: (r.trap_score, r.is_trap) for r in flag_traps(df).collect()}
+
+
+def test_trap_feature_axes(spark):
+    df = spark.createDataFrame(
+        [("http://h.example.org/a/b/a/b/a/b?x=1&y=2",)], ["canon_url"]
+    )
+    feats = {
+        k: df.select(v.alias("v")).first().v
+        for k, v in trap_features(F.col("canon_url")).items()
+    }
+    assert feats == {
+        "depth": 6, "repeats": 4, "n_params": 2, "calendar": 0, "longnum": 0
+    }
+
+
+def test_trap_scores(spark):
+    out = _score(
+        spark,
+        [
+            "http://h.example.org/p/1",  # clean
+            "http://h.example.org/a/b/a/b/a/b",  # cycles
+            "http://h.example.org/blog/2023/07/post",  # calendar
+            "http://h.example.org/s/1234567890",  # long id
+            "http://h.example.org/p/1?a=1&b=2&c=3&d=4&e=5",  # param fan-out
+            "http://h.example.org/a/b/c/d/e/f/g/h/i",  # deep
+            "http://h.example.org/d/2023-07-14",  # ISO date
+        ],
+    )
+    assert out["http://h.example.org/p/1"] == (0, False)
+    assert out["http://h.example.org/a/b/a/b/a/b"] == (12, True)
+    assert out["http://h.example.org/blog/2023/07/post"] == (1, False)
+    assert out["http://h.example.org/s/1234567890"] == (2, False)
+    assert out["http://h.example.org/p/1?a=1&b=2&c=3&d=4&e=5"] == (4, True)
+    assert out["http://h.example.org/a/b/c/d/e/f/g/h/i"] == (3, False)
+    assert out["http://h.example.org/d/2023-07-14"] == (1, False)
+
+
+def test_trap_root_url_is_clean(spark):
+    out = _score(spark, ["http://h.example.org/"])
+    assert out["http://h.example.org/"] == (0, False)
+
+
+def test_registrable_domain(spark):
+    cases = {
+        "www.example.com": "example.com",
+        "a.b.news.example.co.uk": "example.co.uk",
+        "example.co.uk": "example.co.uk",
+        "deep.sub.site.org": "site.org",
+        "example.com": "example.com",
+        "com": "com",  # degenerate: fewer labels than the rule needs
+        "co.uk": "co.uk",  # bare suffix: returned unchanged
+        "x.coluk.uk": "coluk.uk",  # 'coluk.uk' is NOT in the suffix set
+    }
+    df = spark.createDataFrame([(h,) for h in cases], ["host"])
+    got = {
+        r.host: r.d
+        for r in df.select("host", registrable_domain(F.col("host")).alias("d"))
+        .collect()
+    }
+    assert got == cases
+
+
+def test_registrable_domain_null_passthrough(spark):
+    df = spark.createDataFrame([(None,)], "host string")
+    assert (
+        df.select(registrable_domain(F.col("host")).alias("d")).first().d is None
+    )

@@ -768,3 +768,104 @@ GROUP BY host
 """
 
 QUERIES["r_sketch_distinct"] = (r_sketch_distinct, R_SKETCH_DISTINCT_SQL)
+
+# --------------------------------------------------------------------------
+# Crawl-trap scoring (functions/traps.py) — six structural URL shapes
+# synthesized per order; the real operator computes features/score from
+# the URL string, the oracle derives them analytically from the
+# generation rule (independent derivation, same convention as
+# C_CANONICALIZE_SQL).
+
+
+def c_trap_score(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.functions.traps import flag_traps
+
+    o = t(spark, sf, "orders")
+    k = F.col("o_orderkey").cast("string")
+    host = F.concat(
+        F.lit("h"), (F.col("o_custkey") % 9).cast("string"), F.lit(".example.org")
+    )
+    v = F.col("o_orderkey") % 6
+    url = F.concat(
+        F.lit("http://"),
+        host,
+        F.when(v == 0, F.concat(F.lit("/p/"), k))
+        .when(v == 1, F.lit("/a/b/a/b/a/b"))
+        .when(v == 2, F.concat(F.lit("/2023/07/x"), k))
+        .when(v == 3, F.concat(F.lit("/id/123456789"), k))
+        .when(v == 4, F.concat(F.lit("/p/"), k, F.lit("?a=1&b=2&c=3&d=4&e=5")))
+        .otherwise(F.concat(F.lit("/a/b/c/d/e/f/g/h/"), k)),
+    )
+    frontier = o.select(F.col("o_orderkey"), url.alias("canon_url"))
+    return flag_traps(frontier).select(
+        "o_orderkey", "trap_score", "is_trap"
+    )
+
+
+C_TRAP_SCORE_SQL = """
+SELECT o_orderkey,
+       CAST(CASE o_orderkey % 6
+         WHEN 0 THEN 0        -- /p/<k>: shallow, clean
+         WHEN 1 THEN 12       -- /a/b/a/b/a/b: 4 repeated segments * 3
+         WHEN 2 THEN 1        -- /2023/07/x<k>: calendar pattern
+         WHEN 3 THEN 2        -- /id/123456789<k>: >= 8-digit run
+         WHEN 4 THEN 4        -- 5 query params: 2 * (5 - 3)
+         ELSE 3               -- depth 9: (9 - 6)
+       END AS INT) AS trap_score,
+       o_orderkey % 6 IN (1, 4) AS is_trap
+FROM orders
+"""
+
+QUERIES["c_trap_score"] = (c_trap_score, C_TRAP_SCORE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Registrable-domain rollup (functions/domains.py) — per-site page and
+# host counts over hosts spanning simple and two-level public suffixes.
+
+
+def c_domain_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.functions.domains import registrable_domain
+
+    o = t(spark, sf, "orders")
+    suffix = F.element_at(
+        F.array(
+            F.lit("com"), F.lit("co.uk"), F.lit("org"),
+            F.lit("com.au"), F.lit("co.jp"),
+        ),
+        (F.col("o_custkey") % 5 + 1).cast("int"),
+    )
+    host = F.concat(
+        F.lit("w"), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit(".site"), (F.col("o_custkey") % 13).cast("string"),
+        F.lit("."), suffix,
+    )
+    pages = o.select(host.alias("host"))
+    return (
+        pages.withColumn("domain", registrable_domain(F.col("host")))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
+C_DOMAIN_ROLLUP_SQL = """
+WITH h AS (
+  SELECT concat('site', CAST(o_custkey % 13 AS VARCHAR), '.',
+                CASE o_custkey % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                     WHEN 2 THEN 'org' WHEN 3 THEN 'com.au'
+                     ELSE 'co.jp' END) AS domain,
+         concat('w', CAST(o_orderkey % 7 AS VARCHAR), '.',
+                'site', CAST(o_custkey % 13 AS VARCHAR), '.',
+                CASE o_custkey % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                     WHEN 2 THEN 'org' WHEN 3 THEN 'com.au'
+                     ELSE 'co.jp' END) AS host
+  FROM orders
+)
+SELECT domain, count(*) AS n_pages, count(DISTINCT host) AS n_hosts
+FROM h GROUP BY domain
+"""
+
+QUERIES["c_domain_rollup"] = (c_domain_rollup, C_DOMAIN_ROLLUP_SQL)

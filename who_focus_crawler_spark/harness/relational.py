@@ -814,3 +814,100 @@ QUERIES.update(
         "r_map_struct": (r_map_struct, R_MAP_STRUCT_SQL),
     }
 )
+
+# --------------------------------------------------------------------------
+# Exact quantiles (order statistics as a first-class aggregate — Spark
+# `percentile` is the exact sort-based aggregate, matched against
+# DuckDB's quantile_cont; both use the standard (n-1)p interpolation)
+
+
+def r_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("qty_p50"),
+            F.percentile("l_quantity", 0.9).alias("qty_p90"),
+            F.percentile("l_extendedprice", 0.25).alias("price_p25"),
+            F.percentile("l_extendedprice", 0.99).alias("price_p99"),
+        )
+    )
+
+
+R_QUANTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5)       AS qty_p50,
+       quantile_cont(l_quantity, 0.9)       AS qty_p90,
+       quantile_cont(l_extendedprice, 0.25) AS price_p25,
+       quantile_cont(l_extendedprice, 0.99) AS price_p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# --------------------------------------------------------------------------
+# Histogram — fixed-width bucketing as a groupBy over a floor-division
+# bucket id (the engine-portable form of width_bucket; DuckDB has no
+# width_bucket). Bounds are plan-side literals; one partial+final agg.
+
+_H_LO, _H_HI, _H_N = 900.0, 105000.0, 16
+
+
+def r_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    x = F.col("l_extendedprice")
+    width = (_H_HI - _H_LO) / _H_N
+    bucket = F.least(
+        F.greatest(F.floor((x - F.lit(_H_LO)) / F.lit(width)), F.lit(0)),
+        F.lit(_H_N - 1),
+    ).cast("int")
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+R_HISTOGRAM_SQL = f"""
+SELECT CAST(least(greatest(floor((l_extendedprice - {_H_LO}) /
+                 {(_H_HI - _H_LO) / _H_N}), 0), {_H_N - 1}) AS INT) AS bucket,
+       count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
+# Pivot — long-to-wide aggregation with an explicit value list (the
+# explicit list keeps the plan a single partial+final agg, no extra
+# distinct-values job); oracle is the canonical CASE-sum form.
+
+
+def r_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    out = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce("F", F.lit(0.0)).alias("qty_f"),
+        F.coalesce("O", F.lit(0.0)).alias("qty_o"),
+    )
+
+
+R_PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0)
+         AS DOUBLE) AS qty_f,
+       CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0)
+         AS DOUBLE) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+QUERIES.update(
+    {
+        "r_quantiles": (r_quantiles, R_QUANTILES_SQL),
+        "r_histogram": (r_histogram, R_HISTOGRAM_SQL),
+        "r_pivot": (r_pivot, R_PIVOT_SQL),
+    }
+)
