@@ -27,8 +27,22 @@ def run_corpus_pipeline(
     min_quality: int = 200,
     max_repetition: float = 0.5,
     lang: str = "en",
+    max_dup_permille: int | None = None,
+    split_weights: dict[str, float] | None = None,
+    mixture_weights: dict[str, float] | None = None,
+    token_budget: int | None = None,
 ) -> dict:
-    """docs(doc_id, text) → kept corpus + stats. Returns the stats dict."""
+    """docs(doc_id, text[, source]) → kept corpus + stats.
+
+    Optional stages beyond the base dedup→redact→gate pipeline:
+    - ``max_dup_permille``: drop docs whose cross-doc duplicated n-gram
+      share exceeds the per-mille threshold (corpus/substring.py);
+    - ``split_weights``: label survivors with a deterministic
+      train/val/test split column (corpus/sampling.py);
+    - ``mixture_weights`` + ``token_budget``: per-source token-budget
+      selection (corpus/mixture.py; requires a ``source`` column).
+    Returns the stats dict.
+    """
     from who_focus_crawler_spark.corpus.clusters import dedup_keep
     from who_focus_crawler_spark.corpus.dedup import (
         exact_dedup_keep,
@@ -50,10 +64,20 @@ def run_corpus_pipeline(
     n_exact = exact.count()
     pairs = minhash_lsh_pairs(exact, jaccard_threshold=minhash_threshold)
     kept = dedup_keep(exact, pairs).filter(F.col("keep"))
+    if max_dup_permille is not None:
+        from who_focus_crawler_spark.corpus.substring import (
+            filter_by_dup_coverage,
+        )
+
+        kept = filter_by_dup_coverage(
+            kept, max_dup_permille=max_dup_permille
+        )
     rep = repetition_stats(F.col("text"))
+    carry = ["source"] if "source" in kept.columns else []
     final = (
         kept.select(
             "doc_id",
+            *carry,
             redact_pii(F.col("text")).alias("text"),
             predict_lang(tokens(F.col("text"))).alias("lang"),
             quality_score(F.col("text")).alias("quality"),
@@ -64,9 +88,27 @@ def run_corpus_pipeline(
             & (F.col("quality") >= min_quality)
             & (F.col("rep_frac") < max_repetition)
         )
-        .select("doc_id", "text", "quality")
-        .persist()
+        .select("doc_id", *carry, "text", "quality")
     )
+    if mixture_weights is not None:
+        if token_budget is None:
+            raise ValueError("mixture_weights requires token_budget")
+        if "source" not in final.columns:
+            raise ValueError("mixture selection requires a 'source' column")
+        from who_focus_crawler_spark.corpus.mixture import mixture_select
+
+        final = mixture_select(
+            final.withColumn(
+                "n_tokens", F.size(tokens(F.col("text"))).cast("long")
+            ),
+            mixture_weights,
+            token_budget,
+        ).drop("n_tokens", "cum_tokens")
+    if split_weights is not None:
+        from who_focus_crawler_spark.corpus.sampling import split_assign
+
+        final = split_assign(final, "doc_id", split_weights)
+    final = final.persist()
     n_kept = final.count()  # one pipeline execution; the write below reuses it
     if output:
         final.write.mode("overwrite").parquet(output)
@@ -77,21 +119,50 @@ def run_corpus_pipeline(
         "dropped_exact_dup": n_in - n_exact,
         "dropped_neardup_or_filtered": n_exact - n_kept,
     }
+    if split_weights is not None:
+        stats["n_per_split"] = {
+            r.split: r.n
+            for r in final.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
     final.unpersist()
     exact.unpersist()
     return stats
 
 
+def _parse_weights(s: str) -> dict[str, float]:
+    """'train=0.9,val=0.1' → {'train': 0.9, 'val': 0.1}."""
+    out: dict[str, float] = {}
+    for part in s.split(","):
+        name, _, w = part.partition("=")
+        if not name or not w:
+            raise ValueError(f"bad weights spec {s!r} (want name=w,name=w)")
+        out[name.strip()] = float(w)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description="training-data corpus pipeline")
     src = ap.add_mutually_exclusive_group(required=True)
-    src.add_argument("--input", help="parquet with (doc_id, text)")
+    src.add_argument("--input", help="parquet with (doc_id, text[, source])")
     src.add_argument("--from-crawl", help="crawl checkpoint dir (C14 catalog)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--minhash-threshold", type=float, default=0.8)
     ap.add_argument("--min-quality", type=int, default=200)
     ap.add_argument("--max-repetition", type=float, default=0.5)
     ap.add_argument("--lang", default="en")
+    ap.add_argument(
+        "--max-dup-permille", type=int, default=None,
+        help="drop docs above this duplicated-n-gram share (0-1000)",
+    )
+    ap.add_argument(
+        "--split", default=None,
+        help="deterministic split weights, e.g. train=0.9,val=0.05,test=0.05",
+    )
+    ap.add_argument(
+        "--mixture", default=None,
+        help="per-source mixture weights, e.g. web=0.6,code=0.4",
+    )
+    ap.add_argument("--token-budget", type=int, default=None)
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("wfc-corpus").getOrCreate()
@@ -105,7 +176,9 @@ def main() -> None:
             cat.read_table(spark, "documents", schemas.DOCUMENTS_OUT)
         ).select("doc_id", "text")
     else:
-        docs = spark.read.parquet(args.input).select("doc_id", "text")
+        raw = spark.read.parquet(args.input)
+        cols = ["doc_id", "text"] + (["source"] if "source" in raw.columns else [])
+        docs = raw.select(*cols)
     stats = run_corpus_pipeline(
         docs,
         output=args.output,
@@ -113,6 +186,10 @@ def main() -> None:
         min_quality=args.min_quality,
         max_repetition=args.max_repetition,
         lang=args.lang,
+        max_dup_permille=args.max_dup_permille,
+        split_weights=_parse_weights(args.split) if args.split else None,
+        mixture_weights=_parse_weights(args.mixture) if args.mixture else None,
+        token_budget=args.token_budget,
     )
     print(json.dumps(stats))
     spark.stop()

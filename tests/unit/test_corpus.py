@@ -490,3 +490,62 @@ def test_corpus_pipeline_job(spark, tmp_path):
     assert 0 < stats["n_kept"] == kept.count() <= stats["n_after_exact_dedup"]
     assert set(kept.columns) == {"doc_id", "text", "quality"}
     assert kept.filter(F.col("quality") < 200).count() == 0
+
+
+def test_corpus_pipeline_job_full_options(spark, tmp_path):
+    """All optional stages together: dup-ngram filter, per-source
+    token-budget mixture, deterministic split labeling."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from corpus import run_corpus_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    out = str(tmp_path / "kept_full")
+    weights = {f"src{i}": 1.0 for i in range(20)}
+    stats = run_corpus_pipeline(
+        docs,
+        output=out,
+        max_dup_permille=900,
+        mixture_weights=weights,
+        token_budget=20000,
+        split_weights={"train": 0.9, "val": 0.1},
+    )
+    kept = spark.read.parquet(out)
+    assert set(kept.columns) == {"doc_id", "source", "text", "quality", "split"}
+    assert 0 < stats["n_kept"] == kept.count()
+    assert set(stats["n_per_split"]) <= {"train", "val"}
+    assert sum(stats["n_per_split"].values()) == stats["n_kept"]
+    # mixture: per-source token totals respect the per-source budget
+    from who_focus_crawler_spark.corpus.mixture import source_budgets
+    from who_focus_crawler_spark.corpus.text import tokens as toks
+
+    budgets = source_budgets(weights, 20000)
+    per_src = {
+        r.source: r.t
+        for r in kept.groupBy("source")
+        .agg(F.sum(F.size(toks(F.col("text")))).alias("t"))
+        .collect()
+    }
+    assert all(per_src[s] <= budgets[s] for s in per_src)
+
+
+def test_corpus_pipeline_mixture_requires_budget_and_source(spark):
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from corpus import run_corpus_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "the quick fox", "s")], ["doc_id", "text", "source"]
+    )
+    with pytest.raises(ValueError, match="token_budget"):
+        run_corpus_pipeline(docs, mixture_weights={"s": 1.0})
+    with pytest.raises(ValueError, match="source"):
+        run_corpus_pipeline(
+            docs.drop("source"), mixture_weights={"s": 1.0}, token_budget=10
+        )
