@@ -119,3 +119,22 @@ def test_expire_snapshots_keeps_head_history(crawled):
         spark, "crawl_order", schemas.CRAWL_ORDER, snapshot_id=head - 1
     )
     assert prev.count() <= len(got)
+
+
+def test_trap_gate_blocks_all_discovery_at_zero(spark, tmp_path_factory):
+    """trap_threshold=0 filters every discovered link (all scores are
+    >= 0), so the crawl sees exactly the seed set; the default (None)
+    path is pinned by the golden tests above."""
+    cfg = CrawlConfig(
+        web=UNIT_WEB,
+        checkpoint_dir=str(tmp_path_factory.mktemp("crawl_trapgate")),
+        num_buckets=8,
+        trap_threshold=0,
+    )
+    catalog = run_crawl(spark, cfg)
+    golden = run_golden(UNIT_WEB)
+    seen = {
+        r.canon_url
+        for r in catalog.read_table(spark, "url_seen", schemas.URL_SEEN).collect()
+    }
+    assert seen == {u for (_, b, u, h, d, s) in golden.crawl_order if d == 0}

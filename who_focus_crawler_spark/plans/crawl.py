@@ -53,6 +53,11 @@ class CrawlConfig:
     filter_kind: str = "bloom"  # or "cuckoo" (operators/cuckoo.py)
     salt: int = 16  # C17: sub-partitions per host in the selection window
     max_batches: int | None = None  # default: web.max_batches
+    # Frontier hygiene: drop discovered links whose structural trap
+    # score (functions/traps.py) reaches this threshold BEFORE they
+    # enter dedup/merge. None (default) disables gating — the golden
+    # replay crawls the fixture web unfiltered.
+    trap_threshold: int | None = None
 
     @property
     def batches(self) -> int:
@@ -168,6 +173,14 @@ def run_batch(
 
     # C12 + C4
     events = discover_links(fetched, P)
+    if cfg.trap_threshold is not None:
+        from who_focus_crawler_spark.functions.traps import trap_score
+
+        # scan-level map on the discovery stream — composes before the
+        # dedup shuffle so trap URLs never cost exchange bandwidth
+        events = events.filter(
+            trap_score(F.col("target_url")) < F.lit(cfg.trap_threshold)
+        )
     winners = dedup_in_batch(events)
     new_unique = dedup_against_seen(winners, url_seen, seen_filters, P).persist()
 
