@@ -56,6 +56,8 @@ def run_corpus_pipeline(
         tokens,
     )
 
+    if token_budget is not None and mixture_weights is None:
+        raise ValueError("token_budget requires mixture_weights")
     n_in = docs.count()
     # exact-dedup output feeds three consumers (pair mining, keep join,
     # count) — materialize once instead of re-running the scan + md5

@@ -95,3 +95,15 @@ def test_mixture_deterministic_across_partitioning(spark):
         for r in mixture_select(_docs(spark, parts=29), weights, 1500).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_null_group_keys_are_kept_as_one_group(spark):
+    """The window this replaces groups NULL keys together; the
+    re-attach join must be null-safe, not drop them."""
+    rows = [(1, None, 5), (2, None, 7), (3, "s", 11)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    out = grouped_running_sum(
+        df, ["source"], [F.asc("doc_id")], "n_tokens", "running"
+    ).collect()
+    got = {r.doc_id: r.running for r in out}
+    assert got == {1: 5, 2: 12, 3: 11}

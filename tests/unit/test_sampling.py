@@ -99,3 +99,14 @@ def test_threshold_bounds():
 
     with pytest.raises(ValueError):
         fraction_threshold(1.5)
+
+
+def test_mixture_excludes_zero_token_docs_of_unlisted_sources(spark):
+    """Zero-budget (unlisted) sources select nothing, even docs whose
+    running total is 0 because they carry 0 tokens."""
+    from who_focus_crawler_spark.corpus.mixture import mixture_select
+
+    rows = [(1, "listed", 10), (2, "unlisted", 0), (3, "unlisted", 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    out = mixture_select(df, {"listed": 1.0}, 100).collect()
+    assert {r.doc_id for r in out} == {1}

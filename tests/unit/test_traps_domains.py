@@ -78,3 +78,19 @@ def test_registrable_domain_null_passthrough(spark):
     assert (
         df.select(registrable_domain(F.col("host")).alias("d")).first().d is None
     )
+
+
+def test_trap_embedded_url_in_query_does_not_hijack_path(spark):
+    """Features must come from the URL's own path, not from a URL
+    embedded in a query parameter (redirect/next/u= links)."""
+    out = _score(
+        spark,
+        [
+            "http://h.example.org/a/b/c/d/e/f/g/h/i?u=http://x.com/",
+            "http://h.example.org/ok?u=https://e.com/a/b/a/b/a/b",
+        ],
+    )
+    # deep own path still scores 3 despite the clean embedded URL
+    assert out["http://h.example.org/a/b/c/d/e/f/g/h/i?u=http://x.com/"][0] == 3
+    # clean own path stays clean despite the trap-shaped embedded URL
+    assert out["http://h.example.org/ok?u=https://e.com/a/b/a/b/a/b"] == (0, False)

@@ -84,6 +84,9 @@ def mixture_select(
         out_col="cum_tokens",
         num_partitions=num_partitions,
     )
+    budget = _budget_expr(F.col(source_col), budgets)
+    # budget > 0 guard: a zero-budget (unlisted) source must select
+    # nothing — without it, zero-token docs satisfy cum <= 0 and leak
     return cum.filter(
-        F.col("cum_tokens") <= _budget_expr(F.col(source_col), budgets)
+        (budget > F.lit(0)) & (F.col("cum_tokens") <= budget)
     ).drop("_mix_prio")

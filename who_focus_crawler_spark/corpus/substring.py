@@ -26,23 +26,14 @@ DuckDB oracle (harness/corpus_queries.py::d_dup_ngrams) checks values.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from who_focus_crawler_spark.corpus.text import md5_hash60, tokens
-
-
-def positional_ngrams(toks: Column, n: int) -> Column:
-    """All n-token grams in order (POSITIONAL — duplicates kept, unlike
-    ``text.shingles`` which distincts for set-similarity)."""
-    length = F.size(toks)
-    return F.when(
-        length >= n,
-        F.transform(
-            F.sequence(F.lit(1), length - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+from who_focus_crawler_spark.corpus.text import (  # noqa: F401 — re-export
+    md5_hash60,
+    positional_ngrams,
+    tokens,
+)
 
 
 def dup_ngram_coverage(

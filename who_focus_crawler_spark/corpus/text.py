@@ -44,17 +44,22 @@ def md5_hash60(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
-def shingles(toks: Column, k: int) -> Column:
-    """Distinct k-token shingles, each joined by one space; [] if < k tokens."""
+def positional_ngrams(toks: Column, k: int) -> Column:
+    """All k-token grams in order (positional — duplicates kept), each
+    joined by one space; [] if < k tokens."""
     n = F.size(toks)
-    grams = F.when(
+    return F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - F.lit(k - 1)),
             lambda i: F.array_join(F.slice(toks, i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+
+
+def shingles(toks: Column, k: int) -> Column:
+    """Distinct k-token shingles (the set form of positional_ngrams)."""
+    return F.array_distinct(positional_ngrams(toks, k))
 
 
 def lang_scores(toks: Column) -> dict[str, Column]:

@@ -30,8 +30,14 @@ TRAP_THRESHOLD = 4
 
 
 def _path(url: Column) -> Column:
-    """Path component of a canonical http(s) URL (leading '/')."""
-    after_scheme = F.substring_index(url, "://", -1)
+    """Path component of a canonical http(s) URL (leading '/').
+
+    Splits on the FIRST '://' — an embedded URL in a query parameter
+    (redirect/next/u= links survive canonicalization) must not hijack
+    the path extraction."""
+    after_scheme = F.substring(
+        url, F.instr(url, F.lit("://")) + 3, F.lit(1 << 20)
+    )
     hostless = F.substring(
         after_scheme, F.instr(after_scheme, F.lit("/")), F.lit(1 << 20)
     )

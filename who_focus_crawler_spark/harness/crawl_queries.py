@@ -789,12 +789,15 @@ def c_trap_score(spark: SparkSession, sf: str) -> DataFrame:
     url = F.concat(
         F.lit("http://"),
         host,
-        F.when(v == 0, F.concat(F.lit("/p/"), k))
+        # bare numeric keys are 'k'-prefixed so a large-sf o_orderkey
+        # (8+ digits) can never trip the longnum feature and desync the
+        # analytic oracle scores below; v==3 is the intended digit run
+        F.when(v == 0, F.concat(F.lit("/p/k"), k))
         .when(v == 1, F.lit("/a/b/a/b/a/b"))
         .when(v == 2, F.concat(F.lit("/2023/07/x"), k))
         .when(v == 3, F.concat(F.lit("/id/123456789"), k))
-        .when(v == 4, F.concat(F.lit("/p/"), k, F.lit("?a=1&b=2&c=3&d=4&e=5")))
-        .otherwise(F.concat(F.lit("/a/b/c/d/e/f/g/h/"), k)),
+        .when(v == 4, F.concat(F.lit("/p/k"), k, F.lit("?a=1&b=2&c=3&d=4&e=5")))
+        .otherwise(F.concat(F.lit("/a/b/c/d/e/f/g/h/k"), k)),
     )
     frontier = o.select(F.col("o_orderkey"), url.alias("canon_url"))
     return flag_traps(frontier).select(

@@ -76,13 +76,21 @@ def grouped_running_sum(
         .orderBy(_PID)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = totals.select(
-        _PID,
-        *group_cols,
+    # Re-attach with null-safe equality on the group columns: the
+    # window this operator replaces keeps NULL-keyed rows as one group,
+    # and a plain equi-join (NULL != NULL) would silently drop them.
+    off = totals.select(
+        F.col(_PID).alias(f"{_PID}_o"),
+        *[F.col(c).alias(f"_ps_g_{c}") for c in group_cols],
         F.coalesce(F.sum(_TOT).over(w_off), F.lit(0)).alias(_OFF),
     )
+    cond = local[_PID] == off[f"{_PID}_o"]
+    for c in group_cols:
+        cond = cond & local[c].eqNullSafe(off[f"_ps_g_{c}"])
     return (
-        local.join(F.broadcast(offsets), [_PID, *group_cols])
+        local.join(F.broadcast(off), cond)
         .withColumn(out_col, (F.col(_LOC) + F.col(_OFF)).cast("long"))
-        .drop(_PID, _LOC, _OFF)
+        .drop(
+            _PID, _LOC, _OFF, f"{_PID}_o", *[f"_ps_g_{c}" for c in group_cols]
+        )
     )

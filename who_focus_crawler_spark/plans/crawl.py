@@ -173,6 +173,11 @@ def run_batch(
 
     # C12 + C4
     events = discover_links(fetched, P)
+    # C16's `discovered` counts the raw discovery stream; with trap
+    # gating on, gated links therefore land in `deduped` (= discovered
+    # − new_urls), i.e. "discovered but not admitted to the frontier" —
+    # they are never silently invisible to the metrics.
+    events_discovered = events
     if cfg.trap_threshold is not None:
         from who_focus_crawler_spark.functions.traps import trap_score
 
@@ -223,7 +228,7 @@ def run_batch(
             F.when(F.col("robots_ok") & ~F.col("admitted"), 1).otherwise(0)
         ).alias("deferred"),
     )
-    disc = events.groupBy(F.col("parent_host").alias("host")).agg(
+    disc = events_discovered.groupBy(F.col("parent_host").alias("host")).agg(
         F.count("*").alias("discovered")
     )
     new_m = new_unique.groupBy(F.col("parent_host").alias("host")).agg(
