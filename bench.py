@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "d_dedup_simhash",
     "d_sim_cosine_topk",
     "d_text_quality",
+    # late round-2 ops (absent from BENCH_r01's queries map; headline
+    # metric unaffected)
+    "d_dup_ngrams",
+    "d_mixture_budget",
 ]
 
 

@@ -93,3 +93,35 @@ def test_robots_match_vectorized_longest_match(spark):
     want = {r.canon_url: r.want for r in cand.collect()}
     for r in got:
         assert r.robots_ok == want[r.canon_url], r.canon_url
+
+
+def test_wildcard_rules_rfc9309(spark):
+    """RFC 9309 §2.2.3 '*' and '$' patterns (spec/Google examples),
+    evaluated through the vectorized gate."""
+    host = "wild.example.test"
+    rules = [
+        [False, "/fish*"],        # any path starting /fish...
+        [True, "/fish/allowed"],  # longer allow carve-out
+        [False, "/*.php$"],       # anchored extension match
+        [False, "/private*/x"],   # infix wildcard
+    ]
+    cache = spark.createDataFrame(
+        [(host, json.dumps(rules), 0)], schemas.ROBOTS_CACHE
+    )
+    paths = {
+        "/fish": False,
+        "/fishheads/yummy.html": False,
+        "/fish/allowed/page": True,   # 13-octet allow beats 6-octet disallow
+        "/index.php": False,          # $ anchors at end
+        "/index.php?x=1": True,       # query breaks the anchor
+        "/index.phpx": True,
+        "/private/deep/x": False,     # '*' spans /deep
+        "/privatex": True,
+        "/other": True,
+    }
+    cand = _cand(spark, host, list(paths))
+    got = {
+        r.canon_url.removeprefix(f"http://{host}"): r.robots_ok
+        for r in apply_robots(cand, cache).collect()
+    }
+    assert got == paths

@@ -94,3 +94,38 @@ def test_trap_embedded_url_in_query_does_not_hijack_path(spark):
     assert out["http://h.example.org/a/b/c/d/e/f/g/h/i?u=http://x.com/"][0] == 3
     # clean own path stays clean despite the trap-shaped embedded URL
     assert out["http://h.example.org/ok?u=https://e.com/a/b/a/b/a/b"] == (0, False)
+
+
+def test_domain_budget_caps_across_hosts(spark):
+    """10 hosts of one registrable domain each admit 2 by host
+    politeness; a domain budget of 5 keeps only the 5 best overall,
+    while a second domain is unaffected."""
+    from who_focus_crawler_spark.operators.domain_budget import (
+        apply_domain_budget,
+    )
+    from who_focus_crawler_spark.operators.politeness import apply_politeness
+
+    rows = []
+    for h in range(10):
+        for i in range(3):
+            rows.append(
+                (f"h{h}.big.example.com", float(100 - h), 0,
+                 f"http://h{h}.big.example.com/p/{i}", True)
+            )
+    rows.append(("solo.other.org", 1.0, 0, "http://solo.other.org/p/0", True))
+    df = spark.createDataFrame(
+        rows, ["host", "priority", "depth", "canon_url", "robots_ok"]
+    )
+    out = apply_domain_budget(apply_politeness(df, 2), 5)
+    kept = out.filter(F.col("admitted")).collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r.domain, []).append(r.host)
+    assert len(by_dom["example.com"]) == 5
+    # highest-priority hosts win the domain budget (priority 100..98)
+    assert set(by_dom["example.com"]) <= {
+        "h0.big.example.com", "h1.big.example.com", "h2.big.example.com"
+    }
+    assert by_dom["other.org"] == ["solo.other.org"]
+    # non-admitted rows are preserved, just not admitted
+    assert out.count() == len(rows)

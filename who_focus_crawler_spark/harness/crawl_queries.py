@@ -872,3 +872,77 @@ FROM h GROUP BY domain
 """
 
 QUERIES["c_domain_rollup"] = (c_domain_rollup, C_DOMAIN_ROLLUP_SQL)
+
+
+# --------------------------------------------------------------------------
+# Domain-level budget stacked on host politeness
+# (operators/domain_budget.py): many hosts of one registrable domain
+# share a second admission budget. Oracle reproduces both ranking
+# tiers with window functions.
+
+
+def c_domain_budget(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.domain_budget import (
+        apply_domain_budget,
+    )
+    from who_focus_crawler_spark.operators.politeness import apply_politeness
+
+    o = t(spark, sf, "orders")
+    # 3 domains × up to 8 hosts each, some under a two-level suffix
+    host = F.concat(
+        F.lit("h"), (F.col("o_orderkey") % 8).cast("string"),
+        F.lit(".site"), (F.col("o_custkey") % 3).cast("string"),
+        F.element_at(
+            F.array(F.lit(".example.com"), F.lit(".example.co.uk"),
+                    F.lit(".example.org")),
+            (F.col("o_custkey") % 3 + 1).cast("int"),
+        ),
+    )
+    cand = o.select(
+        host.alias("host"),
+        F.col("o_totalprice").alias("priority"),
+        (F.col("o_orderkey") % 4).cast("int").alias("depth"),
+        F.concat(
+            F.lit("http://"), host, F.lit("/p/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("canon_url"),
+        F.lit(True).alias("robots_ok"),
+    )
+    out = apply_domain_budget(apply_politeness(cand, 4), 10)
+    return out.filter(F.col("admitted")).select("canon_url", "host", "domain")
+
+
+C_DOMAIN_BUDGET_SQL = """
+WITH cand AS (
+  SELECT concat('h', CAST(o_orderkey % 8 AS VARCHAR),
+                '.site', CAST(o_custkey % 3 AS VARCHAR),
+                CASE o_custkey % 3 WHEN 0 THEN '.example.com'
+                     WHEN 1 THEN '.example.co.uk'
+                     ELSE '.example.org' END) AS host,
+         CASE o_custkey % 3 WHEN 0 THEN 'example.com'
+              WHEN 1 THEN 'example.co.uk'
+              ELSE 'example.org' END AS domain,
+         o_totalprice AS priority,
+         CAST(o_orderkey % 4 AS INT) AS depth,
+         concat('http://h', CAST(o_orderkey % 8 AS VARCHAR),
+                '.site', CAST(o_custkey % 3 AS VARCHAR),
+                CASE o_custkey % 3 WHEN 0 THEN '.example.com'
+                     WHEN 1 THEN '.example.co.uk'
+                     ELSE '.example.org' END,
+                '/p/', CAST(o_orderkey AS VARCHAR)) AS canon_url
+  FROM orders
+),
+pol AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+             ORDER BY priority DESC, depth, canon_url) AS rn_pol
+  FROM cand
+),
+dom AS (
+  SELECT *, row_number() OVER (PARTITION BY domain
+             ORDER BY priority DESC, depth, canon_url) AS rn_dom
+  FROM pol WHERE rn_pol <= 4
+)
+SELECT canon_url, host, domain FROM dom WHERE rn_dom <= 10
+"""
+
+QUERIES["c_domain_budget"] = (c_domain_budget, C_DOMAIN_BUDGET_SQL)
