@@ -138,3 +138,44 @@ def test_trap_gate_blocks_all_discovery_at_zero(spark, tmp_path_factory):
         for r in catalog.read_table(spark, "url_seen", schemas.URL_SEEN).collect()
     }
     assert seen == {u for (_, b, u, h, d, s) in golden.crawl_order if d == 0}
+
+
+def test_sitemap_seeding_enqueues_listed_urls(spark, tmp_path_factory):
+    """use_sitemaps=True: frontier v0 = seeds + their hosts' sitemap
+    entries (depth 1, sitemap priority, parented to the seed); the
+    default path stays golden-exact (tests above)."""
+    from who_focus_crawler_spark.plans.crawl import bootstrap
+    from who_focus_crawler_spark.sources.fixture_web import (
+        host_name,
+        sitemap_entries,
+    )
+
+    cfg = CrawlConfig(
+        web=UNIT_WEB,
+        checkpoint_dir=str(tmp_path_factory.mktemp("crawl_sitemap")),
+        num_buckets=8,
+        use_sitemaps=True,
+    )
+    catalog = bootstrap(spark, cfg)
+    frontier = catalog.read_table(spark, "frontier", schemas.FRONTIER).collect()
+    by_depth = {}
+    for r in frontier:
+        by_depth.setdefault(r.depth, set()).add(r.canon_url)
+    want = set()
+    for i in UNIT_WEB.seed_hosts:
+        for loc, _ in sitemap_entries(host_name(i), UNIT_WEB):
+            want.add(loc)
+    # seeds themselves (depth 0) are excluded from the sitemap tier
+    want -= by_depth[0]
+    assert by_depth.get(1, set()) == want
+    # lineage: every sitemap row is parented to a seed's url_hash
+    seed_hashes = {r.url_hash for r in frontier if r.depth == 0}
+    assert all(
+        r.parent_hash in seed_hashes for r in frontier if r.depth == 1
+    )
+    # url_seen covers both tiers
+    seen = {
+        r.canon_url
+        for r in catalog.read_table(spark, "url_seen", schemas.URL_SEEN).collect()
+    }
+    assert seen == by_depth[0] | by_depth.get(1, set())

@@ -1,0 +1,50 @@
+"""Sitemap fetch + native parse against the fixture generator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.operators.sitemap import (
+    fetch_sitemaps_for_hosts,
+    parse_sitemaps,
+)
+from who_focus_crawler_spark.sources.fixture_web import (
+    UNIT_WEB,
+    host_name,
+    sitemap_entries,
+)
+
+
+def test_fetch_and_parse_round_trips_the_fixture(spark):
+    hosts = spark.createDataFrame(
+        [(host_name(i),) for i in range(UNIT_WEB.n_hosts)], ["host"]
+    )
+    parsed = parse_sitemaps(fetch_sitemaps_for_hosts(hosts, UNIT_WEB)).collect()
+    got: dict[str, list[tuple[str, float]]] = {}
+    for r in parsed:
+        got.setdefault(r.host, []).append((r.loc, r.priority))
+    for i in range(UNIT_WEB.n_hosts):
+        h = host_name(i)
+        want = sitemap_entries(h, UNIT_WEB)
+        assert sorted(got.get(h, [])) == sorted(want), h
+    # host 4 publishes no sitemap (i % 5 == 4)
+    assert host_name(4) not in got
+
+
+def test_parse_defaults_missing_priority(spark):
+    xml = (
+        "<urlset><url><loc>http://a.test/x</loc></url>"
+        "<url><loc>http://a.test/y</loc><priority>0.9</priority></url>"
+        "<url><loc></loc></url></urlset>"
+    )
+    df = spark.createDataFrame([("a.test", xml)], ["host", "sitemap_xml"])
+    rows = {r.loc: r.priority for r in parse_sitemaps(df).collect()}
+    # empty <loc> entries are dropped; missing priority → protocol 0.5
+    assert rows == {"http://a.test/x": 0.5, "http://a.test/y": 0.9}
+
+
+def test_parse_plan_is_native(spark):
+    df = spark.createDataFrame([("a.test", "<urlset></urlset>")],
+                               ["host", "sitemap_xml"])
+    plan = parse_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -946,3 +946,61 @@ SELECT canon_url, host, domain FROM dom WHERE rn_dom <= 10
 """
 
 QUERIES["c_domain_budget"] = (c_domain_budget, C_DOMAIN_BUDGET_SQL)
+
+
+# --------------------------------------------------------------------------
+# Sitemap parse (operators/sitemap.py): per-host XML is assembled from
+# orders rows in Spark, pushed through the REAL native parser, and the
+# oracle derives the expected (host, loc, priority) rows directly from
+# the generation rule — including the protocol's 0.5 default for
+# entries emitted without a <priority> tag.
+
+
+def c_sitemap_parse(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.sitemap import parse_sitemaps
+
+    o = t(spark, sf, "orders")
+    host = F.concat(
+        F.lit("h"), (F.col("o_custkey") % 8).cast("string"),
+        F.lit(".example.org"),
+    )
+    loc = F.concat(
+        F.lit("http://"), host, F.lit("/s/"), F.col("o_orderkey").cast("string")
+    )
+    prio_tag = F.when(
+        F.col("o_orderkey") % 4 != 0,
+        F.concat(
+            F.lit("<priority>"),
+            F.format_string(
+                "%.1f", ((F.col("o_orderkey") % 9) + 1).cast("double") / 10.0
+            ),
+            F.lit("</priority>"),
+        ),
+    ).otherwise(F.lit(""))
+    entry = F.concat(
+        F.lit("<url><loc>"), loc, F.lit("</loc>"), prio_tag, F.lit("</url>")
+    )
+    sitemaps = (
+        o.select(host.alias("host"), entry.alias("e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(F.array_sort(F.collect_list("e")), ""),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    return parse_sitemaps(sitemaps)
+
+
+C_SITEMAP_PARSE_SQL = """
+SELECT concat('h', CAST(o_custkey % 8 AS VARCHAR), '.example.org') AS host,
+       concat('http://h', CAST(o_custkey % 8 AS VARCHAR), '.example.org/s/',
+              CAST(o_orderkey AS VARCHAR)) AS loc,
+       CASE WHEN o_orderkey % 4 = 0 THEN 0.5
+            ELSE CAST((o_orderkey % 9) + 1 AS DOUBLE) / 10 END AS priority
+FROM orders
+"""
+
+QUERIES["c_sitemap_parse"] = (c_sitemap_parse, C_SITEMAP_PARSE_SQL)

@@ -58,6 +58,11 @@ class CrawlConfig:
     # enter dedup/merge. None (default) disables gating — the golden
     # replay crawls the fixture web unfiltered.
     trap_threshold: int | None = None
+    # Discovery channel 2 (operators/sitemap.py): at bootstrap, fetch
+    # the seed hosts' sitemap.xml and enqueue listed URLs (depth 1,
+    # sitemap priority) alongside the seeds. Off by default — goldens
+    # crawl by link discovery only.
+    use_sitemaps: bool = False
 
     @property
     def batches(self) -> int:
@@ -68,10 +73,62 @@ def _empty(spark: SparkSession, schema) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def _add_sitemap_seeds(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Union sitemap-listed URLs of the seed hosts into frontier v0.
+
+    Lineage: a sitemap URL descends from its host's seed row (depth 1,
+    parent = seed's url_hash, same seed_id); the sitemap ``priority``
+    becomes the frontier priority. URLs already seeded are anti-joined
+    away, so the union is exact-dedup clean before URL-seen is built.
+    """
+    from who_focus_crawler_spark.functions.urls import (
+        canonicalize_df,
+        host_bucket,
+        url_hash,
+        url_host,
+    )
+    from who_focus_crawler_spark.operators.sitemap import (
+        fetch_sitemaps_for_hosts,
+        parse_sitemaps,
+    )
+
+    parsed = parse_sitemaps(
+        fetch_sitemaps_for_hosts(frontier.select("host"), cfg.web)
+    )
+    seeds = frontier.select(
+        F.col("host").alias("seed_host"),
+        F.col("seed_id"),
+        F.col("url_hash").alias("parent_hash"),
+    )
+    cand = (
+        canonicalize_df(parsed, "loc", "canon_url")
+        .join(F.broadcast(seeds), F.col("host") == F.col("seed_host"))
+        .select(
+            "canon_url",
+            url_hash(F.col("canon_url")).alias("url_hash"),
+            url_host(F.col("canon_url")).alias("host"),
+            host_bucket(url_host(F.col("canon_url")), cfg.num_buckets).alias(
+                "host_bucket"
+            ),
+            F.col("priority"),
+            F.lit(1).alias("depth"),
+            F.col("seed_id"),
+            F.col("parent_hash"),
+            F.lit(0).alias("discovered_in_batch"),
+            F.lit("enqueued").alias("state"),
+        )
+        .join(frontier.select("canon_url"), "canon_url", "left_anti")
+        .dropDuplicates(["canon_url"])
+    )
+    return frontier.unionByName(cand)
+
+
 def bootstrap(spark: SparkSession, cfg: CrawlConfig) -> SnapshotCatalog:
     """Snapshot 0: seeds enter the frontier and the URL-seen set."""
     catalog = SnapshotCatalog(cfg.checkpoint_dir)
     frontier = bootstrap_frontier(spark, seed_urls(cfg.web), cfg.num_buckets)
+    if cfg.use_sitemaps:
+        frontier = _add_sitemap_seeds(frontier, cfg)
     url_seen = frontier.select(
         "url_hash",
         "canon_url",

@@ -103,6 +103,46 @@ def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
     return best_allow
 
 
+# ------------------------------------------------------------- sitemaps ---
+
+
+def sitemap_entries(host: str, cfg: WebConfig) -> list[tuple[str, float]]:
+    """Deterministic (loc, priority) entries of a host's sitemap.xml.
+
+    Host i lists every 3rd of its pages; hosts i ≡ 4 (mod 5) publish no
+    sitemap. Priorities cycle a fixed 0.1–1.0 grid. Pure function of
+    (host, cfg) — shared by the fixture fetch and the tests, same
+    pattern as robots_rules."""
+    if not host.startswith("h") or not host.endswith(".example.test"):
+        return []
+    try:
+        i = int(host.split(".")[0][1:])
+    except ValueError:
+        return []
+    if i % 5 == 4:
+        return []
+    pph = cfg.pages_per_host()
+    if i >= len(pph):
+        return []
+    return [
+        (page_url(i, j), ((j * 7) % 10 + 1) / 10.0)
+        for j in range(pph[i])
+        if j % 3 == 0
+    ]
+
+
+def sitemap_xml(host: str, cfg: WebConfig) -> str | None:
+    """Rendered sitemap.xml for a host, or None when it publishes none."""
+    entries = sitemap_entries(host, cfg)
+    if not entries:
+        return None
+    body = "".join(
+        f"<url><loc>{u}</loc><priority>{p:.1f}</priority></url>"
+        for u, p in entries
+    )
+    return f'<?xml version="1.0"?><urlset>{body}</urlset>'
+
+
 # -------------------------------------------------------------- content ---
 
 
