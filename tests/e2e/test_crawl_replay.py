@@ -179,3 +179,21 @@ def test_sitemap_seeding_enqueues_listed_urls(spark, tmp_path_factory):
         for r in catalog.read_table(spark, "url_seen", schemas.URL_SEEN).collect()
     }
     assert seen == by_depth[0] | by_depth.get(1, set())
+
+
+def test_trap_gate_also_covers_sitemap_channel(spark, tmp_path_factory):
+    """trap_threshold applies to BOTH discovery channels: with the gate
+    at 0 and sitemaps on, bootstrap still enqueues only the seeds."""
+    from who_focus_crawler_spark.plans.crawl import bootstrap
+    from who_focus_crawler_spark.sources.fixture_web import seed_urls
+
+    cfg = CrawlConfig(
+        web=UNIT_WEB,
+        checkpoint_dir=str(tmp_path_factory.mktemp("crawl_sm_trap")),
+        num_buckets=8,
+        use_sitemaps=True,
+        trap_threshold=0,
+    )
+    catalog = bootstrap(spark, cfg)
+    frontier = catalog.read_table(spark, "frontier", schemas.FRONTIER).collect()
+    assert {r.canon_url for r in frontier} == set(seed_urls(UNIT_WEB))

@@ -48,3 +48,21 @@ def test_parse_plan_is_native(spark):
                                ["host", "sitemap_xml"])
     plan = parse_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_parse_pretty_printed_and_entity_escaped(spark):
+    """Real-world sitemap form: newlines inside <url> blocks and
+    protocol-mandated XML entity escaping in <loc>."""
+    xml = (
+        "<urlset>\n"
+        "  <url>\n    <loc>\n      http://a.test/b?x=1&amp;y=2\n    </loc>\n"
+        "    <priority>0.7</priority>\n  </url>\n"
+        "  <url><loc>http://a.test/&quot;q&quot;</loc></url>\n"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("a.test", xml)], ["host", "sitemap_xml"])
+    rows = {r.loc: r.priority for r in parse_sitemaps(df).collect()}
+    assert rows == {
+        "http://a.test/b?x=1&y=2": 0.7,
+        'http://a.test/"q"': 0.5,
+    }

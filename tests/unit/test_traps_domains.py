@@ -129,3 +129,19 @@ def test_domain_budget_caps_across_hosts(spark):
     assert by_dom["other.org"] == ["solo.other.org"]
     # non-admitted rows are preserved, just not admitted
     assert out.count() == len(rows)
+
+
+def test_registrable_domain_ipv4_literal_kept_whole(spark):
+    df = spark.createDataFrame(
+        [("192.168.0.1",), ("10.9.0.1",), ("256.1.example.com",)], ["host"]
+    )
+    got = {
+        r.host: r.d
+        for r in df.select(
+            "host", registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got["192.168.0.1"] == "192.168.0.1"
+    assert got["10.9.0.1"] == "10.9.0.1"
+    # a dotted-but-named host still follows the label rule
+    assert got["256.1.example.com"] == "example.com"

@@ -38,7 +38,12 @@ TWO_LEVEL_SUFFIXES: tuple[str, ...] = (
 
 def registrable_domain(host: Column) -> Column:
     """eTLD+1 of a lowercase host (NULL passthrough; hosts with fewer
-    labels than the rule needs return the host unchanged)."""
+    labels than the rule needs return the host unchanged).
+
+    IPv4 literals have no registrable domain (PSL semantics) and are
+    returned whole — otherwise '192.168.0.1' and '10.9.0.1' would both
+    collapse to '0.1' and unrelated hosts would share domain-level
+    policy (budgets, rollups)."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
@@ -46,4 +51,5 @@ def registrable_domain(host: Column) -> Column:
     take = F.when(
         (n >= 3) & F.array_contains(suffixes, last2), F.lit(3)
     ).otherwise(F.least(n, F.lit(2)))
-    return F.array_join(F.slice(labels, n - take + 1, take), ".")
+    eTLD1 = F.array_join(F.slice(labels, n - take + 1, take), ".")
+    return F.when(host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$"), host).otherwise(eTLD1)

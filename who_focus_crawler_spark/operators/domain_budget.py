@@ -9,8 +9,8 @@ functions/domains.py) over the host budget.
 
 Semantics (frozen, oracle-checked by ``c_domain_budget``):
   within each registrable domain, the host-admitted rows are ranked by
-  the same frozen HOST_ORDER used inside hosts (priority desc, then
-  canon_url) and the first ``domain_k`` stay admitted; the rest are
+  the same frozen HOST_ORDER used inside hosts (priority desc, depth
+  asc, canon_url asc) and the first ``domain_k`` stay admitted; the rest are
   demoted to deferred (remain enqueued in the frontier — identical
   lifecycle to a host-budget deferral).
 
@@ -36,7 +36,6 @@ from who_focus_crawler_spark.operators.frontier import host_order
 def apply_domain_budget(
     admitted: DataFrame,
     domain_k: int,
-    url_col: str = "canon_url",
     host_col: str = "host",
     admitted_col: str = "admitted",
 ) -> DataFrame:

@@ -2,12 +2,14 @@
 
 Flow (SURVEY.md §2.1 C8): distinct new hosts → vectorized fetch+parse of
 robots.txt (mapInPandas; fixture-served in this sandbox — no network) →
-union into the broadcast-joined robots_cache → RFC 9309 longest-match rule
-evaluation as one Arrow-batched pandas UDF.
+union into the broadcast-joined robots_cache → RFC 9309
+most-specific-match rule evaluation as one Arrow-batched pandas UDF.
 
-Rules are cached as a JSON string column (list of [allow, prefix] pairs,
-longest-match applied at evaluation time), so the cache row is flat and
-broadcast-friendly: one row per distinct host, tiny versus the frontier.
+Rules are cached as a JSON string column (list of [allow, pattern]
+pairs; patterns are plain path prefixes or §2.2.3 wildcard rules with
+``*``/trailing ``$``, most-specific — longest pattern — wins at
+evaluation time), so the cache row is flat and broadcast-friendly: one
+row per distinct host, tiny versus the frontier.
 """
 
 from __future__ import annotations

@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -64,14 +64,17 @@ def parse_sitemaps(sitemaps: DataFrame, xml_col: str = "sitemap_xml") -> DataFra
     ``<loc>`` and optional ``<priority>`` per entry (missing priority →
     protocol default 0.5). Whole-stage codegen end to end.
     """
+    # (?s): real sitemaps are pretty-printed — '.' must cross newlines
     entries = F.regexp_extract_all(
-        F.col(xml_col), F.lit(r"<url>(.*?)</url>"), F.lit(1)
+        F.col(xml_col), F.lit(r"(?s)<url>(.*?)</url>"), F.lit(1)
     )
     exploded = (
         sitemaps.filter(F.col(xml_col).isNotNull())
         .select("host", F.explode(entries).alias("_entry"))
     )
-    loc = F.regexp_extract("_entry", r"<loc>([^<]*)</loc>", 1)
+    loc = _xml_unescape(
+        F.trim(F.regexp_extract("_entry", r"(?s)<loc>\s*([^<]*?)\s*</loc>", 1))
+    )
     prio = F.regexp_extract("_entry", r"<priority>([0-9.]+)</priority>", 1)
     return (
         exploded.select(
@@ -83,3 +86,20 @@ def parse_sitemaps(sitemaps: DataFrame, xml_col: str = "sitemap_xml") -> DataFra
         )
         .filter(F.col("loc") != "")
     )
+
+
+def _xml_unescape(s: Column) -> Column:
+    """Undo the five predefined XML entities (the sitemaps.org protocol
+    REQUIRES entity-escaping URLs — '&' in a query string arrives as
+    '&amp;' and must not survive into the frontier). &amp; is decoded
+    last so double-escapes like '&amp;lt;' resolve in document order."""
+    out = s
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out

@@ -20,7 +20,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from who_focus_crawler_spark import schemas
@@ -95,6 +95,14 @@ def _add_sitemap_seeds(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
     parsed = parse_sitemaps(
         fetch_sitemaps_for_hosts(frontier.select("host"), cfg.web)
     )
+    if cfg.trap_threshold is not None:
+        from who_focus_crawler_spark.functions.traps import trap_score
+
+        # discovery channel 2 obeys the same frontier-hygiene gate as
+        # link discovery — trap-shaped sitemap entries never enqueue
+        parsed = parsed.filter(
+            trap_score(F.col("loc")) < F.lit(cfg.trap_threshold)
+        )
     seeds = frontier.select(
         F.col("host").alias("seed_host"),
         F.col("seed_id"),
@@ -118,7 +126,18 @@ def _add_sitemap_seeds(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
             F.lit("enqueued").alias("state"),
         )
         .join(frontier.select("canon_url"), "canon_url", "left_anti")
-        .dropDuplicates(["canon_url"])
+    )
+    # Deterministic duplicate resolution (two sitemaps listing one URL,
+    # or multiple seed rows on a host): a frozen total order, never
+    # dropDuplicates' partition-layout-dependent pick (SURVEY §7 hard
+    # part #1 — the frontier must be byte-identical across runs).
+    w = Window.partitionBy("canon_url").orderBy(
+        F.desc("priority"), F.asc("seed_id"), F.asc("parent_hash")
+    )
+    cand = (
+        cand.withColumn("_sm_rn", F.row_number().over(w))
+        .filter(F.col("_sm_rn") == 1)
+        .drop("_sm_rn")
     )
     return frontier.unionByName(cand)
 

@@ -74,6 +74,18 @@ def seed_urls(cfg: WebConfig) -> list[str]:
 # ---------------------------------------------------------------- robots ---
 
 
+def _host_index(host: str) -> int | None:
+    """Fixture host index of 'h<i>.example.test' hostnames, else None —
+    the single parser shared by every per-host fixture channel
+    (robots, sitemaps) so they can't disagree on which hosts exist."""
+    if not host.startswith("h") or not host.endswith(".example.test"):
+        return None
+    try:
+        return int(host.split(".")[0][1:])
+    except ValueError:
+        return None
+
+
 def robots_rules(host: str, cfg: WebConfig) -> list[tuple[bool, str]]:
     """Parsed robots rules for a host: list of (allow, path_prefix).
 
@@ -81,11 +93,8 @@ def robots_rules(host: str, cfg: WebConfig) -> list[tuple[bool, str]]:
     Hosts i ≡ 0 (mod 7) disallow /private/ but allow /private/p/0 back
     (longest-match exercise); host 3 serves no robots file (allow all).
     """
-    if not host.startswith("h") or not host.endswith(".example.test"):
-        return []
-    try:
-        i = int(host.split(".")[0][1:])
-    except ValueError:
+    i = _host_index(host)
+    if i is None:
         return []
     if i == 3:
         return []  # no robots file
@@ -113,11 +122,8 @@ def sitemap_entries(host: str, cfg: WebConfig) -> list[tuple[str, float]]:
     sitemap. Priorities cycle a fixed 0.1–1.0 grid. Pure function of
     (host, cfg) — shared by the fixture fetch and the tests, same
     pattern as robots_rules."""
-    if not host.startswith("h") or not host.endswith(".example.test"):
-        return []
-    try:
-        i = int(host.split(".")[0][1:])
-    except ValueError:
+    i = _host_index(host)
+    if i is None:
         return []
     if i % 5 == 4:
         return []
