@@ -197,3 +197,43 @@ def test_trap_gate_also_covers_sitemap_channel(spark, tmp_path_factory):
     catalog = bootstrap(spark, cfg)
     frontier = catalog.read_table(spark, "frontier", schemas.FRONTIER).collect()
     assert {r.canon_url for r in frontier} == set(seed_urls(UNIT_WEB))
+
+
+def test_compact_table_preserves_rows_and_time_travel(spark, tmp_path_factory):
+    """Compaction rewrites an append table's many per-batch files into
+    one, preserves exact contents, leaves older snapshots readable, and
+    expiry then reclaims the superseded files."""
+    cfg = CrawlConfig(
+        web=UNIT_WEB,
+        checkpoint_dir=str(tmp_path_factory.mktemp("crawl_compact")),
+        num_buckets=8,
+    )
+    catalog = run_crawl(spark, cfg)
+    golden = run_golden(UNIT_WEB)
+    head = catalog.head()
+    n_files_before = len(catalog.manifest(head)["tables"]["crawl_order"])
+    assert n_files_before > 1  # one file-set per batch accumulated
+    res = catalog.compact_table(spark, "crawl_order", schemas.CRAWL_ORDER)
+    assert res["compacted"] and res["files_before"] == n_files_before
+    assert catalog.head() == head + 1
+    rows = (
+        catalog.read_table(spark, "crawl_order", schemas.CRAWL_ORDER)
+        .orderBy("seq")
+        .collect()
+    )
+    got = [(r.seq, r.batch, r.canon_url, r.host, r.depth, r.seed_id) for r in rows]
+    assert got == golden.crawl_order  # contents byte-identical
+    # pre-compaction snapshot still reads the original files
+    old = catalog.read_table(
+        spark, "crawl_order", schemas.CRAWL_ORDER, snapshot_id=head
+    )
+    assert old.count() == len(got)
+    # idempotent: already compact
+    assert not catalog.compact_table(spark, "crawl_order", schemas.CRAWL_ORDER)[
+        "compacted"
+    ]
+    # expiry reclaims the superseded per-batch files, HEAD still reads all
+    catalog.expire_snapshots(keep_last=1)
+    assert catalog.read_table(
+        spark, "crawl_order", schemas.CRAWL_ORDER
+    ).count() == len(got)

@@ -93,12 +93,19 @@ class SnapshotCatalog:
             if name in APPEND_TABLES and prev and name in prev["tables"]:
                 files = list(prev["tables"][name]) + files
             entry[name] = files
-        manifest = {
-            "snapshot_id": snapshot_id,
-            "committed_at": time.time(),
-            "tables": entry,
-            "state": state,
-        }
+        self._publish(
+            {
+                "snapshot_id": snapshot_id,
+                "committed_at": time.time(),
+                "tables": entry,
+                "state": state,
+            }
+        )
+
+    def _publish(self, manifest: dict) -> None:
+        """Durably write a manifest, then atomically swap HEAD to it —
+        the shared publish point for commit() and compact_table()."""
+        snapshot_id = manifest["snapshot_id"]
         mp = self._manifest_path(snapshot_id)
         tmp = mp.with_suffix(".tmp")
         with open(tmp, "w") as f:
@@ -179,4 +186,59 @@ class SnapshotCatalog:
         return {
             "manifests_removed": removed_manifests,
             "files_removed": removed_files,
+        }
+
+    def compact_table(
+        self,
+        spark: SparkSession,
+        name: str,
+        schema: T.StructType,
+        num_files: int = 1,
+    ) -> dict:
+        """Iceberg-style data-file compaction for one (append) table.
+
+        A long crawl leaves an append table (crawl_order, documents,
+        metrics) spread over one small file-set per batch — the classic
+        small-files problem: every read plans hundreds of tiny splits.
+        Compaction rewrites the table's CURRENT file list into
+        ``num_files`` files and publishes a NEW snapshot whose manifest
+        points this table at the compacted set (all other tables and the
+        crawl state carry forward unchanged). Readers at older snapshots
+        still see the original files — time travel is unaffected — and
+        the superseded files are reclaimed later by expire_snapshots
+        once no retained manifest references them.
+
+        Run this as between-run maintenance: crawl snapshot ids are
+        batch-sequential, so a crawl RESUMED after compaction writes its
+        next batch at the same id and supersedes the compaction manifest
+        — reads stay correct (the pre-compaction file lists it falls
+        back to still exist until expiry), the rewrite is just forgotten.
+        """
+        head = self.head()
+        if head is None:
+            return {"compacted": False, "reason": "no snapshots"}
+        manifest = self.manifest(head)
+        files = manifest["tables"].get(name, [])
+        if len(files) <= num_files:
+            return {"compacted": False, "reason": "already compact",
+                    "files_before": len(files)}
+        new_sid = head + 1
+        path = self.root / "data" / name / f"compact-{new_sid:06d}"
+        df = spark.read.schema(schema).parquet(*files)
+        df.coalesce(num_files).write.mode("overwrite").parquet(str(path))
+        entry = {n: list(fs) for n, fs in manifest["tables"].items()}
+        entry[name] = [str(path)]
+        self._publish(
+            {
+                "snapshot_id": new_sid,
+                "committed_at": time.time(),
+                "tables": entry,
+                "state": manifest["state"],
+            }
+        )
+        return {
+            "compacted": True,
+            "snapshot_id": new_sid,
+            "files_before": len(files),
+            "files_after": num_files,
         }
