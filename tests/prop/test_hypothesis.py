@@ -87,3 +87,52 @@ def test_bloom_never_false_negative(seed, n, nhashes):
     nbits = 1 << 14
     blob = bloom_build(keys, nbits=nbits, nhashes=nhashes)
     assert bloom_maybe_contains(blob, keys, nbits, nhashes).all()
+
+
+# ---------------------------------------------------------------- sampling
+
+
+@given(
+    ws=st.lists(
+        st.floats(min_value=0.01, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_split_threshold_ranges_partition_bucket_space(ws):
+    """The cumulative thresholds split_assign derives are monotone and
+    end exactly at SAMPLE_BUCKETS, so the half-open ranges are pairwise
+    disjoint and exhaustive for every weights dict."""
+    from who_focus_crawler_spark.corpus.sampling import (
+        SAMPLE_BUCKETS,
+        fraction_threshold,
+    )
+
+    total = sum(ws)
+    acc, last = 0.0, 0
+    for w in ws[:-1]:
+        acc += w / total
+        thr = fraction_threshold(acc)
+        assert 0 <= last <= thr <= SAMPLE_BUCKETS
+        last = thr
+    assert fraction_threshold(1.0) == SAMPLE_BUCKETS
+
+
+@given(
+    ws=st.dictionaries(
+        st.text(alphabet="abcxyz", min_size=1, max_size=4),
+        st.floats(min_value=0.01, max_value=50, allow_nan=False),
+        min_size=1,
+        max_size=6,
+    ),
+    budget=st.integers(min_value=0, max_value=10**12),
+)
+@settings(max_examples=300, deadline=None)
+def test_source_budgets_never_exceed_total(ws, budget):
+    from who_focus_crawler_spark.corpus.mixture import source_budgets
+
+    b = source_budgets(ws, budget)
+    assert set(b) == set(ws)
+    assert all(v >= 0 for v in b.values())
+    assert sum(b.values()) <= budget

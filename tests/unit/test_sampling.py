@@ -110,3 +110,23 @@ def test_mixture_excludes_zero_token_docs_of_unlisted_sources(spark):
     df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
     out = mixture_select(df, {"listed": 1.0}, 100).collect()
     assert {r.doc_id for r in out} == {1}
+
+
+def test_sample_bucket_matches_hashlib_twin(spark):
+    """The Spark md5-bucket expression is pinned to an independent
+    hashlib derivation (the convention every oracle encodes)."""
+    import hashlib
+
+    from who_focus_crawler_spark.corpus.sampling import sample_bucket
+
+    keys = [*range(50), 2**40 + 7, 999999937]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r.k: r.b
+        for r in df.select(
+            "k", sample_bucket(F.col("k"), "sX").alias("b")
+        ).collect()
+    }
+    for k in keys:
+        h = hashlib.md5(f"sX:{k}".encode()).hexdigest()[:15]
+        assert got[k] == int(h, 16) % SAMPLE_BUCKETS, k

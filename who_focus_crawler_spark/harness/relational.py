@@ -911,3 +911,55 @@ QUERIES.update(
         "r_pivot": (r_pivot, R_PIVOT_SQL),
     }
 )
+
+# --------------------------------------------------------------------------
+# MERGE INTO / upsert (operators/merge.py): update matched rows'
+# c_acctbal only (name/segment preserved), insert unmatched source rows
+# whole. Oracle derives the same relation as matched ∪ target-only ∪
+# source-only — an independent three-way decomposition of the single
+# full-outer-join plan the operator builds.
+
+
+def r_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.merge import merge_upsert
+
+    c = t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    updates = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("upd_"), F.col("c_name")).alias("c_name"),
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("UPD").alias("c_mktsegment"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 200000).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    source = updates.unionByName(inserts)
+    return merge_upsert(c, source, ["c_custkey"], update_cols=["c_acctbal"])
+
+
+R_MERGE_UPSERT_SQL = """
+WITH tgt AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+),
+src AS (
+  SELECT c_custkey, concat('upd_', c_name) AS c_name,
+         c_acctbal + 100.0 AS c_acctbal, 'UPD' AS c_mktsegment
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 200000, concat('new_', c_name), 0.0, 'NEW'
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT t.c_custkey, t.c_name, s.c_acctbal, t.c_mktsegment
+FROM tgt t JOIN src s ON t.c_custkey = s.c_custkey
+UNION ALL
+SELECT * FROM tgt WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+UNION ALL
+SELECT * FROM src WHERE c_custkey NOT IN (SELECT c_custkey FROM tgt)
+"""
+
+QUERIES["r_merge_upsert"] = (r_merge_upsert, R_MERGE_UPSERT_SQL)
