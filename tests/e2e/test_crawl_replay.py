@@ -237,3 +237,41 @@ def test_compact_table_preserves_rows_and_time_travel(spark, tmp_path_factory):
     assert catalog.read_table(
         spark, "crawl_order", schemas.CRAWL_ORDER
     ).count() == len(got)
+
+
+def test_sql_views_over_checkpoint(crawled):
+    """spark.sql over registered checkpoint views reproduces the golden
+    crawl order and joins crawl tables relationally; compaction with a
+    sort order preserves contents."""
+    spark, catalog, golden = crawled
+    from who_focus_crawler_spark.plans.sql import register_catalog_views
+
+    views = register_catalog_views(spark, catalog, prefix="v_")
+    assert "v_crawl_order" in views and "v_metrics" in views
+    rows = spark.sql(
+        "SELECT seq, batch, canon_url, host, depth, seed_id "
+        "FROM v_crawl_order ORDER BY seq"
+    ).collect()
+    assert [tuple(r) for r in rows] == golden.crawl_order
+    joined = spark.sql(
+        "SELECT m.host, sum(m.fetched) AS fetched, count(DISTINCT c.canon_url) AS pages "
+        "FROM v_metrics m JOIN v_crawl_order c "
+        "ON m.host = c.host AND m.batch = c.batch "
+        "GROUP BY m.host"
+    ).collect()
+    assert all(r.fetched >= r.pages for r in joined) and len(joined) > 0
+    # sort-ordered compaction keeps contents identical
+    res = catalog.compact_table(
+        spark, "crawl_order", schemas.CRAWL_ORDER, sort_by=["seq"]
+    )
+    if res["compacted"]:  # may already be compacted by an earlier test
+        after = (
+            catalog.read_table(spark, "crawl_order", schemas.CRAWL_ORDER)
+            .orderBy("seq")
+            .collect()
+        )
+        got = [
+            (r.seq, r.batch, r.canon_url, r.host, r.depth, r.seed_id)
+            for r in after
+        ]
+        assert got == golden.crawl_order

@@ -194,6 +194,7 @@ class SnapshotCatalog:
         name: str,
         schema: T.StructType,
         num_files: int = 1,
+        sort_by: list[str] | None = None,
     ) -> dict:
         """Iceberg-style data-file compaction for one (append) table.
 
@@ -225,7 +226,14 @@ class SnapshotCatalog:
         new_sid = head + 1
         path = self.root / "data" / name / f"compact-{new_sid:06d}"
         df = spark.read.schema(schema).parquet(*files)
-        df.coalesce(num_files).write.mode("overwrite").parquet(str(path))
+        if sort_by:
+            # Iceberg rewrite-with-sort-order: cluster rows so ranged
+            # reads (seq scans, per-host slices) hit few row groups and
+            # min/max parquet stats prune harder
+            df = df.coalesce(num_files).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(num_files)
+        df.write.mode("overwrite").parquet(str(path))
         entry = {n: list(fs) for n, fs in manifest["tables"].items()}
         entry[name] = [str(path)]
         self._publish(
