@@ -253,13 +253,16 @@ def test_sql_views_over_checkpoint(crawled):
         "FROM v_crawl_order ORDER BY seq"
     ).collect()
     assert [tuple(r) for r in rows] == golden.crawl_order
+    # aggregate-then-join: metrics' fetched count must EQUAL the
+    # crawl_order row count per host (fan-out-free, can actually fail)
     joined = spark.sql(
-        "SELECT m.host, sum(m.fetched) AS fetched, count(DISTINCT c.canon_url) AS pages "
-        "FROM v_metrics m JOIN v_crawl_order c "
-        "ON m.host = c.host AND m.batch = c.batch "
-        "GROUP BY m.host"
+        "SELECT m.host, m.fetched, c.pages FROM "
+        "(SELECT host, sum(fetched) AS fetched FROM v_metrics GROUP BY host) m "
+        "JOIN (SELECT host, count(*) AS pages FROM v_crawl_order GROUP BY host) c "
+        "ON m.host = c.host"
     ).collect()
-    assert all(r.fetched >= r.pages for r in joined) and len(joined) > 0
+    assert len(joined) > 0
+    assert all(r.fetched == r.pages for r in joined), joined
     # sort-ordered compaction keeps contents identical
     res = catalog.compact_table(
         spark, "crawl_order", schemas.CRAWL_ORDER, sort_by=["seq"]
@@ -275,3 +278,30 @@ def test_sql_views_over_checkpoint(crawled):
             for r in after
         ]
         assert got == golden.crawl_order
+
+
+def test_resume_after_compact_and_expire(spark, tmp_path_factory):
+    """The maintenance sequence a production operator actually runs:
+    stop mid-crawl → compact → expire to one snapshot → resume. The
+    resumed crawl must build on the compacted file set (commit carries
+    forward from HEAD) and finish byte-identical to the golden run."""
+    cfg = CrawlConfig(
+        web=UNIT_WEB,
+        checkpoint_dir=str(tmp_path_factory.mktemp("crawl_maint")),
+        num_buckets=8,
+    )
+    catalog = run_crawl(spark, cfg, until_batch=3)
+    res = catalog.compact_table(
+        spark, "crawl_order", schemas.CRAWL_ORDER, sort_by=["seq"]
+    )
+    assert res["compacted"]
+    catalog.expire_snapshots(keep_last=1)
+    catalog = run_crawl(spark, cfg, resume=True)
+    golden = run_golden(UNIT_WEB)
+    rows = (
+        catalog.read_table(spark, "crawl_order", schemas.CRAWL_ORDER)
+        .orderBy("seq")
+        .collect()
+    )
+    got = [(r.seq, r.batch, r.canon_url, r.host, r.depth, r.seed_id) for r in rows]
+    assert got == golden.crawl_order

@@ -65,8 +65,21 @@ class SnapshotCatalog:
         state: dict,
         num_files: int = 1,
     ) -> None:
-        """Write each table's delta/replacement, then atomically publish."""
-        prev = self.manifest(snapshot_id - 1) if snapshot_id > 0 else None
+        """Write each table's delta/replacement, then atomically publish.
+
+        Carry-forward reads the CURRENT HEAD manifest, not
+        ``snapshot_id - 1``: in the plain crawl loop they are the same,
+        but after between-run maintenance (compact_table publishes at
+        head+1; expire_snapshots may then delete older manifests) HEAD
+        is the only manifest guaranteed to exist — and it already points
+        at the compacted file lists, so a resumed crawl builds on the
+        rewrite instead of the superseded per-batch files.
+        """
+        head = self.head()
+        if head is not None:
+            prev = self.manifest(head)
+        else:
+            prev = self.manifest(snapshot_id - 1) if snapshot_id > 0 else None
         entry: dict[str, list[str]] = {}
 
         def write(name: str, df: DataFrame) -> tuple[str, str]:
@@ -211,9 +224,11 @@ class SnapshotCatalog:
 
         Run this as between-run maintenance: crawl snapshot ids are
         batch-sequential, so a crawl RESUMED after compaction writes its
-        next batch at the same id and supersedes the compaction manifest
-        — reads stay correct (the pre-compaction file lists it falls
-        back to still exist until expiry), the rewrite is just forgotten.
+        next batch at the same id, superseding the compaction manifest —
+        but commit() carries file lists forward from HEAD, so the
+        resumed batch appends ON TOP of the compacted file set and the
+        rewrite survives (e2e: resume after compact+expire replays the
+        golden crawl exactly).
         """
         head = self.head()
         if head is None:
@@ -227,10 +242,17 @@ class SnapshotCatalog:
         path = self.root / "data" / name / f"compact-{new_sid:06d}"
         df = spark.read.schema(schema).parquet(*files)
         if sort_by:
-            # Iceberg rewrite-with-sort-order: cluster rows so ranged
-            # reads (seq scans, per-host slices) hit few row groups and
-            # min/max parquet stats prune harder
-            df = df.coalesce(num_files).sortWithinPartitions(*sort_by)
+            # Iceberg rewrite-with-sort-order: RANGE-partition on the
+            # sort key so each output file owns a disjoint key range
+            # (coalesce would concatenate arbitrary splits and every
+            # file would span the whole range), then sort inside — now
+            # ranged reads hit few files and parquet min/max stats
+            # prune across files, not just row groups.
+            if num_files > 1:
+                df = df.repartitionByRange(num_files, *sort_by)
+            else:
+                df = df.coalesce(1)
+            df = df.sortWithinPartitions(*sort_by)
         else:
             df = df.coalesce(num_files)
         df.write.mode("overwrite").parquet(str(path))

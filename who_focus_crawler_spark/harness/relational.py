@@ -932,8 +932,11 @@ def r_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
         F.lit("UPD").alias("c_mktsegment"),
     )
+    # strictly-negative keys (custkeys start at 0) can never collide
+    # with real custkeys at ANY scale factor (a fixed +offset would
+    # collide once max(custkey) crosses it)
     inserts = c.filter(F.col("c_custkey") % 7 == 0).select(
-        (F.col("c_custkey") + 200000).alias("c_custkey"),
+        (-(F.col("c_custkey") + 1)).alias("c_custkey"),
         F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
         F.lit(0.0).alias("c_acctbal"),
         F.lit("NEW").alias("c_mktsegment"),
@@ -951,7 +954,7 @@ src AS (
          c_acctbal + 100.0 AS c_acctbal, 'UPD' AS c_mktsegment
   FROM customer WHERE c_custkey % 3 = 0
   UNION ALL
-  SELECT c_custkey + 200000, concat('new_', c_name), 0.0, 'NEW'
+  SELECT -(c_custkey + 1), concat('new_', c_name), 0.0, 'NEW'
   FROM customer WHERE c_custkey % 7 = 0
 )
 SELECT t.c_custkey, t.c_name, s.c_acctbal, t.c_mktsegment

@@ -12,16 +12,19 @@ relationally:
     merged = (target ⟕ source on key: matched rows take source values)
              ∪ (source ⟖ target: unmatched source rows insert whole)
 
-Shapes at scale: ONE shuffle of each side on the key (a single full
-outer join — no anti+union double-shuffle); column selection happens in
-the join projection, so nothing wider than the output schema crosses
-the exchange. Matched-row updates are column-wise COALESCE-style
-CASE — whole-stage codegen, no Python.
+Shapes at scale: the merge itself is ONE shuffle of each side on the
+key (a single full outer join — no anti+union double-shuffle); column
+selection happens in the join projection, so nothing wider than the
+output schema crosses the exchange. Matched-row updates are
+column-wise COALESCE-style CASE — whole-stage codegen, no Python.
 
 Semantics (frozen, oracle-checked by ``r_merge_upsert``):
 - key collision within ``source`` is the caller's bug (like SQL MERGE,
   which raises on multiple matches); ``strict`` mode (default) counts
-  source-key duplicates and raises.
+  source-key duplicates and raises. The check is an EAGER extra job
+  that executes the source lineage once before the merge — when
+  ``source`` is an expensive derived pipeline, persist it first or
+  pass ``strict=False`` after validating upstream.
 - ``update_cols`` limits which columns a matched row takes from the
   source; all other target columns are preserved. Inserted rows take
   every source column (schemas must match by name).
@@ -53,6 +56,11 @@ def merge_upsert(
     bad = [c for c in update_cols if c in key_cols or c not in tcols]
     if bad:
         raise ValueError(f"invalid update_cols: {bad}")
+    taken = {"_m_tgt", "_m_src"} & (set(tcols) | set(source.columns))
+    if taken:
+        raise ValueError(
+            f"reserved membership-tag column names in input: {sorted(taken)}"
+        )
     if strict:
         dups = (
             source.groupBy(*key_cols)
