@@ -31,6 +31,18 @@ def main() -> None:
     ap.add_argument("--no-bloom", action="store_true")
     ap.add_argument("--hosts", type=int, default=40)
     ap.add_argument("--pages", type=int, default=2000)
+    ap.add_argument(
+        "--filter-kind", choices=["bloom", "cuckoo"], default="bloom",
+        help="URL-seen fast-path membership structure",
+    )
+    ap.add_argument(
+        "--trap-threshold", type=int, default=None,
+        help="drop discovered/sitemap URLs at or above this trap score",
+    )
+    ap.add_argument(
+        "--sitemaps", action="store_true",
+        help="seed the frontier from the seed hosts' sitemap.xml",
+    )
     args = ap.parse_args()
 
     web = {
@@ -45,7 +57,10 @@ def main() -> None:
         checkpoint_dir=args.checkpoint_dir,
         num_buckets=args.buckets,
         use_bloom=not args.no_bloom,
+        filter_kind=args.filter_kind,
         max_batches=args.batches,
+        trap_threshold=args.trap_threshold,
+        use_sitemaps=args.sitemaps,
     )
     catalog = run_crawl(spark, cfg, resume=args.resume)
     st = catalog.state()

@@ -136,3 +136,36 @@ def test_source_budgets_never_exceed_total(ws, budget):
     assert set(b) == set(ws)
     assert all(v >= 0 for v in b.values())
     assert sum(b.values()) <= budget
+
+
+# ------------------------------------------------------------------ robots
+
+
+_rule_pat = st.text(alphabet="/abp*0.$", min_size=0, max_size=10)
+_path_st = st.text(alphabet="/abp0.x", min_size=0, max_size=14)
+
+
+@given(
+    rules=st.lists(
+        st.tuples(st.booleans(), _rule_pat), min_size=0, max_size=5
+    ),
+    paths=st.lists(_path_st, min_size=1, max_size=6),
+)
+@settings(max_examples=400, deadline=None)
+def test_robots_vectorized_matches_sequential_twin(rules, paths):
+    """The Arrow-batched matcher (operators/robots.py::_robots_match
+    core) agrees with the golden crawler's sequential robots_allowed on
+    arbitrary rule sets — wildcards, anchors, ties, empty patterns."""
+    import json
+
+    import pandas as pd
+
+    from who_focus_crawler_spark.operators.robots import _robots_match
+    from who_focus_crawler_spark.sources.fixture_web import robots_allowed
+
+    rj = json.dumps([[a, p] for a, p in rules])
+    got = _robots_match.func(
+        pd.Series([rj] * len(paths)), pd.Series(paths)
+    ).tolist()
+    want = [robots_allowed(rules, p) for p in paths]
+    assert got == want, (rules, paths)

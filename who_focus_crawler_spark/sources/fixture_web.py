@@ -17,6 +17,7 @@ canon_url, which any engine can reproduce).
 from __future__ import annotations
 
 import hashlib
+import re as _re
 from dataclasses import dataclass
 
 from who_focus_crawler_spark.functions.urls import canonicalize_py, resolve_py
@@ -103,12 +104,28 @@ def robots_rules(host: str, cfg: WebConfig) -> list[tuple[bool, str]]:
     return [(True, "/")]
 
 
+def _rule_matches(pattern: str, path: str) -> bool:
+    """One robots rule against one path — the sequential twin of
+    operators/robots.py::_rule_matcher (RFC 9309 §2.2.3: '*' spans any
+    octets, trailing '$' anchors; plain patterns are prefixes)."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return path.startswith(pattern)
+    body, anchored = (
+        (pattern[:-1], True) if pattern.endswith("$") else (pattern, False)
+    )
+    rx = ".*".join(_re.escape(part) for part in body.split("*"))
+    if anchored:
+        rx += r"\Z"
+    return _re.match(rx, path) is not None
+
+
 def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
-    """RFC 9309: the longest matching prefix wins; no match → allowed."""
+    """RFC 9309: the longest (most-specific) matching rule wins, first
+    rule in file order on ties; no match → allowed."""
     best_len, best_allow = -1, True
-    for allow, prefix in rules:
-        if path.startswith(prefix) and len(prefix) > best_len:
-            best_len, best_allow = len(prefix), allow
+    for allow, pattern in rules:
+        if _rule_matches(pattern, path) and len(pattern) > best_len:
+            best_len, best_allow = len(pattern), allow
     return best_allow
 
 
