@@ -31,6 +31,7 @@ def run_corpus_pipeline(
     split_weights: dict[str, float] | None = None,
     mixture_weights: dict[str, float] | None = None,
     token_budget: int | None = None,
+    merge_into: str | None = None,
 ) -> dict:
     """docs(doc_id, text[, source]) → kept corpus + stats.
 
@@ -112,7 +113,22 @@ def run_corpus_pipeline(
         final = split_assign(final, "doc_id", split_weights)
     final = final.persist()
     n_kept = final.count()  # one pipeline execution; the write below reuses it
-    if output:
+    if merge_into:
+        # incremental corpus maintenance: upsert this run's survivors
+        # into an existing kept-corpus by doc_id — re-processed docs
+        # take their new text/quality, prior docs are preserved
+        from who_focus_crawler_spark.operators.merge import merge_upsert
+
+        spark = docs.sparkSession
+        existing = spark.read.parquet(merge_into)
+        merged = merge_upsert(
+            existing, final.select(*existing.columns), ["doc_id"]
+        ).persist()
+        stats_merged = merged.count()
+        if output:
+            merged.write.mode("overwrite").parquet(output)
+        merged.unpersist()
+    elif output:
         final.write.mode("overwrite").parquet(output)
     stats = {
         "n_input": n_in,
@@ -121,6 +137,8 @@ def run_corpus_pipeline(
         "dropped_exact_dup": n_in - n_exact,
         "dropped_neardup_or_filtered": n_exact - n_kept,
     }
+    if merge_into:
+        stats["n_merged_corpus"] = stats_merged
     if split_weights is not None:
         stats["n_per_split"] = {
             r.split: r.n
@@ -165,6 +183,11 @@ def main() -> None:
         help="per-source mixture weights, e.g. web=0.6,code=0.4",
     )
     ap.add_argument("--token-budget", type=int, default=None)
+    ap.add_argument(
+        "--merge-into", default=None,
+        help="existing kept-corpus parquet to upsert this run's docs into "
+             "(by doc_id); the merged corpus is written to --output",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("wfc-corpus").getOrCreate()
@@ -192,6 +215,7 @@ def main() -> None:
         split_weights=_parse_weights(args.split) if args.split else None,
         mixture_weights=_parse_weights(args.mixture) if args.mixture else None,
         token_budget=args.token_budget,
+        merge_into=args.merge_into,
     )
     print(json.dumps(stats))
     spark.stop()

@@ -549,3 +549,31 @@ def test_corpus_pipeline_mixture_requires_budget_and_source(spark):
         run_corpus_pipeline(
             docs.drop("source"), mixture_weights={"s": 1.0}, token_budget=10
         )
+
+
+def test_corpus_pipeline_incremental_merge(spark, tmp_path):
+    """--merge-into: a second run upserts its survivors into the first
+    run's corpus — re-processed docs update, prior docs persist."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from corpus import run_corpus_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    first_out = str(tmp_path / "corpus_v1")
+    stats1 = run_corpus_pipeline(docs.filter(F.col("doc_id") < 250), output=first_out)
+    merged_out = str(tmp_path / "corpus_v2")
+    stats2 = run_corpus_pipeline(
+        docs.filter(F.col("doc_id") >= 200),  # overlaps [200, 250)
+        output=merged_out,
+        merge_into=first_out,
+    )
+    v1 = spark.read.parquet(first_out)
+    v2 = spark.read.parquet(merged_out)
+    ids1 = {r.doc_id for r in v1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in v2.select("doc_id").collect()}
+    assert ids1 <= ids2  # nothing from the first corpus is lost
+    assert stats2["n_merged_corpus"] == len(ids2)
+    assert len(ids2) > len(ids1)  # the second batch contributed new docs
