@@ -305,3 +305,32 @@ def test_resume_after_compact_and_expire(spark, tmp_path_factory):
     )
     got = [(r.seq, r.batch, r.canon_url, r.host, r.depth, r.seed_id) for r in rows]
     assert got == golden.crawl_order
+
+
+def test_e2e_tier_crawl_matches_golden(spark, tmp_path_factory):
+    """The larger fixture tier (40 hosts / 2,000 pages / 30 batches,
+    hot-host skew, robots variety): crawl order and URL-seen must equal
+    the sequential golden crawler exactly — the unit-tier equality
+    holding at 40x the page count is the strongest determinism evidence
+    this sandbox can produce (~2.5 min)."""
+    from who_focus_crawler_spark.sources.fixture_web import E2E_WEB
+
+    cfg = CrawlConfig(
+        web=E2E_WEB,
+        checkpoint_dir=str(tmp_path_factory.mktemp("crawl_e2e_tier")),
+        num_buckets=16,
+    )
+    catalog = run_crawl(spark, cfg)
+    golden = run_golden(E2E_WEB)
+    rows = (
+        catalog.read_table(spark, "crawl_order", schemas.CRAWL_ORDER)
+        .orderBy("seq")
+        .collect()
+    )
+    got = [(r.seq, r.batch, r.canon_url, r.host, r.depth, r.seed_id) for r in rows]
+    assert got == golden.crawl_order
+    seen = {
+        r.canon_url
+        for r in catalog.read_table(spark, "url_seen", schemas.URL_SEEN).collect()
+    }
+    assert seen == golden.url_seen
