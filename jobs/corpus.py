@@ -116,14 +116,33 @@ def run_corpus_pipeline(
     if merge_into:
         # incremental corpus maintenance: upsert this run's survivors
         # into an existing kept-corpus by doc_id — re-processed docs
-        # take their new text/quality, prior docs are preserved
+        # take their new text/quality, prior docs are preserved — then
+        # exact-dedup ACROSS runs (a re-crawled page arriving under a
+        # new doc_id must not duplicate the kept corpus)
+        import os as _os
+
+        from who_focus_crawler_spark.corpus.dedup import exact_dedup_keep
         from who_focus_crawler_spark.operators.merge import merge_upsert
 
+        if output and _os.path.abspath(output) == _os.path.abspath(merge_into):
+            raise ValueError(
+                "--output must be a NEW directory when using --merge-into: "
+                "overwriting the corpus being read is unrecoverable if a "
+                "task retries mid-write (write v2 beside v1, then swap)"
+            )
         spark = docs.sparkSession
         existing = spark.read.parquet(merge_into)
-        merged = merge_upsert(
+        mismatch = set(existing.columns) ^ set(final.columns)
+        if mismatch:
+            raise ValueError(
+                f"--merge-into schema mismatch on columns {sorted(mismatch)}: "
+                "the incremental run must use the same pipeline options "
+                "(--split/--mixture/source) as the corpus it merges into"
+            )
+        upserted = merge_upsert(
             existing, final.select(*existing.columns), ["doc_id"]
-        ).persist()
+        )
+        merged = exact_dedup_keep(upserted).persist()
         stats_merged = merged.count()
         if output:
             merged.write.mode("overwrite").parquet(output)

@@ -44,6 +44,11 @@ def main() -> None:
         help="seed the frontier from the seed hosts' sitemap.xml",
     )
     args = ap.parse_args()
+    if args.no_bloom and args.filter_kind != "bloom":
+        ap.error(
+            "--no-bloom disables the membership fast path entirely, so "
+            "--filter-kind cuckoo would never be consulted; drop one flag"
+        )
 
     web = {
         "unit": UNIT_WEB,

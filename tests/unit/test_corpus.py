@@ -563,7 +563,7 @@ def test_corpus_pipeline_incremental_merge(spark, tmp_path):
         "doc_id", "text"
     )
     first_out = str(tmp_path / "corpus_v1")
-    stats1 = run_corpus_pipeline(docs.filter(F.col("doc_id") < 250), output=first_out)
+    run_corpus_pipeline(docs.filter(F.col("doc_id") < 250), output=first_out)
     merged_out = str(tmp_path / "corpus_v2")
     stats2 = run_corpus_pipeline(
         docs.filter(F.col("doc_id") >= 200),  # overlaps [200, 250)
@@ -577,3 +577,42 @@ def test_corpus_pipeline_incremental_merge(spark, tmp_path):
     assert ids1 <= ids2  # nothing from the first corpus is lost
     assert stats2["n_merged_corpus"] == len(ids2)
     assert len(ids2) > len(ids1)  # the second batch contributed new docs
+
+
+def test_corpus_merge_guards_and_cross_run_dedup(spark, tmp_path):
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from corpus import run_corpus_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    v1 = str(tmp_path / "v1")
+    run_corpus_pipeline(docs.filter(F.col("doc_id") < 250), output=v1)
+    # in-place maintenance is refused (overwrite would destroy the input)
+    with pytest.raises(ValueError, match="NEW directory"):
+        run_corpus_pipeline(docs, output=v1, merge_into=v1)
+    # schema drift between runs is refused with the option named
+    with pytest.raises(ValueError, match="schema mismatch"):
+        run_corpus_pipeline(
+            docs,
+            output=str(tmp_path / "v2"),
+            merge_into=v1,
+            split_weights={"train": 1.0},
+        )
+    # a re-crawled page under a NEW doc_id must not duplicate the corpus
+    kept_v1 = spark.read.parquet(v1)
+    redone = kept_v1.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).limit(20)
+    stats = run_corpus_pipeline(
+        docs.filter(F.col("doc_id") < 0).unionByName(redone),  # only re-crawls
+        output=str(tmp_path / "v3"),
+        merge_into=v1,
+    )
+    v3 = spark.read.parquet(str(tmp_path / "v3"))
+    assert stats["n_merged_corpus"] == kept_v1.count()  # nothing re-added
+    assert v3.groupBy(F.md5("text")).count().filter(F.col("count") > 1).count() == 0
