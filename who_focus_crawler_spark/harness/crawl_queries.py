@@ -1004,3 +1004,57 @@ FROM orders
 """
 
 QUERIES["c_sitemap_parse"] = (c_sitemap_parse, C_SITEMAP_PARSE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Python UDTF lateral expansion (functions/udtfs.py): per-parameter
+# rollup of synthesized query strings through the registered table
+# function — the R-layer LATERAL surface. The oracle derives the rows
+# analytically from the generation rule.
+
+
+def c_url_params_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    o = t(spark, sf, "orders")
+    url = F.concat(
+        F.lit("http://h"), (F.col("o_custkey") % 5).cast("string"),
+        F.lit(".example.org/p/"), F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("?a=1&b=2&c=3"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("?a=9"))
+        .otherwise(F.lit("")),
+    )
+    o.select(url.alias("u")).createOrReplaceTempView("_udtf_urls")
+    expanded = spark.sql(
+        "SELECT u, p.pos, p.pkey, p.pval "
+        "FROM _udtf_urls, LATERAL parse_params(u) p"
+    )
+    return expanded.groupBy("pkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("pval").alias("n_vals"),
+        F.sum("pos").cast("long").alias("sum_pos"),
+    )
+
+
+C_URL_PARAMS_UDTF_SQL = """
+WITH e AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 3
+              WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END AS n
+  FROM orders
+)
+SELECT pkey,
+       count(*) AS n_rows,
+       count(DISTINCT pval) AS n_vals,
+       CAST(sum(pos) AS BIGINT) AS sum_pos
+FROM (
+  SELECT 'a' AS pkey, CASE WHEN n = 3 THEN '1' ELSE '9' END AS pval,
+         0 AS pos FROM e WHERE n >= 1
+  UNION ALL
+  SELECT 'b', '2', 1 FROM e WHERE n = 3
+  UNION ALL
+  SELECT 'c', '3', 2 FROM e WHERE n = 3
+) GROUP BY pkey
+"""
+
+QUERIES["c_url_params_udtf"] = (c_url_params_udtf, C_URL_PARAMS_UDTF_SQL)
