@@ -616,3 +616,32 @@ def test_corpus_merge_guards_and_cross_run_dedup(spark, tmp_path):
     v3 = spark.read.parquet(str(tmp_path / "v3"))
     assert stats["n_merged_corpus"] == kept_v1.count()  # nothing re-added
     assert v3.groupBy(F.md5("text")).count().filter(F.col("count") > 1).count() == 0
+
+
+def test_decode_media_arrow_matches_pandas_path(spark):
+    """The mapInArrow decoder and the mapInPandas decoder produce
+    identical frame rows (and the Arrow path refuses real decode the
+    same way)."""
+    import pytest
+
+    from who_focus_crawler_spark.corpus.multimodal import (
+        attach_media,
+        decode_media,
+        decode_media_arrow,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(60)
+    media = attach_media(docs)
+    a = sorted(
+        (r.media_id, r.frame_idx, tuple(r.feature))
+        for r in decode_media_arrow(media, fake=True).collect()
+    )
+    p = sorted(
+        (r.media_id, r.frame_idx, tuple(r.feature))
+        for r in decode_media(media, fake=True).collect()
+    )
+    assert a == p and len(a) == 180  # 60 items x 3 frames
+    with pytest.raises(NotImplementedError):
+        decode_media_arrow(media).collect()
