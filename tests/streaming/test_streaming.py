@@ -201,3 +201,68 @@ def test_politeness_tokens_state_survives_restart(spark, event_dir, tmp_path):
     run_once()
     n_second = spark.read.parquet(out_dir).count()
     assert n_second == n_first  # budgets already exhausted: nothing admitted
+
+
+def test_stream_frontier_to_catalog(spark, tmp_path):
+    """foreachBatch → snapshot catalog: each drained epoch lands as an
+    appended frontier_ingest delta behind an atomic manifest+HEAD
+    commit; a restart appends only the new discoveries, and HEAD time
+    travel shows the pre-restart state."""
+    from who_focus_crawler_spark import schemas
+    from who_focus_crawler_spark.checkpoint.snapshot import SnapshotCatalog
+    from who_focus_crawler_spark.streaming.pipeline import (
+        ingest_frontier,
+        stream_frontier_to_catalog,
+        stream_raw_urls,
+    )
+
+    raw_dir = str(tmp_path / "raw_cat")
+    ck, cat_root = str(tmp_path / "ck_cat"), str(tmp_path / "catalog")
+    batch1 = [
+        (T0, "HTTP://H1.TEST/p/1", 9.0),
+        (T0, "http://h1.test:80/p/1", 8.0),  # same canonical URL
+        (T0, "http://h2.test/p/2", 6.0),
+    ]
+    spark.createDataFrame(batch1, ["ts", "url", "priority"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(raw_dir)
+    stream_frontier_to_catalog(
+        ingest_frontier(stream_raw_urls(spark, raw_dir)), cat_root, ck
+    )
+    cat = SnapshotCatalog(cat_root)
+    head1 = cat.head()
+    got1 = {
+        r.canon_url
+        for r in cat.read_table(
+            spark, "frontier_ingest", schemas.FRONTIER_INGEST
+        ).collect()
+    }
+    assert got1 == {"http://h1.test/p/1", "http://h2.test/p/2"}
+    # restart with one new discovery + one re-discovery
+    batch2 = [
+        (T0 + dt.timedelta(minutes=5), "http://h1.test/p/1", 4.0),
+        (T0 + dt.timedelta(minutes=5), "http://h3.test/p/3", 2.0),
+    ]
+    spark.createDataFrame(batch2, ["ts", "url", "priority"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(raw_dir)
+    stream_frontier_to_catalog(
+        ingest_frontier(stream_raw_urls(spark, raw_dir)), cat_root, ck
+    )
+    cat2 = SnapshotCatalog(cat_root)
+    got2 = {
+        r.canon_url
+        for r in cat2.read_table(
+            spark, "frontier_ingest", schemas.FRONTIER_INGEST
+        ).collect()
+    }
+    assert got2 == got1 | {"http://h3.test/p/3"}
+    assert cat2.head() > head1
+    # time travel to the pre-restart snapshot still sees only batch 1
+    old = {
+        r.canon_url
+        for r in cat2.read_table(
+            spark, "frontier_ingest", schemas.FRONTIER_INGEST, snapshot_id=head1
+        ).collect()
+    }
+    assert old == got1

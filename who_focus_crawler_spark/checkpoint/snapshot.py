@@ -32,7 +32,15 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-APPEND_TABLES = {"crawl_order", "documents", "metrics", "url_seen"}
+APPEND_TABLES = {
+    "crawl_order",
+    "documents",
+    "metrics",
+    "url_seen",
+    # streaming ingestion (streaming/pipeline.py::stream_frontier_to_catalog):
+    # one appended delta per micro-batch epoch
+    "frontier_ingest",
+}
 
 
 class SnapshotCatalog:

@@ -106,3 +106,15 @@ SEEN_FILTERS = T.StructType(
         T.StructField("blob", T.BinaryType(), False),
     ]
 )
+
+# streaming ingestion deltas (streaming/pipeline.py::stream_frontier_to_catalog)
+FRONTIER_INGEST = T.StructType(
+    [
+        T.StructField("canon_url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("host_bucket", T.IntegerType(), False),
+        T.StructField("priority", T.DoubleType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)

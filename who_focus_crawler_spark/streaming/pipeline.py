@@ -196,3 +196,57 @@ def run_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def stream_frontier_to_catalog(
+    ingested: DataFrame,
+    catalog_root: str,
+    checkpoint: str,
+    num_buckets: int = 32,
+) -> None:
+    """Streaming → snapshot-catalog bridge: commit each micro-batch of
+    canonicalized, deduped frontier discoveries as an appended
+    ``frontier_ingest`` delta (one atomic manifest+HEAD snapshot per
+    epoch), so streaming ingestion lands in the same versioned,
+    time-travelable storage the batch crawl uses.
+
+    Exactly-once across restarts: Structured Streaming re-delivers the
+    in-flight epoch after a failure, so the committed state records the
+    last applied epoch and the ``foreachBatch`` body SKIPS any epoch it
+    has already committed (idempotent sink — the standard contract for
+    foreachBatch sinks without transactional targets). Runs with
+    availableNow and blocks until the backlog drains.
+    """
+    from who_focus_crawler_spark.checkpoint.snapshot import SnapshotCatalog
+    from who_focus_crawler_spark.functions.urls import host_bucket, url_hash
+
+    cat = SnapshotCatalog(catalog_root)
+
+    def commit_batch(df: DataFrame, epoch_id: int) -> None:
+        head = cat.head()
+        if head is not None:
+            last = cat.state(head).get("last_epoch", -1)
+            if epoch_id <= last:
+                return  # re-delivered epoch: already durable, skip
+        rows = df.select(
+            "canon_url",
+            url_hash(F.col("canon_url")).alias("url_hash"),
+            "host",
+            host_bucket(F.col("host"), num_buckets).alias("host_bucket"),
+            "priority",
+            F.col("ts"),
+        )
+        sid = (head + 1) if head is not None else 0
+        cat.commit(
+            sid,
+            {"frontier_ingest": rows},
+            state={"last_epoch": int(epoch_id)},
+        )
+
+    q = (
+        ingested.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
