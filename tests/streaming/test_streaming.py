@@ -266,3 +266,65 @@ def test_stream_frontier_to_catalog(spark, tmp_path):
         ).collect()
     }
     assert old == got1
+
+
+def test_stream_catalog_composes_with_crawl_catalog(spark, tmp_path):
+    """Streaming commits into a catalog the batch crawl owns must carry
+    every crawl table and the resume state forward — and a NEW stream
+    checkpoint against the same catalog must not skip epoch 0."""
+    from who_focus_crawler_spark import schemas
+    from who_focus_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from who_focus_crawler_spark.sources.fixture_web import UNIT_WEB
+    from who_focus_crawler_spark.streaming.pipeline import (
+        ingest_frontier,
+        stream_frontier_to_catalog,
+        stream_raw_urls,
+    )
+
+    cat_root = str(tmp_path / "shared_cat")
+    cfg = CrawlConfig(web=UNIT_WEB, checkpoint_dir=cat_root, num_buckets=8)
+    catalog = run_crawl(spark, cfg, until_batch=1)
+    frontier_before = catalog.read_table(
+        spark, "frontier", schemas.FRONTIER
+    ).count()
+    state_before = catalog.state()
+    raw_dir = str(tmp_path / "raw_shared")
+    spark.createDataFrame(
+        [(T0, "http://h9.test/p/1", 1.0)], ["ts", "url", "priority"]
+    ).coalesce(1).write.mode("append").parquet(raw_dir)
+    stream_frontier_to_catalog(
+        ingest_frontier(stream_raw_urls(spark, raw_dir)),
+        cat_root,
+        str(tmp_path / "ck_shared_1"),
+    )
+    # crawl tables and resume state survive the streaming commit
+    assert (
+        catalog.read_table(spark, "frontier", schemas.FRONTIER).count()
+        == frontier_before
+    )
+    st = catalog.state()
+    for k, v in state_before.items():
+        assert st[k] == v, k
+    assert st["last_epoch"] >= 0
+    got = catalog.read_table(
+        spark, "frontier_ingest", schemas.FRONTIER_INGEST
+    )
+    assert {r.canon_url for r in got.collect()} == {"http://h9.test/p/1"}
+    # a FRESH checkpoint (epoch ids restart at 0) with new data must
+    # still commit — the skip guard is scoped to the checkpoint identity
+    raw2 = str(tmp_path / "raw_shared2")
+    spark.createDataFrame(
+        [(T0, "http://h10.test/p/2", 1.0)], ["ts", "url", "priority"]
+    ).coalesce(1).write.mode("append").parquet(raw2)
+    stream_frontier_to_catalog(
+        ingest_frontier(stream_raw_urls(spark, raw2)),
+        cat_root,
+        str(tmp_path / "ck_shared_2"),
+    )
+    got2 = {
+        r.canon_url
+        for r in catalog.read_table(
+            spark, "frontier_ingest", schemas.FRONTIER_INGEST
+        ).collect()
+    }
+    assert got2 == {"http://h9.test/p/1", "http://h10.test/p/2"}

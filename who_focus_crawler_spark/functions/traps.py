@@ -45,10 +45,9 @@ def _path(url: Column) -> Column:
 
 
 def _query(url: Column) -> Column:
-    qpos = F.instr(url, F.lit("?"))
-    return F.when(qpos > 0, F.substring(url, qpos + 1, F.lit(1 << 20))).otherwise(
-        F.lit("")
-    )
+    from who_focus_crawler_spark.functions.urls import url_query
+
+    return url_query(url)
 
 
 def trap_features(url: Column) -> dict[str, Column]:

@@ -46,8 +46,9 @@ def url_params_native(url: Column) -> Column:
     """Native twin of ParseParams: array<struct<pos,pkey,pval>> built
     with split/transform/filter — whole-stage codegen, the hot-path
     form (explode it for the lateral shape)."""
-    qpos = F.instr(url, F.lit("?"))
-    q = F.when(qpos > 0, F.substring(url, qpos + 1, F.lit(1 << 20)))
+    from who_focus_crawler_spark.functions.urls import url_query
+
+    q = F.nullif(url_query(url), F.lit(""))
     parts = F.split(q, "&")
     entries = F.transform(
         parts,
@@ -72,4 +73,4 @@ def explode_url_params(df: DataFrame, url_col: str = "canon_url") -> DataFrame:
     """Hot-path lateral expansion: one row per URL parameter."""
     return df.select(
         "*", F.explode(url_params_native(F.col(url_col))).alias("_p")
-    ).select(*df.columns, "_p.pos", "_p.pkey", "_p.pval").drop("_p")
+    ).select(*df.columns, "_p.pos", "_p.pkey", "_p.pval")

@@ -415,6 +415,16 @@ def url_host(canon_url: Column) -> Column:
     return F.regexp_extract(canon_url, r"^[a-z][a-z0-9+.\-]*://([^/?]*)", 1)
 
 
+def url_query(url: Column) -> Column:
+    """Query string after the first '?' ('' when absent) — the single
+    query-extraction used by the trap scorer and the parameter
+    expansion (one definition, one place to fix)."""
+    qpos = F.instr(url, F.lit("?"))
+    return F.when(qpos > 0, F.substring(url, qpos + 1, F.lit(1 << 20))).otherwise(
+        F.lit("")
+    )
+
+
 def host_bucket(host: Column, num_buckets: int) -> Column:
     """C3 — partition key: pmod(xxhash64(host), P)."""
     return F.pmod(F.xxhash64(host), F.lit(num_buckets)).cast("int")

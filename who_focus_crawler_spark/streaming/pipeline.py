@@ -224,10 +224,28 @@ def stream_frontier_to_catalog(
 
     def commit_batch(df: DataFrame, epoch_id: int) -> None:
         head = cat.head()
+        prev_state: dict = {}
+        carry: dict = {}
         if head is not None:
-            last = cat.state(head).get("last_epoch", -1)
-            if epoch_id <= last:
+            prev_state = dict(cat.state(head))
+            # epoch ids are only meaningful per stream checkpoint: a new
+            # checkpoint restarts at epoch 0, so the skip guard must be
+            # scoped to the checkpoint identity or it would silently
+            # drop every early epoch of a reprocessing run
+            if (
+                prev_state.get("ingest_ck") == checkpoint
+                and epoch_id <= prev_state.get("last_epoch", -1)
+            ):
                 return  # re-delivered epoch: already durable, skip
+            # carry EVERY other table of the snapshot forward (commit()
+            # treats None as "keep the previous file list") — committing
+            # only frontier_ingest would publish a HEAD that drops the
+            # batch crawl's tables and resume state
+            carry = {
+                name: None
+                for name in cat.manifest(head)["tables"]
+                if name != "frontier_ingest"
+            }
         rows = df.select(
             "canon_url",
             url_hash(F.col("canon_url")).alias("url_hash"),
@@ -239,8 +257,12 @@ def stream_frontier_to_catalog(
         sid = (head + 1) if head is not None else 0
         cat.commit(
             sid,
-            {"frontier_ingest": rows},
-            state={"last_epoch": int(epoch_id)},
+            {**carry, "frontier_ingest": rows},
+            state={
+                **prev_state,
+                "last_epoch": int(epoch_id),
+                "ingest_ck": checkpoint,
+            },
         )
 
     q = (
