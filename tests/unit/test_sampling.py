@@ -130,3 +130,56 @@ def test_sample_bucket_matches_hashlib_twin(spark):
     for k in keys:
         h = hashlib.md5(f"sX:{k}".encode()).hexdigest()[:15]
         assert got[k] == int(h, 16) % SAMPLE_BUCKETS, k
+
+
+# ---------------------------------------------------------------- weighted
+
+
+def _weighted(spark, n=600, parts=4):
+    # weight grows with id; ids ≡0 (mod 50) get a dominating weight
+    return _docs(spark, n, parts).withColumn(
+        "w",
+        F.when(F.col("doc_id") % 50 == 0, F.lit(10_000_000)).otherwise(
+            F.col("doc_id") % 97 + 1
+        ),
+    )
+
+
+def test_weighted_sample_deterministic_and_partition_invariant(spark):
+    from who_focus_crawler_spark.corpus.sampling import weighted_sample
+
+    a = sorted(
+        r.doc_id
+        for r in weighted_sample(_weighted(spark, parts=2), "doc_id", "w", 25).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in weighted_sample(_weighted(spark, parts=7), "doc_id", "w", 25).collect()
+    )
+    assert a == b and len(a) == 25
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from who_focus_crawler_spark.corpus.sampling import weighted_sample
+
+    picked = {
+        r.doc_id
+        for r in weighted_sample(_weighted(spark), "doc_id", "w", 12).collect()
+    }
+    heavy = {i for i in range(0, 600, 50)}
+    # 12 heavy rows carry >99.9% of total weight: E-S keys u^(1/w) for
+    # w=10^7 are all ≈1, so all 12 must be drawn before any light row
+    assert heavy <= picked
+
+
+def test_weighted_sample_per_stratum_k_and_nonpositive_excluded(spark):
+    from who_focus_crawler_spark.corpus.sampling import weighted_sample
+
+    df = _weighted(spark).withColumn(
+        "w", F.when(F.col("lang") == "de", F.lit(0)).otherwise(F.col("w"))
+    )
+    out = weighted_sample(df, "doc_id", "w", 7, strata_col="lang").collect()
+    per = {}
+    for r in out:
+        per[r.lang] = per.get(r.lang, 0) + 1
+    assert per == {"en": 7, "fr": 7}  # de has only zero weights → absent

@@ -20,7 +20,7 @@ harness/corpus_queries.py): bucket = md5-hex prefix (15 hex digits →
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from who_focus_crawler_spark.corpus.text import md5_hash60
@@ -94,6 +94,49 @@ def split_assign(
     last = F.lit(names[-1])
     labeled = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, labeled)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+    seed: str = "weighted",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-k).
+
+    Efraimidis–Espirakis A-ES (IPL 2006): each row gets key
+    u^(1/w) with u ~ Uniform(0,1]; the k largest keys are a weighted
+    sample without replacement. Here u is md5-derived from (seed, key)
+    — same convention as ``sample_bucket`` — so the sample is a pure
+    function of the key set, reproducible across partitionings and
+    incrementally-grown tables. Rows with NULL or non-positive weight
+    are excluded (they can never be drawn).
+
+    Ranking uses ln(u)/w (monotone in u^(1/w), numerically safer); the
+    float only ORDERS rows and is not emitted, so engine-portable
+    value-exactness holds unless two keys collide within 1 ulp
+    (~2^-52 with 60-bit u — negligible). Tie-break: key asc.
+
+    Shape at scale: global k ⇒ sort+limit (TakeOrderedAndProject:
+    per-partition partial top-k, one tiny final merge — no full sort);
+    per-stratum k ⇒ one window shuffled on the stratum key.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    tagged = F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string"))
+    u = (md5_hash60(tagged) + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    es = F.log(u) / F.col(weight_col).cast("double")
+    pos = df.filter(F.col(weight_col) > 0)
+    if strata_col is None:
+        return pos.orderBy(es.desc(), F.col(key_col).asc()).limit(k)
+    w = Window.partitionBy(strata_col).orderBy(es.desc(), F.col(key_col).asc())
+    return (
+        pos.withColumn("_ws_rk", F.row_number().over(w))
+        .filter(F.col("_ws_rk") <= k)
+        .drop("_ws_rk")
+    )
 
 
 def stratified_sample(

@@ -1058,3 +1058,152 @@ FROM (
 """
 
 QUERIES["c_url_params_udtf"] = (c_url_params_udtf, C_URL_PARAMS_UDTF_SQL)
+
+
+# --------------------------------------------------------------------------
+# Freshness / recrawl scheduling — operators/recrawl.py
+
+
+def c_recrawl_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-rate estimation over a fetch history synthesized from
+    lineitem: each order is one URL, its line numbers are fetch epochs,
+    and the content hash buckets quantity so some revisits change and
+    some don't. Single-line orders exercise the no-evidence prior."""
+    from who_focus_crawler_spark.operators.recrawl import recrawl_priority
+
+    li = t(spark, sf, "lineitem")
+    hist = li.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("l_orderkey") % 40).cast("string"),
+            F.lit(".example.org/p/k"),
+            F.col("l_orderkey").cast("string"),
+        ).alias("canon_url"),
+        F.concat(
+            F.lit("h"), (F.col("l_orderkey") % 40).cast("string"),
+            F.lit(".example.org"),
+        ).alias("host"),
+        F.col("l_linenumber").cast("long").alias("batch"),
+        F.expr("CAST(CAST(l_quantity AS INT) div 13 AS STRING)").alias(
+            "content_hash"
+        ),
+    )
+    return recrawl_priority(hist, current_batch=10, prior_permille=500)
+
+
+C_RECRAWL_PRIORITY_SQL = """
+WITH hist AS (
+  SELECT concat('http://h', CAST(l_orderkey % 40 AS VARCHAR),
+                '.example.org/p/k', CAST(l_orderkey AS VARCHAR)) AS canon_url,
+         concat('h', CAST(l_orderkey % 40 AS VARCHAR), '.example.org') AS host,
+         CAST(l_linenumber AS BIGINT) AS batch,
+         CAST(CAST(l_quantity AS INT) // 13 AS VARCHAR) AS content_hash
+  FROM lineitem
+),
+marked AS (
+  SELECT canon_url, host, batch, content_hash,
+         row_number() OVER w AS fetch_no,
+         lag(content_hash) OVER w AS prev_hash
+  FROM hist
+  WINDOW w AS (PARTITION BY canon_url ORDER BY batch, content_hash)
+),
+per_url AS (
+  SELECT canon_url, min(host) AS host,
+         CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(sum(CASE WHEN fetch_no > 1
+                        AND content_hash IS DISTINCT FROM prev_hash
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         max(batch) AS last_batch
+  FROM marked GROUP BY canon_url
+)
+SELECT canon_url, host, n_fetches, n_changes,
+       CASE WHEN n_fetches >= 2 THEN (1000 * n_changes) // (n_fetches - 1)
+            ELSE CAST(500 AS BIGINT) END AS change_permille,
+       10 - last_batch AS staleness,
+       (10 - last_batch) *
+         (CASE WHEN n_fetches >= 2 THEN (1000 * n_changes) // (n_fetches - 1)
+               ELSE CAST(500 AS BIGINT) END + 1) AS recrawl_score
+FROM per_url
+"""
+
+QUERIES["c_recrawl_priority"] = (c_recrawl_priority, C_RECRAWL_PRIORITY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Anchor-text aggregation — operators/anchors.py
+
+
+def c_anchor_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-target link evidence from a link table synthesized from
+    lineitem: suppliers are referring hosts, parts are targets, and the
+    anchor text cycles through cased/punctuated/empty variants so the
+    tokenizer and NULL handling are value-checked."""
+    from who_focus_crawler_spark.operators.anchors import anchor_signal
+
+    li = t(spark, sf, "lineitem")
+    v = F.col("l_quantity").cast("int") % 4
+    links = li.select(
+        F.concat(
+            F.lit("h"), (F.col("l_suppkey") % 30).cast("string"),
+            F.lit(".example.org"),
+        ).alias("src_host"),
+        F.concat(
+            F.lit("http://t"),
+            (F.col("l_partkey") % 200).cast("string"),
+            F.lit(".example.org/p/k"),
+            (F.col("l_partkey") % 997).cast("string"),
+        ).alias("target_url"),
+        F.when(v == 0, F.lit("Fast Spark Engine"))
+        .when(v == 1, F.lit("spark, crawl!"))
+        .when(v == 2, F.lit("a data-engine"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("anchor_text"),
+    )
+    return anchor_signal(links, top_k_terms=3, min_term_len=2)
+
+
+C_ANCHOR_TEXT_SQL = """
+WITH links AS (
+  SELECT concat('h', CAST(l_suppkey % 30 AS VARCHAR), '.example.org')
+           AS src_host,
+         concat('http://t', CAST(l_partkey % 200 AS VARCHAR),
+                '.example.org/p/k', CAST(l_partkey % 997 AS VARCHAR))
+           AS target_url,
+         CASE CAST(l_quantity AS INT) % 4
+           WHEN 0 THEN 'Fast Spark Engine'
+           WHEN 1 THEN 'spark, crawl!'
+           WHEN 2 THEN 'a data-engine'
+           ELSE NULL END AS anchor_text
+  FROM lineitem
+),
+counts AS (
+  SELECT target_url, CAST(count(*) AS BIGINT) AS n_inlinks,
+         CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+  FROM links GROUP BY target_url
+),
+terms AS (
+  SELECT target_url, term, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT target_url,
+           unnest(string_split_regex(lower(coalesce(anchor_text, '')),
+                                     '[^a-z0-9]+')) AS term
+    FROM links
+  ) WHERE len(term) >= 2
+  GROUP BY target_url, term
+),
+ranked AS (
+  SELECT target_url, term,
+         row_number() OVER (PARTITION BY target_url
+                            ORDER BY cnt DESC, term) AS rk
+  FROM terms
+),
+top AS (
+  SELECT target_url, string_agg(term, '|' ORDER BY rk) AS top_terms
+  FROM ranked WHERE rk <= 3 GROUP BY target_url
+)
+SELECT c.target_url, c.n_inlinks, c.n_src_hosts,
+       coalesce(t.top_terms, '') AS top_terms
+FROM counts c LEFT JOIN top t ON c.target_url = t.target_url
+"""
+
+QUERIES["c_anchor_text"] = (c_anchor_text, C_ANCHOR_TEXT_SQL)

@@ -194,3 +194,39 @@ LEFT JOIN (SELECT doc_id, count(*) AS n_dup FROM grams
 """
 
 QUERIES["d_dup_ngrams"] = (d_dup_ngrams, D_DUP_NGRAMS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Espirakis A-ES)
+
+
+def d_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 weighted sample per language, weight = n_chars: longer
+    docs are proportionally likelier, yet the draw is a pure function
+    of (seed, doc_id) — both engines re-derive the identical sample."""
+    d = t(spark, sf, "documents")
+    return SP.weighted_sample(
+        d, "doc_id", "n_chars", 20, strata_col="lang", seed="ws"
+    ).select("doc_id", "lang", "n_chars")
+
+
+_U60 = float(1 << 60)
+
+D_SAMPLE_WEIGHTED_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ln((CAST(concat('0x', substring(md5(concat('ws', ':',
+               CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1)
+            / {_U60!r}) / n_chars AS es
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY es DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 20
+"""
+
+QUERIES["d_sample_weighted"] = (d_sample_weighted, D_SAMPLE_WEIGHTED_SQL)

@@ -966,3 +966,56 @@ SELECT * FROM src WHERE c_custkey NOT IN (SELECT c_custkey FROM tgt)
 """
 
 QUERIES["r_merge_upsert"] = (r_merge_upsert, R_MERGE_UPSERT_SQL)
+
+
+# --------------------------------------------------------------------------
+# CDC table diff (snapshot time-travel delta) — operators/tablediff.py
+
+
+def r_table_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Change set between two synthesized versions of ``orders``.
+
+    old = orders except keys ≡0 (mod 7); new = orders except keys ≡0
+    (mod 5), with totalprice bumped on keys ≡0 (mod 3) — so the diff
+    holds inserts (in new only), deletes (in old only), and updates
+    (price changed), plus silent rows that must NOT appear.
+    """
+    from who_focus_crawler_spark.operators.tablediff import table_diff
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 7 != 0)
+    new = o.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 100.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(
+        old, new, ["o_orderkey"], compare_cols=["o_totalprice"], strict=False
+    )
+
+
+R_TABLE_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+            WHEN o.o_orderkey IS NULL THEN 'insert'
+            ELSE 'update' END AS change,
+       o.o_totalprice AS old_o_totalprice,
+       n.o_totalprice AS new_o_totalprice
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+"""
+
+QUERIES["r_table_diff"] = (r_table_diff, R_TABLE_DIFF_SQL)
