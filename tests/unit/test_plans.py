@@ -131,3 +131,32 @@ def test_span_equality_checker(spark):
     assert [r.doc_id for r in diff_documents(a, c).collect()] == ["d1"]
     # missing doc -> flagged
     assert diff_documents(a, a.filter(F.col("doc_id") != "d2")).count() == 1
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the join key at the same bucket count
+    merge-join with ZERO shuffle exchanges — the layout contract that
+    makes repeated fact-fact joins affordable at 100 TB."""
+    from who_focus_crawler_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    left = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 5000, 3).select(
+        F.col("id").alias("k"), (F.col("id") + 7).alias("b")
+    )
+    write_bucketed(left, "t_bkt_l", 4, ["k"], path=str(tmp_path / "l"))
+    write_bucketed(right, "t_bkt_r", 4, ["k"], path=str(tmp_path / "r"))
+    j = bucketed_join(spark, "t_bkt_l", "t_bkt_r", on=["k"])
+    plan = _plan(j)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    # bucket-sorted scans: no per-task Sort needed either
+    assert plan.count("Sort ") == 0, plan
+    assert j.count() == len(range(0, 5000, 3))
+    # and the result values are the plain-join values
+    got = sorted((r.k, r.a, r.b) for r in j.collect())
+    assert got == [(k, k * 2, k + 7) for k in range(0, 5000, 3)]

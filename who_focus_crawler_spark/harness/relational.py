@@ -1019,3 +1019,135 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
 """
 
 QUERIES["r_table_diff"] = (r_table_diff, R_TABLE_DIFF_SQL)
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join (operators/bucketing.py) — the write pays the
+# shuffle once; the join itself runs with zero Exchange (plan-asserted in
+# tests/unit/test_plans.py). The oracle is the plain equi-join: bucketing
+# is a physical layout, the logical result is identical.
+
+
+def r_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from who_focus_crawler_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    base = tempfile.mkdtemp(prefix="wfc_bucketed_")
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    orders = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    write_bucketed(
+        li, "wfc_li_bkt", 8, ["l_orderkey"], path=_os.path.join(base, "li")
+    )
+    write_bucketed(
+        orders, "wfc_ord_bkt", 8, ["o_orderkey"], path=_os.path.join(base, "ord")
+    )
+    joined = bucketed_join(
+        spark,
+        "wfc_li_bkt",
+        "wfc_ord_bkt",
+        on=[F.col("l_orderkey") == F.col("o_orderkey")],
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+R_JOIN_BUCKETED_SQL = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+# --------------------------------------------------------------------------
+# Unpivot / melt — long-form metric rows from wide columns. Spark's
+# native `unpivot` stays a single projection+generate (no shuffle until
+# the agg); the oracle is the canonical UNION ALL long form.
+
+
+def r_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    long = t(spark, sf, "lineitem").unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+R_UNPIVOT_SQL = """
+WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value
+    FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+)
+SELECT l_returnflag, metric, count(*) AS n,
+       round(sum(value), 2) AS total,
+       round(min(value), 2) AS lo, round(max(value), 2) AS hi
+FROM long GROUP BY l_returnflag, metric
+"""
+
+# --------------------------------------------------------------------------
+# Distribution windows — ntile / percent_rank / cume_dist. The ordering
+# key ends in the unique o_orderkey, so rank == row_number and all three
+# are deterministic closed-form values on both engines.
+
+
+def r_win_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+            # no round(): (rank-1)/(n-1) and rank/n divide identical
+            # integers on both engines -> bitwise-equal doubles, and
+            # rounding would only add decimal-midpoint risk
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    )
+
+
+R_WIN_NTILE_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders WHERE o_orderstatus = 'F'
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+QUERIES.update(
+    {
+        "r_join_bucketed": (r_join_bucketed, R_JOIN_BUCKETED_SQL),
+        "r_unpivot": (r_unpivot, R_UNPIVOT_SQL),
+        "r_win_ntile": (r_win_ntile, R_WIN_NTILE_SQL),
+    }
+)

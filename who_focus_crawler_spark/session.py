@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("WFC_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Propagate bucket-sort order from bucketed scans so joins of
+        # bucketBy+sortBy tables skip the per-task Sort as well as the
+        # Exchange. Sound here because operators/bucketing.py::
+        # write_bucketed always repartitions on the bucket key before
+        # writing -> exactly one file per bucket (the case where the
+        # reported ordering is actually true).
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
