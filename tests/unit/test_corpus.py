@@ -645,3 +645,47 @@ def test_decode_media_arrow_matches_pandas_path(spark):
     assert a == p and len(a) == 180  # 60 items x 3 frames
     with pytest.raises(NotImplementedError):
         decode_media_arrow(media).collect()
+
+
+def test_minhash_incremental_equals_full_minus_old_pairs(docs):
+    """Probing a new batch against the persisted index finds exactly the
+    full-corpus pairs that touch a new doc — never old×old — and the
+    same jaccard values."""
+    from who_focus_crawler_spark.corpus.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    new = docs.filter(F.col("doc_id") % 4 == 1)
+    old = docs.filter(F.col("doc_id") % 4 != 1)
+    inc = minhash_lsh_pairs_incremental(
+        minhash_index(new, num_hashes=8, shingle_k=3),
+        minhash_index(old, num_hashes=8, shingle_k=3),
+        bands=8,
+        jaccard_threshold=0.5,
+    ).collect()
+    full = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=8, shingle_k=3, jaccard_threshold=0.5
+    ).collect()
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    want = {
+        (p.doc_a, p.doc_b): p.jaccard
+        for p in full
+        if p.doc_a in new_ids or p.doc_b in new_ids
+    }
+    got = {(p.doc_a, p.doc_b): p.jaccard for p in inc}
+    assert got == want and want  # non-vacuous: the split must cut pairs
+
+
+def test_minhash_incremental_empty_batch(spark, docs):
+    from who_focus_crawler_spark.corpus.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    empty = minhash_index(docs.limit(0), num_hashes=8, shingle_k=3)
+    out = minhash_lsh_pairs_incremental(
+        empty, minhash_index(docs, num_hashes=8, shingle_k=3), bands=8
+    )
+    assert out.count() == 0
+    assert out.columns == ["doc_a", "doc_b", "jaccard"]

@@ -113,11 +113,13 @@ def minhash_lsh_pairs(
             "trailing signature entries would be silently ignored"
         )
     rows_per_band = num_hashes // bands
-    base = _spread(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_tx"))
-    ).select(
-        "doc_id", shingles(tokens(F.col("_tx")), shingle_k).alias("sh")
-    ).withColumn("sig", minhash_signature_from_shingles(F.col("sh"), num_hashes))
+    base = minhash_index(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+    )
     # materialize the shingle/signature table once (three consumers:
     # banding + both sides of the candidate re-join) — at corpus scale
     # this is a persisted artifact, not a recompute
@@ -127,23 +129,7 @@ def minhash_lsh_pairs(
     # doc_id) — never the shingle arrays. Shingles re-attach to the
     # (few) surviving candidate pairs afterwards; at corpus scale that
     # turns an O(corpus)·|shingles| shuffle into O(candidates).
-    banded = base.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "band_key"),
-    )
+    banded = _banded(base, bands, rows_per_band)
     left = banded.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     right = banded.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     cand = (
@@ -180,6 +166,142 @@ def minhash_signature_from_shingles(sh: Column, num_hashes: int) -> Column:
                 sh, lambda s: md5_hash60(F.concat(i.cast("string"), F.lit("|"), s))
             )
         ),
+    )
+
+
+def minhash_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The persistable signature-index artifact: (doc_id, sh, sig).
+
+    This is the table a production pipeline writes once per ingested
+    batch (snapshot-table shaped) so later batches never re-shingle old
+    documents. ``minhash_lsh_pairs`` builds it inline; incremental dedup
+    (`minhash_lsh_pairs_incremental`) takes it as an input."""
+    return (
+        _spread(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_tx"))
+        )
+        .select("doc_id", shingles(tokens(F.col("_tx")), shingle_k).alias("sh"))
+        .withColumn("sig", minhash_signature_from_shingles(F.col("sh"), num_hashes))
+    )
+
+
+def _banded(index: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode an index table into (doc_id, band, band_key) rows — the
+    only columns that ever shuffle in the LSH join."""
+    return index.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_index: DataFrame,
+    index: DataFrame,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs introduced by a NEW batch against an existing
+    signature index — never old×old.
+
+    Both inputs are ``minhash_index``-shaped (doc_id, sh, sig) with the
+    same num_hashes/shingle_k; doc_ids must be disjoint (upsert the index
+    AFTER probing: ``index.unionByName(new_index)``).
+
+    Scale shape (the reason this exists): a crawl batch is tiny next to
+    the accumulated corpus, so the probe broadcasts the batch's distinct
+    band keys and LEFT SEMI-prunes the index's banded rows BEFORE any
+    shuffle — the 100 TB index contributes only rows whose band key
+    collides with the batch. Candidates are (new×pruned-index) ∪
+    (new×new); exact-Jaccard verification re-attaches shingles for
+    candidate doc_ids only.
+    """
+    # new_index has 3 consumers (banding, key broadcast via banding, and
+    # the shingle re-attach); avoid recomputing the signature map
+    new_index = new_index.localCheckpoint(eager=False)
+    # num_hashes comes from the data itself (one-row probe of the
+    # signature length) so the probe can't silently disagree with
+    # whatever parameters built the index
+    first = new_index.select(F.size("sig").alias("n")).limit(1).collect()
+    if not first:
+        # empty batch -> no new pairs, preserve the output schema
+        return new_index.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(0.0).alias("jaccard"),
+        ).limit(0)
+    num_hashes = first[0]["n"]
+    if num_hashes % bands != 0:
+        raise ValueError(f"signature length {num_hashes} not divisible by {bands}")
+    rows_per_band = num_hashes // bands
+
+    banded_new = _banded(new_index, bands, rows_per_band)
+    banded_old = _banded(index, bands, rows_per_band)
+    new_keys = banded_new.select("band", "band_key").distinct()
+    pruned_old = banded_old.join(
+        F.broadcast(new_keys), ["band", "band_key"], "left_semi"
+    )
+    cross = (
+        banded_new.select("band", "band_key", F.col("doc_id").alias("id_n"))
+        .join(
+            pruned_old.select("band", "band_key", F.col("doc_id").alias("id_o")),
+            ["band", "band_key"],
+        )
+        .select(
+            F.least("id_n", "id_o").alias("doc_a"),
+            F.greatest("id_n", "id_o").alias("doc_b"),
+        )
+    )
+    within = (
+        banded_new.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+        .join(
+            banded_new.select("band", "band_key", F.col("doc_id").alias("doc_b")),
+            ["band", "band_key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    cand = cross.unionByName(within).distinct()
+
+    sh_tbl = index.select("doc_id", "sh").unionByName(
+        new_index.select("doc_id", "sh")
+    )
+    pairs = cand.join(
+        sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

@@ -149,6 +149,70 @@ WHERE round(len(list_intersect(sa, sb))::DOUBLE /
 """
 
 # --------------------------------------------------------------------------
+# Incremental MinHash near-dup: pairs a NEW batch introduces against the
+# persisted signature index (new×old ∪ new×new, never old×old). The
+# new/old split is a deterministic md5 tag so both engines agree; the
+# oracle derives the same set from the full pair relation restricted to
+# "at least one side new".
+
+_INC_PRED = "substring(md5(concat('inc|', doc_id)), 1, 1) < '3'"
+
+
+def d_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    tag = F.substring(F.md5(F.concat(F.lit("inc|"), F.col("doc_id"))), 1, 1)
+    new_idx = D.minhash_index(
+        docs.filter(tag < "3"), num_hashes=_MH_HASHES, shingle_k=_MH_K
+    )
+    old_idx = D.minhash_index(
+        docs.filter(~(tag < "3")), num_hashes=_MH_HASHES, shingle_k=_MH_K
+    )
+    return D.minhash_lsh_pairs_incremental(
+        new_idx, old_idx, bands=_MH_BANDS, jaccard_threshold=_MH_THRESH
+    )
+
+
+D_DEDUP_INCREMENTAL_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_INC_PRED} AS is_new,
+         {_sql_shingles(SQL_TOKS, _MH_K)} AS s
+  FROM documents
+), sigs AS (
+  SELECT doc_id, is_new, s,
+         list_transform(generate_series(0, {_MH_HASHES - 1}), h ->
+           list_aggregate(
+             list_transform(s, g ->
+               CAST(concat('0x', substring(
+                 md5(concat(CAST(h AS VARCHAR), '|', g)), 1, 15)) AS BIGINT)),
+             'min')) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, is_new, s, u.band AS band, u.key AS key
+  FROM (
+    SELECT doc_id, is_new, s,
+           unnest(list_transform(sig, (x, i) ->
+             struct_pack(band := i, key := md5(CAST(x AS VARCHAR))))) AS u
+    FROM sigs
+  )
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.s AS sa, b.s AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  WHERE a.is_new OR b.is_new
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sa, sb))::DOUBLE /
+             greatest(len(sa) + len(sb) - len(list_intersect(sa, sb)), 1),
+             6) AS jaccard
+FROM cand
+WHERE round(len(list_intersect(sa, sb))::DOUBLE /
+            greatest(len(sa) + len(sb) - len(list_intersect(sa, sb)), 1),
+            6) >= {_MH_THRESH}
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash near-dup pairs (64-bit, 4 × 16-bit bands, Hamming <= 3 complete)
 
 
@@ -465,6 +529,7 @@ QUERIES = {
     "d_dedup_head": (d_dedup_head, D_DEDUP_HEAD_SQL),
     "d_ngram_jaccard": (d_ngram_jaccard, D_NGRAM_JACCARD_SQL),
     "d_dedup_minhash": (d_dedup_minhash, D_DEDUP_MINHASH_SQL),
+    "d_dedup_incremental": (d_dedup_incremental, D_DEDUP_INCREMENTAL_SQL),
     "d_dedup_simhash": (d_dedup_simhash, D_DEDUP_SIMHASH_SQL),
     "d_sim_cosine_topk": (d_sim_cosine_topk, D_SIM_COSINE_TOPK_SQL),
     "d_sim_ann_lsh": (d_sim_ann_lsh, _ann_sql()),
