@@ -26,7 +26,7 @@ def test_robots_ttl_refetches_and_gate_flips(spark):
     cfg = WebConfig(robots_ttl_batches=3)
     host = "h1.example.test"  # live fixture rules: allow all
     stale = spark.createDataFrame(
-        [(host, json.dumps([[False, "/"]]), 1)], schemas.ROBOTS_CACHE
+        [(host, json.dumps([[False, "/"]]), None, 1)], schemas.ROBOTS_CACHE
     )
     cand = _cand(spark, host, ["/p/1", "/p/2"])
     # batch 2: within TTL → stale disallow still applies
@@ -45,7 +45,7 @@ def test_robots_ttl_none_caches_forever(spark):
     cfg = WebConfig()  # robots_ttl_batches=None
     host = "h1.example.test"
     stale = spark.createDataFrame(
-        [(host, json.dumps([[False, "/"]]), 1)], schemas.ROBOTS_CACHE
+        [(host, json.dumps([[False, "/"]]), None, 1)], schemas.ROBOTS_CACHE
     )
     cand = _cand(spark, host, ["/p/1"])
     cache = refresh_robots_cache(cand, stale, cfg, batch=500)
@@ -59,8 +59,8 @@ def test_robots_ttl_evicts_expired_unused_hosts(spark):
     cfg = WebConfig(robots_ttl_batches=3)
     cache = spark.createDataFrame(
         [
-            ("h1.example.test", json.dumps([[True, "/"]]), 1),   # expired
-            ("h2.example.test", json.dumps([[True, "/"]]), 9),   # fresh
+            ("h1.example.test", json.dumps([[True, "/"]]), None, 1),  # expired
+            ("h2.example.test", json.dumps([[True, "/"]]), None, 9),  # fresh
         ],
         schemas.ROBOTS_CACHE,
     )
@@ -77,7 +77,8 @@ def test_robots_match_vectorized_longest_match(spark):
     rules_a = json.dumps([[False, "/private/"], [True, "/private/p/0"]])
     rules_b = json.dumps([[False, "/"]])
     cache = spark.createDataFrame(
-        [("a.t", rules_a, 1), ("b.t", rules_b, 1)], schemas.ROBOTS_CACHE
+        [("a.t", rules_a, None, 1), ("b.t", rules_b, None, 1)],
+        schemas.ROBOTS_CACHE,
     )
     cand = spark.createDataFrame(
         [
@@ -106,7 +107,7 @@ def test_wildcard_rules_rfc9309(spark):
         [False, "/private*/x"],   # infix wildcard
     ]
     cache = spark.createDataFrame(
-        [(host, json.dumps(rules), 0)], schemas.ROBOTS_CACHE
+        [(host, json.dumps(rules), None, 0)], schemas.ROBOTS_CACHE
     )
     paths = {
         "/fish": False,
@@ -125,3 +126,31 @@ def test_wildcard_rules_rfc9309(spark):
         for r in apply_robots(cand, cache).collect()
     }
     assert got == paths
+
+
+def test_crawl_delay_budget_expression(spark):
+    """apply_politeness with a crawl_delay column and a batch window:
+    budget = min(k, max(1, window // delay)); NULL delay keeps k."""
+    from who_focus_crawler_spark.operators.politeness import apply_politeness
+
+    rows = []
+    for host, delay in [("a", 2), ("b", 5), ("c", None), ("d", 60)]:
+        for j in range(4):
+            rows.append((f"http://{host}.t/p{j}", host, 1.0, 1, True, delay))
+    df = spark.createDataFrame(
+        rows,
+        "canon_url string, host string, priority double, depth int, "
+        "robots_ok boolean, crawl_delay int",
+    )
+    out = apply_politeness(df, 3, batch_window_s=10)
+    admitted = {
+        r.host: r.n
+        for r in out.filter("admitted").groupBy("host").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    #   a: 10//2=5 -> capped at k=3;  b: 10//5=2;  c: no delay -> 3
+    #   d: 10//60=0 -> floor of 1
+    assert admitted == {"a": 3, "b": 2, "c": 3, "d": 1}
+    # window off: everyone gets k
+    out0 = apply_politeness(df, 3)
+    assert out0.filter("admitted").count() == 4 * 3

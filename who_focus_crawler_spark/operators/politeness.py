@@ -21,17 +21,42 @@ def schedule_order() -> list:
     return [F.desc("priority"), F.asc("depth"), F.asc("host"), F.asc("canon_url")]
 
 
-def apply_politeness(candidates: DataFrame, politeness_k: int) -> DataFrame:
+def apply_politeness(
+    candidates: DataFrame,
+    politeness_k: int,
+    batch_window_s: int | None = None,
+) -> DataFrame:
     """Attach ``admitted`` to robots-gated candidates.
 
     Rank only rows that passed robots (partition by (host, robots_ok) so
-    blocked rows never consume a politeness slot); first ``politeness_k``
-    per host are admitted, the rest deferred (stay enqueued in the
-    frontier).
+    blocked rows never consume a politeness slot); the first rows within
+    a host's budget are admitted, the rest deferred (stay enqueued in
+    the frontier).
+
+    Budget = ``politeness_k``, unless ``batch_window_s`` is set and the
+    host's robots.txt declared a Crawl-delay (the ``crawl_delay`` column
+    apply_robots attaches): then
+    ``min(politeness_k, max(1, batch_window_s // crawl_delay))`` — a
+    batch models that many wall-clock seconds, and a host asking for d
+    seconds between fetches gets at most window/d fetches in it. All
+    plan-side integer arithmetic; None window (default) keeps the frozen
+    v1 semantics bit-for-bit.
     """
     w = Window.partitionBy("host", "robots_ok").orderBy(*host_order())
+    budget = F.lit(politeness_k)
+    if batch_window_s is not None and "crawl_delay" in candidates.columns:
+        budget = F.when(
+            F.col("crawl_delay").isNotNull(),
+            F.least(
+                F.lit(politeness_k),
+                F.greatest(
+                    F.floor(F.lit(batch_window_s) / F.col("crawl_delay")),
+                    F.lit(1),
+                ),
+            ),
+        ).otherwise(F.lit(politeness_k))
     return candidates.withColumn("rn_pol", F.row_number().over(w)).withColumn(
-        "admitted", F.col("robots_ok") & (F.col("rn_pol") <= politeness_k)
+        "admitted", F.col("robots_ok") & (F.col("rn_pol") <= budget)
     )
 
 

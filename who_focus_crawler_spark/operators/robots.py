@@ -27,6 +27,7 @@ from pyspark.sql.functions import pandas_udf
 from who_focus_crawler_spark import schemas
 from who_focus_crawler_spark.sources.fixture_web import (
     WebConfig,
+    robots_crawl_delay,
     robots_rules,
 )
 
@@ -52,6 +53,10 @@ def fetch_robots_for_hosts(
                 {
                     "host": pdf["host"],
                     "rules_json": rules,
+                    "crawl_delay": pd.array(
+                        [robots_crawl_delay(h, cfg) for h in pdf["host"]],
+                        dtype="Int32",
+                    ),
                     "fetched_in_batch": batch,
                 }
             )
@@ -130,9 +135,14 @@ def apply_robots(candidates: DataFrame, robots_cache: DataFrame) -> DataFrame:
     """Attach ``robots_ok`` to candidates via broadcast join + pandas UDF."""
     # RFC 9309 matches on path-and-query; canonical URLs always carry "/"
     path = F.regexp_extract("canon_url", r"^[a-z][a-z0-9+.\-]*://[^/?]*(/.*)?$", 1)
+    cache_cols = ["host", "rules_json"]
+    if "crawl_delay" in robots_cache.columns:  # pre-delay caches still gate
+        cache_cols.append("crawl_delay")
     return (
         candidates.join(
-            F.broadcast(robots_cache.select("host", "rules_json")), "host", "left"
+            F.broadcast(robots_cache.select(*cache_cols)),
+            "host",
+            "left",
         )
         .withColumn(
             "robots_ok",

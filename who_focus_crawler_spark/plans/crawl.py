@@ -215,6 +215,7 @@ def run_batch(
     cand = apply_politeness(
         apply_robots(sel, robots_cache),
         cfg.web.politeness_k,
+        batch_window_s=cfg.web.batch_window_s,
     ).persist()
     # one action for both counters; fetch is 1:1 with admitted rows
     _c = cand.agg(

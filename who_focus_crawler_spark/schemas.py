@@ -85,6 +85,9 @@ ROBOTS_CACHE = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
         T.StructField("rules_json", T.StringType(), True),
+        # robots.txt Crawl-delay directive in seconds (de-facto standard
+        # extension, not RFC 9309 core); NULL = none declared
+        T.StructField("crawl_delay", T.IntegerType(), True),
         T.StructField("fetched_in_batch", T.IntegerType(), False),
     ]
 )

@@ -44,6 +44,11 @@ class WebConfig:
     # C8: re-fetch a host's robots.txt when its cache row is older than
     # this many batches; None = cache forever (fixture rules never change)
     robots_ttl_batches: int | None = None
+    # C7: wall-clock seconds one batch represents. When set, a host
+    # declaring Crawl-delay d gets per-batch budget
+    # min(politeness_k, max(1, batch_window_s // d)); None = ignore
+    # Crawl-delay (frozen v1 behavior, goldens unchanged)
+    batch_window_s: int | None = None
 
     def pages_per_host(self) -> list[int]:
         hot = max(1, int(self.n_pages * self.hot_host_frac))
@@ -102,6 +107,21 @@ def robots_rules(host: str, cfg: WebConfig) -> list[tuple[bool, str]]:
     if i % 7 == 0:
         return [(False, "/private/"), (True, "/private/p/0")]
     return [(True, "/")]
+
+
+def robots_crawl_delay(host: str, cfg: WebConfig) -> int | None:
+    """Crawl-delay directive (seconds) a host's robots.txt declares.
+
+    Hosts i ≡ 1 (mod 4) declare a delay of 2 + (i//4 mod 3) seconds
+    (values 2..4); host 3 serves no robots file; everyone else declares
+    none. Only consulted when ``WebConfig.batch_window_s`` is set, so
+    default goldens are unchanged."""
+    i = _host_index(host)
+    if i is None or i == 3:
+        return None
+    if i % 4 == 1:
+        return 2 + (i // 4) % 3
+    return None
 
 
 def _rule_matches(pattern: str, path: str) -> bool:

@@ -32,6 +32,7 @@ from who_focus_crawler_spark.sources.fixture_web import (
     WebConfig,
     extract_links,
     robots_allowed,
+    robots_crawl_delay,
     robots_rules,
     seed_urls,
     synth_spans,
@@ -125,9 +126,14 @@ def run_golden(cfg: WebConfig, max_batches: int | None = None) -> GoldenResult:
         admitted: list[FrontierEntry] = []
         for host, entries in allowed.items():
             entries.sort(key=lambda e: (-e.priority, e.depth, e.canon_url))
-            admitted.extend(entries[: cfg.politeness_k])
-            m(host)["admitted"] += min(len(entries), cfg.politeness_k)
-            m(host)["deferred"] += max(0, len(entries) - cfg.politeness_k)
+            budget = cfg.politeness_k
+            if cfg.batch_window_s is not None:
+                d = robots_crawl_delay(host, cfg)
+                if d:  # Crawl-delay caps fetches per modeled window
+                    budget = min(budget, max(1, cfg.batch_window_s // d))
+            admitted.extend(entries[:budget])
+            m(host)["admitted"] += min(len(entries), budget)
+            m(host)["deferred"] += max(0, len(entries) - budget)
 
         # --- C9 deterministic global sequence ---
         admitted.sort(key=lambda e: (-e.priority, e.depth, e.host, e.canon_url))
