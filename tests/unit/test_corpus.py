@@ -689,3 +689,84 @@ def test_minhash_incremental_empty_batch(spark, docs):
     )
     assert out.count() == 0
     assert out.columns == ["doc_a", "doc_b", "jaccard"]
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    """A doc sharing a 3-gram with the benchmark is dropped; disjoint
+    docs survive; the bench member itself (also in the corpus) is
+    dropped. min_hits raises the bar."""
+    from who_focus_crawler_spark.corpus.decontam import (
+        contamination,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # contains bench 3-gram
+            (2, "alpha beta epsilon zeta"),       # shares only a 2-gram
+            (3, "one two three four"),            # disjoint
+            (4, "beta gamma delta edge case"),    # same 3-gram, shifted
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "xx alpha beta gamma delta yy")], ["doc_id", "text"]
+    )
+    cont = {
+        r.doc_id: (r.n_grams, r.n_hits)
+        for r in contamination(corpus, bench, n=3).collect()
+    }
+    #  doc1 grams: {abg, bgd} both in bench; doc4: {bgd, gde, dec}
+    assert cont[1] == (2, 2)
+    assert cont[2][1] == 0
+    assert cont[3][1] == 0
+    assert cont[4] == (3, 1)
+    kept = {r.doc_id for r in decontaminate(corpus, bench, n=3).collect()}
+    assert kept == {2, 3}
+    # min_hits=2: only the fully-overlapping doc goes
+    kept2 = {
+        r.doc_id for r in decontaminate(corpus, bench, n=3, min_hits=2).collect()
+    }
+    assert kept2 == {2, 3, 4}
+
+
+def test_lm_gram_frequency_and_logprob(spark):
+    """Bigram model counts and the smoothed log-prob scorer on a corpus
+    small enough to verify by hand."""
+    import math
+
+    from who_focus_crawler_spark.corpus.lm import (
+        doc_gram_frequency,
+        doc_logprob,
+        ngram_model,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),   # bigrams: ab, ba, ab
+            (2, "a b c"),     # bigrams: ab, bc
+            (3, "x"),         # no bigram
+        ],
+        ["doc_id", "text"],
+    )
+    model = ngram_model(docs, k=2)
+    counts = {r.g: r.c for r in model.collect()}
+    assert sorted(counts.values()) == [1, 1, 3]  # ab=3, ba=1, bc=1
+    freq = {
+        r.doc_id: (r.n_grams, r.freq_sum, r.freq_min)
+        for r in doc_gram_frequency(docs, model, k=2).collect()
+    }
+    assert freq[1] == (3, 7, 1)   # 3+1+3
+    assert freq[2] == (2, 4, 1)   # 3+1
+    assert freq[3] == (0, 0, 0)
+    uni = ngram_model(docs, k=1)  # a=3, b=3, c=1, x=1
+    out = {
+        r.doc_id: (r.n_bigrams, r.mean_logprob)
+        for r in doc_logprob(docs, model, uni, vocab_size=4).collect()
+    }
+    # doc2: ln((3+1)/(3+4))/1 for 'a b' + ln((1+1)/(3+4)) for 'b c', /2
+    want2 = (math.log(4 / 7) + math.log(2 / 7)) / 2
+    assert out[2][0] == 2 and abs(out[2][1] - want2) < 1e-9
+    want1 = (2 * math.log(4 / 7) + math.log(2 / 7)) / 3  # ab, ba, ab
+    assert out[1][0] == 3 and abs(out[1][1] - want1) < 1e-9
+    assert out[3] == (0, None)

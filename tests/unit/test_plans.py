@@ -160,3 +160,25 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     # and the result values are the plain-join values
     got = sorted((r.k, r.a, r.b) for r in j.collect())
     assert got == [(k, k * 2, k + 7) for k in range(0, 5000, 3)]
+
+
+def test_exists_subqueries_rewrite_to_semi_anti_joins(spark):
+    """Catalyst must decorrelate EXISTS/NOT EXISTS into hash semi/anti
+    joins — at 100 TB a per-row subquery would be unrunnable."""
+    df = REGISTRY["r_exists_subquery"][0](spark, SF)
+    plan = _plan(df)
+    # select-list EXISTS -> ExistenceJoin; WHERE NOT EXISTS -> LeftAnti
+    assert "ExistenceJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_decontam_broadcasts_bench_grams(spark):
+    """The benchmark gram set is the broadcast side; the corpus side must
+    not shuffle for the contamination join."""
+    from who_focus_crawler_spark.corpus.decontam import contamination
+    from who_focus_crawler_spark.harness.util import t
+
+    d = t(spark, SF, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    plan = _plan(contamination(d, bench, n=4))
+    assert "BroadcastHashJoin" in plan, plan

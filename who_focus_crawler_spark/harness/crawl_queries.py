@@ -1207,3 +1207,77 @@ FROM counts c LEFT JOIN top t ON c.target_url = t.target_url
 """
 
 QUERIES["c_anchor_text"] = (c_anchor_text, C_ANCHOR_TEXT_SQL)
+
+
+# --------------------------------------------------------------------------
+# C7+ — robots.txt Crawl-delay budget (batch models batch_window_s seconds;
+# a host declaring Crawl-delay d admits at most max(1, window // d) fetches,
+# still capped by politeness_k). Runs the REAL apply_politeness operator
+# with its crawl_delay column against an analytic SQL twin.
+
+_CD_WINDOW_S = 6
+_CD_K = 2
+
+
+def c_crawl_delay(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.politeness import apply_politeness
+
+    cand = t(spark, sf, "orders").select(
+        F.concat(
+            F.lit("h"), (F.col("o_custkey") % 12).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        F.concat(
+            F.lit("http://h"),
+            (F.col("o_custkey") % 12).cast("string"),
+            F.lit(".example.org/p/k"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("canon_url"),
+        F.col("o_totalprice").alias("priority"),
+        F.lit(1).alias("depth"),
+        F.lit(True).alias("robots_ok"),
+        # hosts 1/5/9 declare Crawl-delay = their index (1, 5, 9 s):
+        #   1 -> 6//1=6 capped at k=2;  5 -> 6//5=1;  9 -> 6//9=0 -> floor 1
+        F.when(
+            (F.col("o_custkey") % 12).isin(1, 5, 9),
+            (F.col("o_custkey") % 12).cast("int"),
+        ).alias("crawl_delay"),
+    )
+    out = apply_politeness(cand, _CD_K, batch_window_s=_CD_WINDOW_S)
+    return out.groupBy("host").agg(
+        F.count("*").alias("scheduled"),
+        F.sum(F.when(F.col("admitted"), 1).otherwise(0))
+        .cast("long")
+        .alias("admitted"),
+        F.sum(F.when(~F.col("admitted"), 1).otherwise(0))
+        .cast("long")
+        .alias("deferred"),
+    )
+
+
+C_CRAWL_DELAY_SQL = f"""
+WITH cand AS (
+  SELECT concat('h', CAST(o_custkey % 12 AS VARCHAR), '.example.org') AS host,
+         concat('http://h', CAST(o_custkey % 12 AS VARCHAR),
+                '.example.org/p/k', CAST(o_orderkey AS VARCHAR)) AS canon_url,
+         o_totalprice AS priority,
+         CASE WHEN o_custkey % 12 IN (1, 5, 9)
+              THEN CAST(o_custkey % 12 AS INTEGER) END AS crawl_delay
+  FROM orders
+),
+ranked AS (
+  SELECT host, crawl_delay,
+         row_number() OVER (
+           PARTITION BY host ORDER BY priority DESC, canon_url
+         ) AS rk,
+         CASE WHEN crawl_delay IS NOT NULL
+              THEN least({_CD_K}, greatest({_CD_WINDOW_S} // crawl_delay, 1))
+              ELSE {_CD_K} END AS budget
+  FROM cand
+)
+SELECT host, count(*) AS scheduled,
+       CAST(sum(CASE WHEN rk <= budget THEN 1 ELSE 0 END) AS BIGINT) AS admitted,
+       CAST(sum(CASE WHEN rk > budget THEN 1 ELSE 0 END) AS BIGINT) AS deferred
+FROM ranked GROUP BY host
+"""
+
+QUERIES["c_crawl_delay"] = (c_crawl_delay, C_CRAWL_DELAY_SQL)

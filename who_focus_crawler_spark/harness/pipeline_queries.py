@@ -13,11 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from who_focus_crawler_spark.corpus import decontam as DC
+from who_focus_crawler_spark.corpus import lm as LM
 from who_focus_crawler_spark.corpus import mixture as MX
 from who_focus_crawler_spark.corpus import sampling as SP
 from who_focus_crawler_spark.corpus import substring as SUB
 from who_focus_crawler_spark.corpus import text as X
-from who_focus_crawler_spark.harness.corpus_queries import SQL_TOKS
+from who_focus_crawler_spark.harness.corpus_queries import SQL_TOKS, _sql_shingles
 from who_focus_crawler_spark.harness.util import t
 
 QUERIES: dict = {}
@@ -230,3 +232,105 @@ SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 20
 """
 
 QUERIES["d_sample_weighted"] = (d_sample_weighted, D_SAMPLE_WEIGHTED_SQL)
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (eval-set n-gram overlap)
+
+_DC_N = 4  # gram length; docs are ~50 tokens, eval snippets are full docs
+
+
+def d_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Contaminated docs vs a synthetic benchmark (docs with
+    doc_id % 41 == 0 stand in for the eval set): per-doc distinct-gram
+    and benchmark-hit counts for every doc with >= 1 hit. The bench
+    members themselves are fully contaminated by construction, and any
+    doc sharing a 4-gram with them is flagged — the published n-gram
+    collision decontamination test, value-exact on both engines."""
+    d = t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    return (
+        DC.contamination(d, bench, n=_DC_N)
+        .filter(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def _decontam_sql() -> str:
+    grams = _sql_shingles("tk", _DC_N)
+    return f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+grams AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS g
+  FROM (SELECT doc_id, unnest({grams}) AS g FROM tk)
+),
+bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 0
+),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM grams
+  WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits
+FROM tk t
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN hits USING (doc_id)
+WHERE coalesce(hits.n_hits, 0) > 0
+ORDER BY t.doc_id
+"""
+
+
+QUERIES["d_decontaminate"] = (d_decontaminate, _decontam_sql())
+
+
+# --------------------------------------------------------------------------
+# Corpus-trained n-gram LM scoring (CCNet-style quality signal)
+
+_LM_K = 2
+
+
+def d_text_lm_common(spark: SparkSession, sf: str) -> DataFrame:
+    """Train a bigram count model on the whole corpus, score every doc:
+    (n_grams, freq_sum, freq_min) — total corpus mass of the doc's
+    bigrams and its rarest bigram's count. Integer-exact LM commonness
+    (the log-prob variant is float and unit-tested instead)."""
+    d = t(spark, sf, "documents")
+    model = LM.ngram_model(d, k=_LM_K)
+    return LM.doc_gram_frequency(d, model, k=_LM_K).orderBy("doc_id")
+
+
+D_TEXT_LM_COMMON_SQL = f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+grams AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS g
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(tk) - {_LM_K - 1}, 0)),
+             i -> array_to_string(list_slice(tk, i, i + {_LM_K - 1}), ' ')
+           )) AS g
+    FROM tk
+  )
+),
+model AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+scored AS (
+  SELECT grams.doc_id, model.c FROM grams JOIN model USING (g)
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_grams, sum(c) AS freq_sum, min(c) AS freq_min
+  FROM scored GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.freq_sum, 0) AS BIGINT) AS freq_sum,
+       CAST(coalesce(p.freq_min, 0) AS BIGINT) AS freq_min
+FROM tk t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+QUERIES["d_text_lm_common"] = (d_text_lm_common, D_TEXT_LM_COMMON_SQL)

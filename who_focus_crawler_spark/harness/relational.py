@@ -1151,3 +1151,92 @@ QUERIES.update(
         "r_win_ntile": (r_win_ntile, R_WIN_NTILE_SQL),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# R18 ext — explicit GROUPING SETS (rollup/cube generalization) with
+# grouping() flags to disambiguate NULL group keys from NULL data
+
+
+def r_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+R_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# R7 ext — correlated EXISTS / NOT EXISTS subqueries (Catalyst rewrites
+# them to semi/anti joins — asserted in tests/unit/test_plans.py)
+
+
+def r_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    for name in ("customer", "orders"):
+        t(spark, sf, name).createOrReplaceTempView(f"_ex_{name}")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               CAST(sum(CASE WHEN has_urgent THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_with_urgent
+        FROM (
+          SELECT c.c_custkey, c.c_mktsegment,
+                 EXISTS (SELECT 1 FROM _ex_orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT') AS has_urgent
+          FROM _ex_customer c
+          WHERE NOT EXISTS (SELECT 1 FROM _ex_orders o2
+                            WHERE o2.o_custkey = c.c_custkey
+                              AND o2.o_orderstatus = 'F'
+                              AND o2.o_totalprice > 300000)
+        )
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+R_EXISTS_SUBQUERY_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CASE WHEN has_urgent THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_urgent
+FROM (
+  SELECT c.c_custkey, c.c_mktsegment,
+         EXISTS (SELECT 1 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderpriority = '1-URGENT') AS has_urgent
+  FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o2
+                    WHERE o2.o_custkey = c.c_custkey
+                      AND o2.o_orderstatus = 'F'
+                      AND o2.o_totalprice > 300000)
+)
+GROUP BY c_mktsegment
+"""
+
+QUERIES.update(
+    {
+        "r_grouping_sets": (r_grouping_sets, R_GROUPING_SETS_SQL),
+        "r_exists_subquery": (r_exists_subquery, R_EXISTS_SUBQUERY_SQL),
+    }
+)
