@@ -1281,3 +1281,112 @@ FROM ranked GROUP BY host
 """
 
 QUERIES["c_crawl_delay"] = (c_crawl_delay, C_CRAWL_DELAY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Redirect-chain resolution — operators/redirects.py (pointer doubling).
+# Edges synthesized from orders: each customer's orders form one chain
+# (each order 301s to the next); customers ≡ 0 (mod 10) close the chain
+# into a loop (the last order redirects back to the first), so both the
+# resolved and the loop-unresolved paths carry checked values. The
+# oracle replays the identical doubling rounds as a CTE chain.
+
+_RC_MAX_HOPS = 32
+_RC_ROUNDS = 7  # 2^7 = 128 ≥ any sf chain; loops self-cap by round 6
+
+
+def _redirect_url(cust, key):
+    return F.concat(
+        F.lit("http://r"),
+        (cust % 100).cast("string"),
+        F.lit(".example.org/u/"),
+        key.cast("string"),
+    )
+
+
+def c_redirect_chains(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.redirects import (
+        resolve_redirect_chains,
+    )
+
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    e = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("nxt"),
+        F.min("o_orderkey").over(Window.partitionBy("o_custkey")).alias("first_k"),
+    )
+    cust = F.col("o_custkey")
+    edges = e.select(
+        _redirect_url(cust, F.col("o_orderkey")).alias("src_url"),
+        F.when(F.col("nxt").isNotNull(), _redirect_url(cust, F.col("nxt")))
+        .when(cust % 10 == 0, _redirect_url(cust, F.col("first_k")))
+        .alias("dst_url"),
+    ).filter(F.col("dst_url").isNotNull())
+    return resolve_redirect_chains(
+        edges, max_hops=_RC_MAX_HOPS, n_rounds=_RC_ROUNDS
+    )
+
+
+def _redirect_chains_sql() -> str:
+    url = (
+        "concat('http://r', CAST(o_custkey % 100 AS VARCHAR), "
+        "'.example.org/u/', CAST({k} AS VARCHAR))"
+    )
+    rounds = []
+    prev = "r0"
+    for i in range(1, _RC_ROUNDS + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT p.node,
+         CASE WHEN p.state = 'active' THEN q.ptr ELSE p.ptr END AS ptr,
+         CASE WHEN p.state = 'active' THEN p.hops + q.hops
+              ELSE p.hops END AS hops,
+         CASE WHEN p.state <> 'active' THEN p.state
+              WHEN q.state = 'resolved' THEN 'resolved'
+              WHEN q.state = 'unresolved' THEN 'unresolved'
+              WHEN p.hops + q.hops > {_RC_MAX_HOPS} THEN 'unresolved'
+              ELSE 'active' END AS state
+  FROM {prev} p LEFT JOIN {prev} q
+    ON p.state = 'active' AND p.ptr = q.node
+)"""
+        )
+        prev = f"r{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH e0 AS (
+  SELECT o_custkey, o_orderkey,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey) AS nxt,
+         min(o_orderkey) OVER (PARTITION BY o_custkey) AS first_k
+  FROM orders
+),
+edges AS (
+  SELECT DISTINCT
+         {url.format(k="o_orderkey")} AS src_url,
+         CASE WHEN nxt IS NOT NULL THEN {url.format(k="nxt")}
+              WHEN o_custkey % 10 = 0 THEN {url.format(k="first_k")}
+         END AS dst_url
+  FROM e0
+  WHERE nxt IS NOT NULL OR o_custkey % 10 = 0
+),
+srcs AS (SELECT DISTINCT src_url FROM edges),
+r0 AS (
+  SELECT e.src_url AS node, e.dst_url AS ptr, CAST(1 AS BIGINT) AS hops,
+         CASE WHEN s.src_url IS NULL THEN 'resolved'
+              ELSE 'active' END AS state
+  FROM edges e LEFT JOIN srcs s ON e.dst_url = s.src_url
+),
+{rounds_sql}
+SELECT node AS src_url,
+       CASE WHEN state = 'resolved' AND hops <= {_RC_MAX_HOPS}
+            THEN ptr END AS terminal_url,
+       CASE WHEN state = 'resolved' AND hops <= {_RC_MAX_HOPS}
+            THEN hops END AS hops,
+       state = 'resolved' AND hops <= {_RC_MAX_HOPS} AS resolved
+FROM {prev}
+"""
+
+
+QUERIES["c_redirect_chains"] = (c_redirect_chains, _redirect_chains_sql())
