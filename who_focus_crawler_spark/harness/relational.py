@@ -1240,3 +1240,47 @@ QUERIES.update(
         "r_exists_subquery": (r_exists_subquery, R_EXISTS_SUBQUERY_SQL),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# R3 ext — WARC archival sink + source round trip (sources/warc.py).
+# The documents table is written out as WARC response records and read
+# back through the binaryFile parser; the oracle derives the expected
+# record surface (uri, byte length, payload digest) straight from
+# `documents`, so the query only matches if the sink and the source
+# both preserve every payload byte.
+
+
+def r_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from who_focus_crawler_spark.sources.warc import read_warc, write_warc
+
+    base = tempfile.mkdtemp(prefix="wfc_warc_")
+    docs = t(spark, sf, "documents").select(
+        F.concat(
+            F.lit("http://d"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    write_warc(docs, base).collect()  # materialize the sink
+    rec = read_warc(spark, base).filter(F.col("warc_type") == "response")
+    return rec.select(
+        "target_uri",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+R_WARC_ROUNDTRIP_SQL = """
+SELECT concat('http://d', CAST(doc_id % 50 AS VARCHAR),
+              '.example.org/doc/', CAST(doc_id AS VARCHAR)) AS target_uri,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+QUERIES["r_warc_roundtrip"] = (r_warc_roundtrip, R_WARC_ROUNDTRIP_SQL)
