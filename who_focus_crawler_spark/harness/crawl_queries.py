@@ -1390,3 +1390,79 @@ FROM {prev}
 
 
 QUERIES["c_redirect_chains"] = (c_redirect_chains, _redirect_chains_sql())
+
+
+# --------------------------------------------------------------------------
+# Mirror-host detection — operators/mirrors.py. Fetch log synthesized
+# from lineitem: hosts pair up into planted mirror groups (hosts 2g and
+# 2g+1 draw page hashes from the same per-group pool) with ~20% of rows
+# host-unique content, so containment lands mid-scale and both the
+# shared count and the integer containment are value-checked. Cross-
+# group pairs share nothing and must not appear.
+
+
+def c_mirror_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.mirrors import mirror_pairs
+
+    li = t(spark, sf, "lineitem")
+    hi = F.col("l_suppkey") % 40
+    pk = (F.col("l_partkey") % 300).cast("string")
+    pages = li.select(
+        F.concat(F.lit("m"), hi.cast("string"), F.lit(".example.test")).alias(
+            "host"
+        ),
+        F.when(
+            F.col("l_orderkey") % 5 == 0,
+            F.concat(F.lit("u"), hi.cast("string"), F.lit("/"), pk),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("c"), F.floor(hi / 2).cast("string"), F.lit("/"), pk
+            )
+        )
+        .alias("content_hash"),
+    )
+    return mirror_pairs(
+        pages,
+        min_shared=50,
+        min_containment_permille=300,
+        max_hosts_per_hash=64,
+    )
+
+
+C_MIRROR_HOSTS_SQL = """
+WITH pg AS (
+  SELECT DISTINCT
+         concat('m', CAST(l_suppkey % 40 AS VARCHAR), '.example.test')
+           AS host,
+         CASE WHEN l_orderkey % 5 = 0
+              THEN concat('u', CAST(l_suppkey % 40 AS VARCHAR), '/',
+                          CAST(l_partkey % 300 AS VARCHAR))
+              ELSE concat('c', CAST((l_suppkey % 40) // 2 AS VARCHAR), '/',
+                          CAST(l_partkey % 300 AS VARCHAR))
+         END AS content_hash
+  FROM lineitem
+),
+sizes AS (SELECT host, count(*) AS pages FROM pg GROUP BY host),
+rare AS (
+  SELECT content_hash FROM pg GROUP BY content_hash HAVING count(*) <= 64
+),
+j AS (SELECT pg.host, pg.content_hash FROM pg JOIN rare USING (content_hash)),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM j a JOIN j b ON a.content_hash = b.content_hash AND a.host < b.host
+  GROUP BY a.host, b.host
+  HAVING count(*) >= 50
+)
+SELECT p.host_a, p.host_b, p.shared,
+       CAST(sa.pages AS BIGINT) AS pages_a,
+       CAST(sb.pages AS BIGINT) AS pages_b,
+       (1000 * p.shared) // least(sa.pages, sb.pages) AS containment_permille
+FROM pairs p
+JOIN sizes sa ON p.host_a = sa.host
+JOIN sizes sb ON p.host_b = sb.host
+WHERE (1000 * p.shared) // least(sa.pages, sb.pages) >= 300
+"""
+
+QUERIES["c_mirror_hosts"] = (c_mirror_hosts, C_MIRROR_HOSTS_SQL)
