@@ -182,3 +182,44 @@ def test_decontam_broadcasts_bench_grams(spark):
     bench = d.filter(F.col("doc_id") % 41 == 0)
     plan = _plan(contamination(d, bench, n=4))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_injected_for_big_joins(spark):
+    """Shuffle joins where neither side broadcasts (the 100 TB fact x
+    fact regime — simulated by disabling auto-broadcast) get a runtime
+    bloom filter injected on the big probe side from the selective
+    build side, cutting shuffled rows before the exchange. Catalyst
+    provides this for free; this pins that our session config keeps it
+    enabled and that it actually fires on the engine's join shape."""
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy().sum("l_quantity")
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt[:2000]
+        # and it executes correctly with the filter in place
+        with_bloom = j.collect()[0][0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thr,
+        )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).groupBy().sum("l_quantity")
+    assert with_bloom == plain.collect()[0][0]

@@ -334,3 +334,55 @@ ORDER BY t.doc_id
 """
 
 QUERIES["d_text_lm_common"] = (d_text_lm_common, D_TEXT_LM_COMMON_SQL)
+
+
+# --------------------------------------------------------------------------
+# Hashed-feature linear classifier — corpus/classifier.py. Fit on a
+# deterministic train split (doc_id % 3 != 0) with label lang='en',
+# score EVERY document (train + held-out); weights and scores are
+# integer permille so the whole fit→score pipeline is value-exact on
+# both engines.
+
+_CLF_BUCKETS = 4096
+
+
+def d_text_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.classifier import (
+        classifier_fit,
+        classifier_score,
+    )
+
+    d = t(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % 3 != 0).withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    model = classifier_fit(train, "is_en", n_buckets=_CLF_BUCKETS)
+    return classifier_score(d, model, n_buckets=_CLF_BUCKETS)
+
+
+D_TEXT_CLASSIFIER_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, lang = 'en' AS y,
+         CAST(concat('0x', substring(md5(concat('feat|', tok)), 1, 15))
+              AS BIGINT) % {_CLF_BUCKETS} AS bucket
+  FROM (SELECT doc_id, lang, unnest({SQL_TOKS}) AS tok FROM documents)
+),
+model AS (
+  SELECT bucket,
+         (1000 * sum(CASE WHEN y THEN 1 ELSE 0 END)) // count(*) AS w
+  FROM feats WHERE doc_id % 3 <> 0 GROUP BY bucket
+),
+scored AS (
+  SELECT f.doc_id, count(*) AS n_feats,
+         sum(coalesce(m.w, 500)) // count(*) AS score
+  FROM feats f LEFT JOIN model m USING (bucket)
+  GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(coalesce(s.score, 500) AS BIGINT) AS score_permille,
+       coalesce(s.score, 500) >= 500 AS predicted
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+QUERIES["d_text_classifier"] = (d_text_classifier, D_TEXT_CLASSIFIER_SQL)
