@@ -1466,3 +1466,59 @@ WHERE (1000 * p.shared) // least(sa.pages, sb.pages) >= 300
 """
 
 QUERIES["c_mirror_hosts"] = (c_mirror_hosts, C_MIRROR_HOSTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering key — operators/zorder.py. The key both
+# quantizes (guarded integer division) and bit-interleaves; the oracle
+# rebuilds the identical arithmetic with DuckDB's native bit operators
+# and exact integer division, so any divergence in either step flips
+# the value hash. Ranges are intentionally wider than some sf domains
+# so the clamp path is exercised too.
+
+_Z_BITS = 10
+_Z_OK_RANGE = (0, 60000)
+_Z_PK_RANGE = (0, 8000)
+
+
+def c_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.zorder import quantize, zorder_key
+
+    li = t(spark, sf, "lineitem")
+    qo = quantize(F.col("l_orderkey"), *_Z_OK_RANGE, _Z_BITS)
+    qp = quantize(F.col("l_partkey"), *_Z_PK_RANGE, _Z_BITS)
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        zorder_key([qo, qp], _Z_BITS).alias("z_key"),
+    )
+
+
+def _zorder_sql() -> str:
+    top = (1 << _Z_BITS) - 1
+    qo = (
+        f"(least(greatest(l_orderkey, {_Z_OK_RANGE[0]}), {_Z_OK_RANGE[1]})"
+        f" * {top}) // {_Z_OK_RANGE[1] - _Z_OK_RANGE[0]}"
+    )
+    qp = (
+        f"(least(greatest(l_partkey, {_Z_PK_RANGE[0]}), {_Z_PK_RANGE[1]})"
+        f" * {top}) // {_Z_PK_RANGE[1] - _Z_PK_RANGE[0]}"
+    )
+    terms = " + ".join(
+        f"(((qo >> {i}) & 1) << {2 * i}) + (((qp >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    )
+    return f"""
+WITH q AS (
+  SELECT l_orderkey, l_partkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+         CAST({qo} AS BIGINT) AS qo, CAST({qp} AS BIGINT) AS qp
+  FROM lineitem
+)
+SELECT l_orderkey, l_partkey, l_linenumber,
+       CAST({terms} AS BIGINT) AS z_key
+FROM q
+"""
+
+
+QUERIES["c_zorder_key"] = (c_zorder_key, _zorder_sql())
