@@ -280,6 +280,51 @@ def test_sql_views_over_checkpoint(crawled):
         assert got == golden.crawl_order
 
 
+def test_compact_table_with_zorder(spark, tmp_path_factory):
+    """Z-order compaction (Iceberg rewrite-with-zorder): contents stay
+    byte-identical, mutual exclusion with sort_by holds, and the write
+    lands as a new snapshot with time travel intact. (The pruning
+    payoff of the layout itself is measured in tests/unit/test_zorder.)"""
+    import pytest as _pytest
+
+    cfg = CrawlConfig(
+        web=UNIT_WEB,
+        checkpoint_dir=str(tmp_path_factory.mktemp("crawl_zorder")),
+        num_buckets=8,
+    )
+    catalog = run_crawl(spark, cfg, until_batch=4)
+    golden = run_golden(UNIT_WEB, max_batches=4)
+    head = catalog.head()
+    with _pytest.raises(ValueError, match="exclusive"):
+        catalog.compact_table(
+            spark,
+            "crawl_order",
+            schemas.CRAWL_ORDER,
+            sort_by=["seq"],
+            zorder_by=["seq"],
+        )
+    res = catalog.compact_table(
+        spark,
+        "crawl_order",
+        schemas.CRAWL_ORDER,
+        num_files=2,
+        zorder_by=["url_hash", "depth"],
+    )
+    assert res["compacted"]
+    assert catalog.head() == head + 1
+    rows = (
+        catalog.read_table(spark, "crawl_order", schemas.CRAWL_ORDER)
+        .orderBy("seq")
+        .collect()
+    )
+    got = [(r.seq, r.batch, r.canon_url, r.host, r.depth, r.seed_id) for r in rows]
+    assert got == golden.crawl_order
+    old = catalog.read_table(
+        spark, "crawl_order", schemas.CRAWL_ORDER, snapshot_id=head
+    )
+    assert old.count() == len(got)
+
+
 def test_resume_after_compact_and_expire(spark, tmp_path_factory):
     """The maintenance sequence a production operator actually runs:
     stop mid-crawl → compact → expire to one snapshot → resume. The

@@ -67,6 +67,30 @@ def test_quantize_is_exact_integer_division(spark):
         quantize(F.col("x"), 5, 5, 8)
 
 
+def test_quantize_full_range_hash_column(spark):
+    # xxhash64 columns span ±2^63: span and x*top overflow a long, so
+    # quantize pre-shifts the domain; verify against the same shifted
+    # arithmetic in Python and that outputs stay in [0, 2^bits)
+    lo, hi, bits = -(1 << 63), (1 << 63) - 1, 16
+    vals = [lo, -12345678901234567, -1, 0, 1, 98765432109876543, hi]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = [
+        r["q"]
+        for r in df.select(quantize(F.col("x"), lo, hi, bits).alias("q")).collect()
+    ]
+    span = hi - lo
+    shift = max(0, span.bit_length() - (62 - bits))
+    top = (1 << bits) - 1
+    lo_s, hi_s = lo >> shift, hi >> shift
+    expect = [
+        (min(max(v >> shift, lo_s), hi_s) - lo_s) * top // (hi_s - lo_s)
+        for v in vals
+    ]
+    assert got == expect
+    assert all(0 <= q <= top for q in got)
+    assert got == sorted(got)  # monotone in the input
+
+
 def _file_ranges(path: str, col: str) -> list[tuple[int, int]]:
     out = []
     for f in glob.glob(f"{path}/*.parquet"):

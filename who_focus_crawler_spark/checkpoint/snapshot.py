@@ -216,6 +216,8 @@ class SnapshotCatalog:
         schema: T.StructType,
         num_files: int = 1,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 16,
     ) -> dict:
         """Iceberg-style data-file compaction for one (append) table.
 
@@ -246,10 +248,41 @@ class SnapshotCatalog:
         if len(files) <= num_files:
             return {"compacted": False, "reason": "already compact",
                     "files_before": len(files)}
+        if sort_by and zorder_by:
+            raise ValueError("compact_table: sort_by and zorder_by are exclusive")
         new_sid = head + 1
         path = self.root / "data" / name / f"compact-{new_sid:06d}"
         df = spark.read.schema(schema).parquet(*files)
-        if sort_by:
+        if zorder_by:
+            # Iceberg rewrite-with-zorder: cluster files on the Morton
+            # code of the (numeric) dimensions so min/max pruning works
+            # for predicates on ANY of them, not just a lead sort key.
+            # Quantization ranges come from the table's own min/max
+            # (one agg over the files being rewritten — maintenance-
+            # time cost, not query-time).
+            from pyspark.sql import functions as F
+
+            from who_focus_crawler_spark.operators.zorder import (
+                with_zorder_key,
+            )
+
+            aggs = []
+            for c in zorder_by:
+                aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+            stats = df.agg(*aggs).collect()[0]
+            ranges = {
+                c: (int(stats[f"_lo_{c}"]), int(stats[f"_hi_{c}"]))
+                for c in zorder_by
+                if stats[f"_lo_{c}"] is not None
+                and int(stats[f"_hi_{c}"]) > int(stats[f"_lo_{c}"])
+            }
+            keyed = with_zorder_key(df, zorder_by, zorder_bits, ranges)
+            if num_files > 1:
+                keyed = keyed.repartitionByRange(num_files, "z_key")
+            else:
+                keyed = keyed.coalesce(1)
+            df = keyed.sortWithinPartitions("z_key").drop("z_key")
+        elif sort_by:
             # Iceberg rewrite-with-sort-order: RANGE-partition on the
             # sort key so each output file owns a disjoint key range
             # (coalesce would concatenate arbitrary splits and every

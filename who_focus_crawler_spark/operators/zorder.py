@@ -38,16 +38,26 @@ def quantize(col: Column, lo: int, hi: int, bits: int) -> Column:
     (or are known domain bounds like bucket counts)."""
     if hi <= lo:
         raise ValueError("quantize: hi must exceed lo")
-    span = hi - lo
     top = (1 << bits) - 1
-    x = F.greatest(F.least(col.cast("long"), F.lit(hi)), F.lit(lo)) - F.lit(lo)
+    # keep every intermediate inside a signed long: arithmetic-shift
+    # the domain down until (span·top) < 2^62. Full-range 64-bit hash
+    # columns (xxhash64 url_hash spans ±2^63) land here; the shift is
+    # the same floor division in Python, Java, and DuckDB, so
+    # determinism survives. Precision loss is irrelevant — only the
+    # top `bits` bits of the domain matter for the key anyway.
+    span = hi - lo
+    shift = max(0, span.bit_length() - (62 - bits))
+    lo_s, hi_s = lo >> shift, hi >> shift
+    span_s = hi_s - lo_s
+    xs = F.shiftright(col.cast("long"), shift) if shift else col.cast("long")
+    x = F.greatest(F.least(xs, F.lit(hi_s)), F.lit(lo_s)) - F.lit(lo_s)
     a = x * F.lit(top)
     # guarded integer division a div span: the double estimate is
     # within ±1 of the true quotient; the correction terms compare in
     # long arithmetic only, so the result is bit-exact at any magnitude
-    q0 = F.floor(a / F.lit(span)).cast("long")
-    q0 = F.when(q0 * span > a, q0 - 1).otherwise(q0)
-    return F.when((q0 + 1) * span <= a, q0 + 1).otherwise(q0)
+    q0 = F.floor(a / F.lit(span_s)).cast("long")
+    q0 = F.when(q0 * span_s > a, q0 - 1).otherwise(q0)
+    return F.when((q0 + 1) * span_s <= a, q0 + 1).otherwise(q0)
 
 
 def zorder_key(cols: list[Column], bits: int = 16) -> Column:
