@@ -280,6 +280,58 @@ def test_sql_views_over_checkpoint(crawled):
         assert got == golden.crawl_order
 
 
+def test_redirect_crawl_matches_golden(spark, tmp_path_factory):
+    """HTTP 3xx semantics (opt-in web config): redirect pages consume a
+    fetch slot and a seq like any round trip, their Location target
+    enters discovery like a link, and the whole crawl stays byte-exact
+    vs the sequential golden. Default goldens are untouched
+    (redirect_every=None elsewhere)."""
+    from dataclasses import replace
+
+    from who_focus_crawler_spark.sources.fixture_web import redirect_target
+
+    web = replace(UNIT_WEB, redirect_every=4, max_batches=12)
+    cfg = CrawlConfig(
+        web=web,
+        checkpoint_dir=str(tmp_path_factory.mktemp("crawl_redir")),
+        num_buckets=8,
+    )
+    catalog = run_crawl(spark, cfg)
+    golden = run_golden(web)
+    rows = (
+        catalog.read_table(spark, "crawl_order", schemas.CRAWL_ORDER)
+        .orderBy("seq")
+        .collect()
+    )
+    got = [(r.seq, r.batch, r.canon_url, r.host, r.depth, r.seed_id) for r in rows]
+    assert got == golden.crawl_order
+    seen = {
+        r.canon_url
+        for r in catalog.read_table(spark, "url_seen", schemas.URL_SEEN).collect()
+    }
+    assert seen == golden.url_seen
+    # the scenario is non-vacuous: redirect pages were actually fetched,
+    # and each redirect's target ended up in the URL-seen set
+    fetched_redirects = [
+        u for _, _, u, _, _, _ in golden.crawl_order
+        if redirect_target(u, web) is not None
+    ]
+    assert len(fetched_redirects) > 0
+    for u in fetched_redirects:
+        assert redirect_target(u, web) in golden.url_seen, u
+    # span-sequence equality holds for redirect docs too (single span)
+    docs = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in catalog.read_table(
+            spark, "documents", schemas.DOCUMENTS_OUT
+        ).collect()
+    }
+    for u in fetched_redirects:
+        assert docs[u] == [
+            ("redirect", None, redirect_target(u, web), 0)
+        ]
+
+
 def test_compact_table_with_zorder(spark, tmp_path_factory):
     """Z-order compaction (Iceberg rewrite-with-zorder): contents stay
     byte-identical, mutual exclusion with sort_by holds, and the write

@@ -37,7 +37,11 @@ def discover_links(fetched: DataFrame, num_buckets: int) -> DataFrame:
         (F.col("depth") + 1).alias("depth"),
         F.col("seed_id"),
         F.posexplode("spans").alias("pos", "span"),
-    ).filter(F.col("span.kind") == "link")
+        # redirect targets enter discovery exactly like links (the
+        # Location header is the page's only outlink) — same lineage,
+        # same dedup, same tie-break; kinds beyond these never carry
+        # URLs (fixture_web.extract_links is the frozen twin)
+    ).filter(F.col("span.kind").isin("link", "redirect"))
     # RFC 3986 §5: most real-page hrefs are relative — resolve against
     # the parent canon_url BEFORE canonicalization (which would silently
     # drop anything without '://'). NULL/empty hrefs stay NULL and drop:

@@ -49,6 +49,11 @@ class WebConfig:
     # min(politeness_k, max(1, batch_window_s // d)); None = ignore
     # Crawl-delay (frozen v1 behavior, goldens unchanged)
     batch_window_s: int | None = None
+    # HTTP 3xx: roughly 1/redirect_every pages serve a redirect instead
+    # of content (one same-host 'redirect' span; consumes its fetch
+    # slot + seq like any HTTP round trip; the target enters discovery
+    # like a link). None = no redirects (frozen v1, goldens unchanged)
+    redirect_every: int | None = None
 
     def pages_per_host(self) -> list[int]:
         hot = max(1, int(self.n_pages * self.hot_host_frac))
@@ -237,14 +242,48 @@ def _mk_messy(target: str, r: int) -> str:
     return f"{target}?utm_source=feed"
 
 
+def redirect_target(canon_url: str, cfg: WebConfig) -> str | None:
+    """Redirect target of a page, or None when it serves content.
+
+    Deterministic: a page redirects iff h64(url|redir) % redirect_every
+    == 0; the target is another page of the same host at a scattered
+    index (never itself — self-loops excluded by construction; longer
+    cycles may arise and are harmless: the target is already in the
+    URL-seen set when the cycle closes, so it dedups away)."""
+    if cfg.redirect_every is None:
+        return None
+    if h64(f"{canon_url}|redir") % cfg.redirect_every != 0:
+        return None
+    i = _host_index(canon_url.split("://", 1)[-1].split("/", 1)[0])
+    if i is None:
+        return None
+    try:
+        j = int(canon_url.rsplit("/", 1)[1])
+    except (IndexError, ValueError):
+        return None
+    pph = cfg.pages_per_host()
+    if i >= len(pph) or pph[i] <= 1:
+        return None
+    j2 = (j * 7 + 1) % pph[i]
+    if j2 == j:
+        j2 = (j + 1) % pph[i]
+    return page_url(i, j2)
+
+
 def synth_spans(canon_url: str, cfg: WebConfig) -> list[dict]:
     """The page body: ordered spans interleaving text/media/link.
 
     Pure function of the canonical URL (plus the web-graph shape), shared
     verbatim by the golden crawler and the Spark fetch UDF — this IS the
     frozen extraction semantics (span-sequence equality, BASELINE.json
-    input_hint).
+    input_hint). A redirecting page's whole body is its single
+    'redirect' span (the Location header as data).
     """
+    target = redirect_target(canon_url, cfg)
+    if target is not None:
+        return [
+            {"kind": "redirect", "text": None, "media_ref": target, "offset": 0}
+        ]
     pph = cfg.pages_per_host()
     seed = h64(canon_url)
     n_spans = 3 + seed % 10
@@ -307,7 +346,7 @@ def extract_links(spans: list[dict], base_url: str) -> list[tuple[str, int]]:
     first-discovery tie-break (SURVEY.md §5.3 freeze)."""
     out = []
     for s in spans:
-        if s["kind"] == "link" and s["media_ref"]:
+        if s["kind"] in ("link", "redirect") and s["media_ref"]:
             c = canonicalize_py(resolve_py(base_url, s["media_ref"]))
             if c is not None:
                 out.append((c, s["offset"]))
