@@ -386,3 +386,89 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 QUERIES["d_text_classifier"] = (d_text_classifier, D_TEXT_CLASSIFIER_SQL)
+
+
+# --------------------------------------------------------------------------
+# Per-source boilerplate segment removal (CCNet-style line dedup adapted
+# to k-token segments). seg_len=1 here so the oracle is non-vacuous on
+# the synthetic token-bag corpus (common vocabulary words cross the 85%
+# per-source share threshold, rare ones don't); the multi-token segment
+# path incl. the trailing partial segment is pinned by unit tests with
+# planted boilerplate. text_md5 hashes the full rebuilt text per source
+# — the oracle verifies the REBUILT documents byte-for-byte, not just
+# the counters.
+
+_BP_LEN, _BP_MIN_DOCS, _BP_SHARE = 1, 3, 850
+
+
+def d_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus import boilerplate as BP
+
+    d = t(spark, sf, "documents")
+    stripped = BP.strip_boilerplate(
+        d, seg_len=_BP_LEN, min_docs=_BP_MIN_DOCS, share_permille=_BP_SHARE
+    )
+    by_doc = F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+    return stripped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_boiler_segs") > 0).cast("long")).alias("docs_affected"),
+        F.sum("n_segs").alias("segs_total"),
+        F.sum("n_boiler_segs").alias("segs_removed"),
+        F.md5(
+            F.array_join(F.transform(by_doc, lambda s: s["text"]), "\x01")
+        ).alias("text_md5"),
+    )
+
+
+D_BOILERPLATE_SQL = f"""
+WITH base AS (SELECT source, doc_id, {SQL_TOKS} AS tk FROM documents),
+segd AS (
+  SELECT source, doc_id,
+         CASE WHEN len(tk) >= 1 THEN list_transform(
+           generate_series(1, (len(tk) + {_BP_LEN - 1}) // {_BP_LEN}),
+           i -> array_to_string(
+                  list_slice(tk, (i-1)*{_BP_LEN}+1, i*{_BP_LEN}), ' '))
+         ELSE [] END AS segs
+  FROM base
+),
+pairs AS (
+  SELECT source, doc_id,
+         unnest(generate_series(1, len(segs))) - 1 AS seg_idx,
+         unnest(segs) AS seg
+  FROM segd
+),
+hashed AS (
+  SELECT source, doc_id, seg_idx, seg,
+         CAST(concat('0x', substring(md5(seg), 1, 15)) AS BIGINT) AS h
+  FROM pairs
+),
+nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM documents
+       GROUP BY source),
+boiler AS (
+  SELECT df.source, df.h
+  FROM (SELECT source, h, count(DISTINCT doc_id) AS dfd
+        FROM hashed GROUP BY source, h) df
+  JOIN nd USING (source)
+  WHERE dfd >= {_BP_MIN_DOCS} AND dfd * 1000 >= n_docs * {_BP_SHARE}
+),
+rebuilt AS (
+  SELECT p.source, p.doc_id,
+         count(*) AS n_segs,
+         sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler,
+         coalesce(array_to_string(
+           list(p.seg ORDER BY p.seg_idx) FILTER (WHERE b.h IS NULL), ' '),
+           '') AS text2
+  FROM hashed p
+  LEFT JOIN boiler b ON b.source = p.source AND b.h = p.h
+  GROUP BY p.source, p.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_boiler > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_affected,
+       CAST(sum(n_segs) AS BIGINT) AS segs_total,
+       CAST(sum(n_boiler) AS BIGINT) AS segs_removed,
+       md5(string_agg(text2, chr(1) ORDER BY doc_id)) AS text_md5
+FROM rebuilt GROUP BY source
+"""
+
+QUERIES["d_boilerplate"] = (d_boilerplate, D_BOILERPLATE_SQL)
