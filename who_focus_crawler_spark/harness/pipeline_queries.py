@@ -472,3 +472,109 @@ FROM rebuilt GROUP BY source
 """
 
 QUERIES["d_boilerplate"] = (d_boilerplate, D_BOILERPLATE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Inverted index + BM25-shaped ranked retrieval (corpus/index.py). The
+# scoring arithmetic is frozen integer permille (probabilistic idf ×
+# saturating length-normalized tf) so both engines produce identical
+# scores; top-k is deterministic via (score desc, doc_id).
+
+_BM25_TERMS = ["customer", "window", "spark"]
+_BM25_TOPK = 50
+
+
+def d_index_postings(spark: SparkSession, sf: str) -> DataFrame:
+    """Full term dictionary with df/cf and each term's strongest posting
+    (max tf, doc_id tie-break) — the inverted-index build, value-exact."""
+    from who_focus_crawler_spark.corpus import index as IX
+
+    post = IX.postings(t(spark, sf, "documents"))
+    best = F.min(
+        F.struct((-F.col("tf")).alias("a"), F.col("doc_id").alias("b"))
+    )
+    return post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs"),
+        F.sum("tf").cast("long").alias("cf"),
+        (-best["a"]).cast("long").alias("best_tf"),
+        best["b"].cast("long").alias("best_doc"),
+    )
+
+
+D_INDEX_POSTINGS_SQL = f"""
+WITH post AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
+  GROUP BY term, doc_id
+),
+agg AS (
+  SELECT term, count(*) AS df_docs, sum(tf) AS cf FROM post GROUP BY term
+),
+best AS (
+  SELECT term, min(struct_pack(a := -tf, b := doc_id)) AS m
+  FROM post GROUP BY term
+)
+SELECT a.term, CAST(a.df_docs AS BIGINT) AS df_docs,
+       CAST(a.cf AS BIGINT) AS cf,
+       CAST(-b.m.a AS BIGINT) AS best_tf,
+       CAST(b.m.b AS BIGINT) AS best_doc
+FROM agg a JOIN best b USING (term)
+"""
+
+QUERIES["d_index_postings"] = (d_index_postings, D_INDEX_POSTINGS_SQL)
+
+
+def d_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 docs for a 3-term query under the frozen integer BM25."""
+    from who_focus_crawler_spark.corpus import index as IX
+
+    scored = IX.bm25_scores(t(spark, sf, "documents"), _BM25_TERMS)
+    return scored.orderBy(
+        F.desc("score_milli"), F.asc("doc_id")
+    ).limit(_BM25_TOPK)
+
+
+_BM25_IN = ", ".join(f"'{w}'" for w in _BM25_TERMS)
+from who_focus_crawler_spark.corpus.index import B_MILLI as _B  # noqa: E402
+from who_focus_crawler_spark.corpus.index import K1_MILLI as _K1  # noqa: E402
+
+D_TEXT_BM25_SQL = f"""
+WITH dl AS (SELECT doc_id, len({SQL_TOKS}) AS dl FROM documents),
+corpus AS (
+  SELECT count(*) AS n, sum(dl) AS sdl,
+         (1000 * sum(dl)) // count(*) AS avgdl_milli
+  FROM dl
+),
+post AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
+  WHERE term IN ({_BM25_IN})
+  GROUP BY term, doc_id
+),
+idf AS (
+  SELECT term,
+         (1000 * (c.n - df_docs) + 500) // (df_docs + 1) + 1000 AS idf_milli
+  FROM (SELECT term, count(*) AS df_docs FROM post GROUP BY term)
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT p.doc_id,
+         i.idf_milli *
+           ((1000 * p.tf * ({_K1} + 1000)) //
+            (1000 * p.tf + ({_K1} *
+              (1000 - {_B} + ({_B} * ((1000000 * dl.dl) // c.avgdl_milli))
+                 // 1000)) // 1000))
+           // 1000 AS contrib
+  FROM post p
+  JOIN idf i USING (term)
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN corpus c
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(contrib) AS BIGINT) AS score_milli
+FROM scored GROUP BY doc_id
+ORDER BY score_milli DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+QUERIES["d_text_bm25"] = (d_text_bm25, D_TEXT_BM25_SQL)
