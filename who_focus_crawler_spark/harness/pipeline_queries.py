@@ -578,3 +578,74 @@ LIMIT {_BM25_TOPK}
 """
 
 QUERIES["d_text_bm25"] = (d_text_bm25, D_TEXT_BM25_SQL)
+
+
+# --------------------------------------------------------------------------
+# Sequence packing / shard assignment (corpus/packing.py). The oracle is
+# the naive per-source window prefix sum — the two-phase distributed
+# prefix sum must reproduce it value-for-value, per doc AND per pack.
+
+_PACK_CAP = 600
+
+
+def d_pack_assign(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus import packing as PK
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    packed = PK.pack_assign(d, capacity=_PACK_CAP)
+    stats = PK.pack_stats(packed, capacity=_PACK_CAP).withColumnRenamed(
+        "n_tokens", "pack_tokens"
+    )
+    return packed.join(stats, ["source", "pack_id"]).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "pack_id",
+        "pack_offset",
+        "n_docs",
+        "pack_tokens",
+        "fill_permille",
+        "straddles",
+    )
+
+
+D_PACK_ASSIGN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
+         {_sql_bucket('pack', 'doc_id')} AS prio
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY prio, doc_id ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) AS cum
+  FROM d
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         (cum - n_tokens) // {_PACK_CAP} AS pack_id,
+         (cum - n_tokens) % {_PACK_CAP} AS pack_offset
+  FROM c
+),
+stats AS (
+  SELECT source, pack_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         CAST((1000 * sum(n_tokens)) // {_PACK_CAP} AS BIGINT)
+           AS fill_permille,
+         max(pack_offset + n_tokens > {_PACK_CAP}) AS straddles
+  FROM packed GROUP BY source, pack_id
+)
+SELECT p.doc_id, p.source, p.n_tokens,
+       CAST(p.pack_id AS BIGINT) AS pack_id,
+       CAST(p.pack_offset AS BIGINT) AS pack_offset,
+       s.n_docs, s.pack_tokens, s.fill_permille, s.straddles
+FROM packed p JOIN stats s USING (source, pack_id)
+"""
+
+QUERIES["d_pack_assign"] = (d_pack_assign, D_PACK_ASSIGN_SQL)
