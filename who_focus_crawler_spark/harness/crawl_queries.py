@@ -1522,3 +1522,63 @@ FROM q
 
 
 QUERIES["c_zorder_key"] = (c_zorder_key, _zorder_sql())
+
+
+# --------------------------------------------------------------------------
+# Shuffle-skew diagnostics (operators/diagnostics.py) — the skewed
+# C17 frontier synth, measured: hot keys with integer share + the
+# one-row distribution summary whose suggested_salt feeds salting.
+
+
+def c_skew_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.diagnostics import (
+        hot_keys,
+        skew_summary,
+    )
+
+    li = t(spark, sf, "lineitem")
+    host = (
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit("hot-a.example.org"))
+        .when(F.col("l_orderkey") % 7 < 2, F.lit("hot-b.example.org"))
+        .otherwise(
+            F.concat(
+                F.lit("h"),
+                (F.col("l_partkey") % 40).cast("string"),
+                F.lit(".example.org"),
+            )
+        )
+    )
+    return hot_keys(li, host, threshold_permille=50, top_k=10).crossJoin(
+        F.broadcast(
+            skew_summary(li, host).select(
+                "max_share_permille", "suggested_salt", "p50_n", "p99_n"
+            )
+        )
+    )
+
+
+C_SKEW_STATS_SQL = """
+WITH h AS (
+  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'hot-a.example.org'
+              WHEN l_orderkey % 7 < 2 THEN 'hot-b.example.org'
+              ELSE concat('h', CAST(l_partkey % 40 AS VARCHAR), '.example.org')
+         END AS key
+  FROM lineitem
+),
+counts AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY key),
+tot AS (
+  SELECT sum(n) AS t, count(*) AS k, max(n) AS m,
+         quantile_cont(n, 0.5) AS p50, quantile_cont(n, 0.99) AS p99
+  FROM counts
+)
+SELECT c.key, c.n,
+       CAST((1000 * c.n) // t AS BIGINT) AS share_permille,
+       CAST((1000 * m) // t AS BIGINT) AS max_share_permille,
+       CAST((m * k + t - 1) // t AS BIGINT) AS suggested_salt,
+       p50 AS p50_n, p99 AS p99_n
+FROM counts c CROSS JOIN tot
+WHERE c.n * 1000 >= t * 50
+ORDER BY c.n DESC, c.key LIMIT 10
+"""
+
+QUERIES["c_skew_stats"] = (c_skew_stats, C_SKEW_STATS_SQL)

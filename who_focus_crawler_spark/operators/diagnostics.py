@@ -1,0 +1,78 @@
+"""Shuffle-skew diagnostics: measure a key distribution BEFORE paying
+for the shuffle it will feed.
+
+Every big join/agg in this engine shuffles on a key (host, url_hash,
+term, seg_hash); a skewed key turns one reducer into the job's critical
+path. C17 fixes skew with salting — this module is the instrumentation
+that says whether and how much: run it on a sampled or full keyed
+projection, read ``suggested_salt``, feed that to
+operators/salting.py. (AQE's skew-join handles sort-merge joins at
+runtime; aggregations and custom bucket layouts still need the explicit
+number.)
+
+All outputs are integers or exact interpolated percentiles (the same
+``percentile`` ≡ ``quantile_cont`` pair the r_quantiles oracle pins),
+so the DuckDB twin checks values. One partial+final aggregation on the
+key is the only shuffle — the stats reduce from the per-key counts
+(|keys| rows, not |rows|) and collapse to one row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def key_counts(df: DataFrame, key: Column) -> DataFrame:
+    """Per-key row counts: (key, n) — partial+final agg, one shuffle."""
+    return df.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def hot_keys(
+    df: DataFrame, key: Column, threshold_permille: int = 10, top_k: int = 20
+) -> DataFrame:
+    """Keys holding at least ``threshold_permille``/1000 of all rows,
+    strongest first (deterministic (n desc, key) order), capped at
+    ``top_k``. Share is integer permille."""
+    counts = key_counts(df, key)
+    total = counts.agg(F.sum("n").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share_permille", F.expr("(1000 * n) div _total"))
+        .filter(F.col("n") * 1000 >= F.col("_total") * threshold_permille)
+        .drop("_total")
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(top_k)
+    )
+
+
+def skew_summary(df: DataFrame, key: Column) -> DataFrame:
+    """One-row distribution summary of the key:
+
+    (n_rows, n_keys, max_n, p50_n, p99_n, max_share_permille,
+    suggested_salt) — ``suggested_salt`` = ceil(max_n / mean_n), the
+    fan-out that levels the hottest key to the average reducer load
+    (what operators/salting.py takes as ``n_salts``); 1 = no skew.
+    """
+    counts = key_counts(df, key)
+    return counts.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_n"),
+        F.expr("percentile(n, 0.5)").alias("p50_n"),
+        F.expr("percentile(n, 0.99)").alias("p99_n"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "max_n",
+        "p50_n",
+        "p99_n",
+        F.expr("(1000 * max_n) div n_rows").cast("long").alias(
+            "max_share_permille"
+        ),
+        F.expr("(max_n * n_keys + n_rows - 1) div n_rows")
+        .cast("long")
+        .alias("suggested_salt"),
+    )
