@@ -328,3 +328,92 @@ def test_stream_catalog_composes_with_crawl_catalog(spark, tmp_path):
         ).collect()
     }
     assert got2 == {"http://h9.test/p/1", "http://h10.test/p/2"}
+
+
+def test_stream_interval_join_inner_and_outer(spark, tmp_path):
+    """Stream-stream event-time interval join (discovery → fetch
+    attribution): the inner join over two availableNow file streams
+    equals the batch interval join exactly; left-outer additionally
+    emits never-fetched discoveries whose window provably closed under
+    the watermark, with NULL fetch columns."""
+    from who_focus_crawler_spark.streaming.pipeline import stream_interval_join
+
+    d_dir, f_dir = str(tmp_path / "disc"), str(tmp_path / "fetch")
+    disc, fetch = [], []
+    for i in range(40):
+        u = f"http://h{i % 5}.test/p/{i}"
+        dts = T0 + dt.timedelta(minutes=i)
+        disc.append((dts, u))
+        if i % 4 != 0:  # 30 fetched (latency i%7 min ≤ horizon), 10 never
+            fetch.append((dts + dt.timedelta(minutes=i % 7), u, 200 + i % 2))
+    # a late straggler fetch OUTSIDE the 10-min horizon: joins with nothing
+    fetch.append((T0 + dt.timedelta(minutes=90), "http://h1.test/p/1", 200))
+    # watermark-advancing sentinels far past every join window, so outer
+    # mode can prove each unmatched discovery will never match
+    disc.append((T0 + dt.timedelta(hours=6), "http://sentinel.test/d"))
+    fetch.append((T0 + dt.timedelta(hours=6), "http://sentinel.test/f", 200))
+    d_schema, f_schema = ["ts", "canon_url"], ["ts", "canon_url", "status"]
+    spark.createDataFrame(disc, d_schema).repartition(3).write.parquet(d_dir)
+    spark.createDataFrame(fetch, f_schema).repartition(3).write.parquet(f_dir)
+
+    d_stream = spark.readStream.schema(
+        spark.read.parquet(d_dir).schema
+    ).parquet(d_dir)
+    f_stream = spark.readStream.schema(
+        spark.read.parquet(f_dir).schema
+    ).parquet(f_dir)
+    out = stream_interval_join(
+        d_stream, f_stream, horizon="10 minutes", watermark="5 minutes"
+    )
+    run_to_memory(out, "sj_inner", str(tmp_path / "ck_sj"))
+    got = {
+        (r.canon_url, r.d_ts, r.f_ts, r.status, r.latency_sec)
+        for r in spark.sql("SELECT * FROM sj_inner").collect()
+    }
+
+    d_b = spark.read.parquet(d_dir).select("canon_url", F.col("ts").alias("d_ts"))
+    f_b = spark.read.parquet(f_dir).select(
+        F.col("canon_url").alias("f_url"), F.col("ts").alias("f_ts"), "status"
+    )
+    want = {
+        (r.canon_url, r.d_ts, r.f_ts, r.status, r.latency_sec)
+        for r in d_b.join(
+            f_b,
+            (d_b.canon_url == f_b.f_url)
+            & (f_b.f_ts >= d_b.d_ts)
+            & (f_b.f_ts <= d_b.d_ts + F.expr("INTERVAL 10 minutes")),
+        )
+        .select(
+            "canon_url",
+            "d_ts",
+            "f_ts",
+            "status",
+            (F.unix_timestamp("f_ts") - F.unix_timestamp("d_ts"))
+            .cast("long")
+            .alias("latency_sec"),
+        )
+        .collect()
+    }
+    # 30 in-horizon fetches; the straggler is past the horizon and the
+    # sentinels are distinct URLs, so neither joins
+    assert len(want) == 30
+    assert got == want
+
+    out_l = stream_interval_join(
+        d_stream, f_stream, horizon="10 minutes",
+        watermark="5 minutes", how="left_outer",
+    )
+    run_to_memory(out_l, "sj_outer", str(tmp_path / "ck_sjo"))
+    rows_l = spark.sql("SELECT * FROM sj_outer").collect()
+    matched = {
+        (r.canon_url, r.d_ts, r.f_ts, r.status, r.latency_sec)
+        for r in rows_l
+        if r.f_ts is not None
+    }
+    assert matched == want
+    unmatched = {r.canon_url for r in rows_l if r.f_ts is None}
+    # every unfetched discovery (i % 4 == 0) surfaces with NULL fetch side
+    assert {f"http://h{i % 5}.test/p/{i}" for i in range(0, 40, 4)} <= unmatched
+    for r in rows_l:
+        if r.f_ts is None:
+            assert r.status is None and r.latency_sec is None

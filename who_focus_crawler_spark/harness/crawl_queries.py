@@ -1582,3 +1582,49 @@ ORDER BY c.n DESC, c.key LIMIT 10
 """
 
 QUERIES["c_skew_stats"] = (c_skew_stats, C_SKEW_STATS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join semantics (streaming/pipeline.py::
+# stream_interval_join), batch-checked: view → purchase attribution
+# within a 2 h horizon, per user. Same join shape (equi-key + two-sided
+# event-time range) the streaming operator runs with bounded state; the
+# live two-stream path incl. left-outer is pinned in tests/streaming.
+
+
+def s_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("d_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("f_ts"),
+    )
+    cond = (
+        (v["user_id"] == p["p_user"])
+        & (p["f_ts"] >= v["d_ts"])
+        & (p["f_ts"] <= v["d_ts"] + F.expr("INTERVAL 2 hours"))
+    )
+    return v.join(p, cond).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_timestamp("f_ts") - F.unix_timestamp("d_ts"))
+        .cast("long")
+        .alias("latency_sec"),
+    )
+
+
+S_STREAM_JOIN_SQL = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS latency_sec
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '2 hours'
+"""
+
+QUERIES["s_stream_join"] = (s_stream_join, S_STREAM_JOIN_SQL)

@@ -14,6 +14,9 @@ at cluster scale this is the Iceberg/Kafka ingest of C12's output.
 - R40 politeness_tokens: arbitrary stateful per-host token budget via
   applyInPandasWithState — admits at most `budget` URLs per host per
   politeness window, carrying the token count across triggers.
+- stream_interval_join: stream-stream event-time interval join
+  (discovery → fetch-completion latency attribution), state bounded on
+  both sides by watermark + range condition; inner and left-outer.
 """
 
 from __future__ import annotations
@@ -178,6 +181,57 @@ def politeness_tokens(
         stateStructType=_TOKEN_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_interval_join(
+    discoveries: DataFrame,
+    fetches: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join: attribute each fetch
+    completion to the discovery that scheduled it (same canon_url,
+    fetch within ``horizon`` after discovery) and emit the fetch
+    latency.
+
+    Both sides are watermarked and the join carries a two-sided
+    event-time constraint, so Spark bounds BOTH state stores: a
+    buffered discovery can be evicted once the fetch-side watermark
+    passes ``d_ts + horizon``, a buffered fetch once the discovery-side
+    watermark passes ``f_ts`` (the range condition is what turns the
+    default keep-forever stream join into O(horizon) state — required
+    for outer modes, load-bearing at crawl scale for inner too).
+
+    ``how='left_outer'`` additionally emits never-fetched discoveries
+    (NULL fetch columns) once their join window has provably closed —
+    the streaming form of the frontier loss report.
+
+    Columns in must include ``ts, canon_url`` on both sides (fetches
+    also ``status``); out: (canon_url, d_ts, f_ts, status,
+    latency_sec)."""
+    d = discoveries.withWatermark("ts", watermark).select(
+        F.col("canon_url"), F.col("ts").alias("d_ts")
+    )
+    f = fetches.withWatermark("ts", watermark).select(
+        F.col("canon_url").alias("f_url"),
+        F.col("ts").alias("f_ts"),
+        F.col("status"),
+    )
+    cond = (
+        (d["canon_url"] == f["f_url"])
+        & (f["f_ts"] >= d["d_ts"])
+        & (f["f_ts"] <= d["d_ts"] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return d.join(f, cond, how).select(
+        "canon_url",
+        "d_ts",
+        "f_ts",
+        "status",
+        (F.unix_timestamp("f_ts") - F.unix_timestamp("d_ts"))
+        .cast("long")
+        .alias("latency_sec"),
     )
 
 
