@@ -20,6 +20,13 @@ frontier, robots_cache, host_state, seen_filters) or APPEND (manifest
 carries the previous file list plus this snapshot's delta: crawl_order,
 documents, metrics, url_seen) — appends never rewrite history, which is
 what makes per-batch commits O(delta) instead of O(corpus).
+
+Schema evolution is Iceberg's field-id scheme on the shim: every commit
+records each table's current schema (stable integer field ids) and the
+field-id → physical-column-name mapping of the files it wrote;
+`evolve_schema` (add / drop / rename / widen) is a metadata-only commit
+and `read_table_evolved` resolves every historical file through its own
+mapping — no data file is ever rewritten for a schema change.
 """
 
 from __future__ import annotations
@@ -106,6 +113,9 @@ class SnapshotCatalog:
             written = dict(
                 ex.map(lambda kv: write(*kv), to_write.items())
             )
+        schemas: dict = (
+            json.loads(json.dumps(prev.get("schemas", {}))) if prev else {}
+        )
         for name, df in tables.items():
             if df is None:  # unchanged append-table: carry file list forward
                 entry[name] = list(prev["tables"][name]) if prev else []
@@ -114,12 +124,44 @@ class SnapshotCatalog:
             if name in APPEND_TABLES and prev and name in prev["tables"]:
                 files = list(prev["tables"][name]) + files
             entry[name] = files
+            # track the table's schema (field ids + per-file physical
+            # names) so later evolution commits can rename/add/drop
+            # without rewriting these files
+            sch = schemas.get(name)
+            if sch is None:
+                sch = {"current": self._fields_of(df), "file_physical": {}}
+                schemas[name] = sch
+            else:
+                known = {f["name"]: f for f in sch["current"]}
+                next_id = 1 + max((f["id"] for f in sch["current"]), default=0)
+                for f in df.schema.fields:  # auto-register brand-new columns
+                    if f.name not in known:
+                        sch["current"].append(
+                            {
+                                "id": next_id,
+                                "name": f.name,
+                                "type": f.dataType.simpleString(),
+                            }
+                        )
+                        next_id += 1
+            by_name = {f["name"]: f["id"] for f in sch["current"]}
+            sch["file_physical"][written[name]] = {
+                str(by_name[f.name]): f.name
+                for f in df.schema.fields
+                if f.name in by_name
+            }
+            # replace-tables drop superseded files — prune their mappings
+            live = set(entry[name])
+            sch["file_physical"] = {
+                p: m for p, m in sch["file_physical"].items() if p in live
+            }
         self._publish(
             {
                 "snapshot_id": snapshot_id,
                 "committed_at": time.time(),
                 "tables": entry,
                 "state": state,
+                "schemas": schemas,
             }
         )
 
@@ -148,9 +190,9 @@ class SnapshotCatalog:
         spark: SparkSession,
         name: str,
         schema: T.StructType,
-        snapshot_id: int | None = None,
+        snapshot_id: int | str | None = None,
     ) -> DataFrame | None:
-        sid = self.head() if snapshot_id is None else snapshot_id
+        sid = self._resolve(snapshot_id)
         if sid is None:
             return None
         files = self.manifest(sid)["tables"].get(name, [])
@@ -158,11 +200,212 @@ class SnapshotCatalog:
             return None
         return spark.read.schema(schema).parquet(*files)
 
-    def state(self, snapshot_id: int | None = None) -> dict | None:
-        sid = self.head() if snapshot_id is None else snapshot_id
+    def state(self, snapshot_id: int | str | None = None) -> dict | None:
+        sid = self._resolve(snapshot_id)
         if sid is None:
             return None
         return self.manifest(sid)["state"]
+
+    # ----------------------------------------------------------------- refs
+    # Iceberg-style named refs (tags): a ref is an atomically-written
+    # file pointing at one snapshot id. Readers pass the ref name where
+    # they'd pass a snapshot id; expire_snapshots never reclaims a
+    # snapshot a ref pins, so `cat.set_ref("train-v1")` freezes a corpus
+    # cut for as long as the tag lives — the audit/repro primitive every
+    # training-data pipeline needs.
+
+    def _ref_path(self, name: str) -> Path:
+        if not name or not all(c.isalnum() or c in "._-" for c in name):
+            raise ValueError(f"invalid ref name {name!r}")
+        return self.root / "refs" / name
+
+    def set_ref(self, name: str, snapshot_id: int | None = None) -> int:
+        """Tag a snapshot (default: HEAD). Atomic; overwrites."""
+        rp = self._ref_path(name)  # validates the name first
+        sid = self.head() if snapshot_id is None else snapshot_id
+        if sid is None or not self._manifest_path(sid).exists():
+            raise ValueError(f"set_ref: no snapshot {sid!r}")
+        rp.parent.mkdir(parents=True, exist_ok=True)
+        tmp = rp.with_suffix(rp.suffix + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, rp)
+        return sid
+
+    def ref(self, name: str) -> int | None:
+        try:
+            return int(self._ref_path(name).read_text().strip())
+        except FileNotFoundError:
+            return None
+
+    def refs(self) -> dict[str, int]:
+        d = self.root / "refs"
+        if not d.exists():
+            return {}
+        return {
+            p.name: int(p.read_text().strip())
+            for p in sorted(d.iterdir())
+            if not p.name.endswith(".tmp")
+        }
+
+    def drop_ref(self, name: str) -> bool:
+        try:
+            self._ref_path(name).unlink()
+            return True
+        except FileNotFoundError:
+            return False
+
+    def _resolve(self, snapshot_id: int | str | None) -> int | None:
+        """Snapshot id, ref name, or None (= HEAD) → snapshot id."""
+        if snapshot_id is None:
+            return self.head()
+        if isinstance(snapshot_id, str):
+            sid = self.ref(snapshot_id)
+            if sid is None:
+                raise ValueError(f"unknown ref {snapshot_id!r}")
+            return sid
+        return snapshot_id
+
+    # ------------------------------------------------------ schema evolution
+    # Iceberg-style, field-id based: the manifest's optional "schemas"
+    # entry records, per table, the CURRENT schema as a list of
+    # {id, name, type} fields plus, per committed file-set, the mapping
+    # field-id → physical column name at write time. Evolution edits
+    # only the current schema (a metadata commit — no data file is ever
+    # rewritten): add-column reads as NULL from files that predate it,
+    # rename is resolved through the field id (old files keep the old
+    # physical name), drop hides the field, and type widening (e.g.
+    # int → bigint) casts at read. This is exactly the trick Iceberg's
+    # field ids buy over path-based Hive tables, reproduced on the shim.
+
+    @staticmethod
+    def _fields_of(df: DataFrame) -> list[dict]:
+        return [
+            {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
+            for i, f in enumerate(df.schema.fields)
+        ]
+
+    def evolve_schema(
+        self,
+        name: str,
+        add: list[tuple[str, str]] | None = None,
+        drop: list[str] | None = None,
+        rename: dict[str, str] | None = None,
+        retype: dict[str, str] | None = None,
+    ) -> dict:
+        """Metadata-only schema commit for one table: publish a new
+        snapshot whose "schemas" entry reflects the evolution; every
+        file list and the crawl state carry forward untouched.
+
+        add: [(col, type)] appended with fresh field ids; drop: hide
+        fields (their data stays in old files, unreadable — Iceberg
+        semantics); rename: {old: new} (field id keeps the physical
+        mapping to old files); retype: {col: wider_type} (cast at read;
+        caller is responsible for picking a lossless widening such as
+        int → bigint — the cast is applied to old AND new files).
+        """
+        head = self.head()
+        if head is None:
+            raise ValueError("evolve_schema: no snapshot to evolve")
+        manifest = self.manifest(head)
+        schemas = dict(manifest.get("schemas", {}))
+        if name not in schemas:
+            raise ValueError(
+                f"evolve_schema: table {name!r} has no registered schema "
+                "(written before schema tracking, or never written)"
+            )
+        entry = json.loads(json.dumps(schemas[name]))  # deep copy
+        fields = entry["current"]
+        by_name = {f["name"]: f for f in fields}
+        for old, new in (rename or {}).items():
+            if old not in by_name:
+                raise ValueError(f"rename: unknown column {old!r}")
+            if new in by_name:
+                raise ValueError(f"rename: target {new!r} already exists")
+            by_name[old]["name"] = new
+        by_name = {f["name"]: f for f in fields}
+        for col, typ in (retype or {}).items():
+            if col not in by_name:
+                raise ValueError(f"retype: unknown column {col!r}")
+            by_name[col]["type"] = typ
+        for col in drop or []:
+            if col not in by_name:
+                raise ValueError(f"drop: unknown column {col!r}")
+            entry["current"] = [f for f in entry["current"] if f["name"] != col]
+            by_name.pop(col)
+        next_id = 1 + max((f["id"] for f in entry["current"]), default=0)
+        for col, typ in add or []:
+            if col in by_name:
+                raise ValueError(f"add: column {col!r} already exists")
+            entry["current"].append({"id": next_id, "name": col, "type": typ})
+            next_id += 1
+        schemas[name] = entry
+        new_sid = head + 1
+        self._publish(
+            {
+                "snapshot_id": new_sid,
+                "committed_at": time.time(),
+                "tables": {
+                    n: list(fs) for n, fs in manifest["tables"].items()
+                },
+                "state": manifest["state"],
+                "schemas": schemas,
+            }
+        )
+        return {"snapshot_id": new_sid, "schema": entry["current"]}
+
+    def read_table_evolved(
+        self,
+        spark: SparkSession,
+        name: str,
+        snapshot_id: int | str | None = None,
+    ) -> DataFrame | None:
+        """Read a table at its (snapshot-current) evolved schema.
+
+        Each committed file-set is read with the physical names it was
+        written with (resolved through field ids), renamed/cast to the
+        current schema, missing fields filled with typed NULLs, then
+        unioned by position — one scan per distinct physical layout, so
+        an unevolved table costs exactly one spark.read like read_table.
+        """
+        from pyspark.sql import functions as F
+
+        sid = self._resolve(snapshot_id)
+        if sid is None:
+            return None
+        manifest = self.manifest(sid)
+        files = manifest["tables"].get(name, [])
+        schema_entry = manifest.get("schemas", {}).get(name)
+        if not files or schema_entry is None:
+            return None
+        current = schema_entry["current"]
+        phys = schema_entry["file_physical"]
+        # group file-sets by identical physical layout → one read each
+        groups: dict[str, list[str]] = {}
+        for path in files:
+            key = json.dumps(phys.get(path, {}), sort_keys=True)
+            groups.setdefault(key, []).append(path)
+        parts = []
+        for key, paths in sorted(groups.items()):
+            mapping = json.loads(key)  # field-id (str) → physical name
+            df = spark.read.parquet(*paths)
+            have = set(df.columns)
+            cols = []
+            for f in current:
+                pname = mapping.get(str(f["id"]))
+                if pname is not None and pname in have:
+                    cols.append(F.col(pname).cast(f["type"]).alias(f["name"]))
+                else:  # field added after these files were written
+                    cols.append(
+                        F.lit(None).cast(f["type"]).alias(f["name"])
+                    )
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ----------------------------------------------------------- maintain
     def expire_snapshots(self, keep_last: int) -> dict:
@@ -182,7 +425,10 @@ class SnapshotCatalog:
         all_ids = sorted(
             int(p.stem.split("-")[1]) for p in self.root.glob("manifest-*.json")
         )
-        keep_ids = set(all_ids[-max(keep_last, 1):]) | {head}
+        # ref'd snapshots are pinned: a tag freezes its corpus cut
+        keep_ids = (
+            set(all_ids[-max(keep_last, 1):]) | {head} | set(self.refs().values())
+        )
         referenced: set[str] = set()
         for sid in keep_ids:
             for files in self.manifest(sid)["tables"].values():
@@ -252,7 +498,14 @@ class SnapshotCatalog:
             raise ValueError("compact_table: sort_by and zorder_by are exclusive")
         new_sid = head + 1
         path = self.root / "data" / name / f"compact-{new_sid:06d}"
-        df = spark.read.schema(schema).parquet(*files)
+        sch = manifest.get("schemas", {}).get(name)
+        if sch is not None:
+            # evolved tables must be read through the field-id mapping
+            # (old files may carry pre-rename physical names); the
+            # rewrite then normalizes every file to the current schema
+            df = self.read_table_evolved(spark, name, head)
+        else:
+            df = spark.read.schema(schema).parquet(*files)
         if zorder_by:
             # Iceberg rewrite-with-zorder: cluster files on the Morton
             # code of the (numeric) dimensions so min/max pruning works
@@ -299,12 +552,21 @@ class SnapshotCatalog:
         df.write.mode("overwrite").parquet(str(path))
         entry = {n: list(fs) for n, fs in manifest["tables"].items()}
         entry[name] = [str(path)]
+        schemas = json.loads(json.dumps(manifest.get("schemas", {})))
+        if sch is not None:
+            # the compacted file-set is written at the current schema
+            schemas[name]["file_physical"] = {
+                str(path): {
+                    str(f["id"]): f["name"] for f in sch["current"]
+                }
+            }
         self._publish(
             {
                 "snapshot_id": new_sid,
                 "committed_at": time.time(),
                 "tables": entry,
                 "state": manifest["state"],
+                "schemas": schemas,
             }
         )
         return {
