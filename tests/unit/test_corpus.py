@@ -770,3 +770,63 @@ def test_lm_gram_frequency_and_logprob(spark):
     want1 = (2 * math.log(4 / 7) + math.log(2 / 7)) / 3  # ab, ba, ab
     assert out[1][0] == 3 and abs(out[1][1] - want1) < 1e-9
     assert out[3] == (0, None)
+
+
+def test_unicode_normalization(spark):
+    from who_focus_crawler_spark.corpus.text import normalize_nfc, strip_accents
+
+    rows = [
+        ("d1", "Café"),       # decomposed → NFC composes (5 cp → 4)
+        ("d2", "Café"),        # already composed → unchanged
+        ("d3", "Ångström"),  # Å and ö decomposed
+        ("d4", "plain"),
+        ("d5", None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "t"]).select(
+        "doc_id",
+        normalize_nfc(F.col("t")).alias("nfc"),
+        strip_accents(F.col("t")).alias("bare"),
+        F.length(normalize_nfc(F.col("t"))).alias("n"),
+    )
+    got = {r.doc_id: (r.nfc, r.bare, r.n) for r in df.collect()}
+    assert got["d1"] == ("Café", "Cafe", 4)
+    assert got["d2"] == ("Café", "Cafe", 4)
+    # canonically-equal inputs hash identically after NFC — the dedup use
+    assert got["d1"][0] == got["d2"][0]
+    assert got["d3"] == ("Ångström", "Angstrom", 8)
+    assert got["d4"] == ("plain", "plain", 5)
+    assert got["d5"] == (None, None, None)
+
+
+def test_sniff_media_type(spark):
+    from who_focus_crawler_spark.corpus.multimodal import (
+        MAGIC_BYTES,
+        attach_media_with_magic,
+        sniff_media_type,
+    )
+
+    # every frozen magic resolves to its own mime; garbage and
+    # too-short payloads fall through to octet-stream
+    rows = [(mime, magic + b"tail") for mime, magic in MAGIC_BYTES.items()]
+    rows += [("application/octet-stream", b"garbage bytes"),
+             ("application/octet-stream", b"\x89P")]
+    df = spark.createDataFrame(rows, ["want", "payload"]).select(
+        "want", sniff_media_type(F.col("payload")).alias("got")
+    )
+    for r in df.collect():
+        assert r.got == r.want, (r.want, r.got)
+
+    # the synth is non-vacuous: each declared kind sniffs to a matching
+    # top-level type, both container formats of each kind occur
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(60)], ["doc_id", "text"]
+    )
+    media = attach_media_with_magic(docs).select(
+        "kind", sniff_media_type(F.col("payload")).alias("ct")
+    )
+    pairs = {(r.kind, r.ct) for r in media.collect()}
+    assert pairs == {
+        ("image", "image/png"), ("image", "image/jpeg"),
+        ("audio", "audio/wav"), ("audio", "audio/ogg"),
+        ("video", "video/mp4"), ("video", "video/x-matroska"),
+    }

@@ -145,3 +145,23 @@ def test_registrable_domain_ipv4_literal_kept_whole(spark):
     assert got["10.9.0.1"] == "10.9.0.1"
     # a dotted-but-named host still follows the label rule
     assert got["256.1.example.com"] == "example.com"
+
+
+def test_url_path_template(spark):
+    from who_focus_crawler_spark.functions.traps import url_path_template
+
+    cases = [
+        ("http://h3.example.org/p/12345", "h3.example.org/p/{N}"),
+        ("http://h.test/a/b/a/b", "h.test/a/b/a/b"),
+        ("http://h.test/2023/07/x99", "h.test/{N}/{N}/x{N}"),
+        ("http://h.test/p?a=1&b=&next=http://evil.test/9",
+         "h.test/p?a={V}&b={V}&next={V}"),
+        # digit runs in the HOST are preserved (templating is path-only)
+        ("http://h42.test/x7", "h42.test/x{N}"),
+        ("http://h.test/", "h.test/"),
+    ]
+    df = spark.createDataFrame(cases, ["u", "want"]).select(
+        "want", url_path_template(F.col("u")).alias("got")
+    )
+    for r in df.collect():
+        assert r.got == r.want, (r.want, r.got)

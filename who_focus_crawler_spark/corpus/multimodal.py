@@ -143,3 +143,78 @@ def decode_media_arrow(
             )
 
     return media.select("media_id", "payload").mapInArrow(decode, FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Content-type sniffing: magic-byte dispatch over the opaque payload,
+# entirely native (hex prefix compares — whole-stage codegen; the blob
+# itself never reaches Python). At 100 TB this runs as a scan-side
+# projection: parquet prunes to (payload) and the filter on the sniffed
+# type pushes into the same stage.
+
+# (python bytes, hex prefix at byte 1, mime) — frozen, shared with the
+# DuckDB twin in harness/corpus_queries.py
+MAGIC_BYTES: dict[str, bytes] = {
+    "image/png": b"\x89PNG\r\n\x1a\n",
+    "image/jpeg": b"\xff\xd8\xff\xe0",
+    "audio/wav": b"RIFF\x24\x00\x00\x00WAVE",
+    "audio/ogg": b"OggS\x00\x02",
+    "video/mp4": b"\x00\x00\x00\x18ftypisom",
+    "video/x-matroska": b"\x1a\x45\xdf\xa3\x93\x42\x82\x88",
+}
+
+
+def sniff_media_type(payload) -> "F.Column":
+    """MIME type from leading magic bytes (PNG/JPEG/WAV/OGG/MP4/MKV,
+    else application/octet-stream). RIFF requires the WAVE tag at byte
+    9 and MP4 matches 'ftyp' at byte 5 regardless of the brand — the
+    real container rules, not just prefix equality."""
+    h = F.hex(payload)
+    return (
+        F.when(F.substring(h, 1, 8) == "89504E47", F.lit("image/png"))
+        .when(F.substring(h, 1, 6) == "FFD8FF", F.lit("image/jpeg"))
+        .when(
+            (F.substring(h, 1, 8) == "52494646")
+            & (F.substring(h, 17, 8) == "57415645"),
+            F.lit("audio/wav"),
+        )
+        .when(F.substring(h, 1, 8) == "4F676753", F.lit("audio/ogg"))
+        .when(F.substring(h, 9, 8) == "66747970", F.lit("video/mp4"))
+        .when(F.substring(h, 1, 8) == "1A45DFA3", F.lit("video/x-matroska"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+
+
+def attach_media_with_magic(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """attach_media variant whose payloads carry REAL container magic
+    numbers (two formats per kind, chosen by id) so sniffing is
+    non-vacuous: image → PNG/JPEG, audio → WAV/OGG, video → MP4/MKV."""
+    kinds = ["image", "audio", "video"]
+    fmts = {
+        "image": ("image/png", "image/jpeg"),
+        "audio": ("audio/wav", "audio/ogg"),
+        "video": ("video/mp4", "video/x-matroska"),
+    }
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in kinds]), (F.col(id_col) % 3 + 1).cast("int")
+    )
+    magic = F.lit(None).cast("binary")
+    for i, k in enumerate(kinds):
+        a, b = fmts[k]
+        magic = (
+            F.when(
+                (F.col(id_col) % 3 == i) & (F.col(id_col) % 2 == 0),
+                F.lit(MAGIC_BYTES[a]),
+            )
+            .when(F.col(id_col) % 3 == i, F.lit(MAGIC_BYTES[b]))
+            .otherwise(magic)
+        )
+    payload = F.concat(magic, F.encode(F.col(text_col), "utf-8"))
+    return docs.select(
+        F.concat(F.lit("m"), F.col(id_col).cast("string")).alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("byte_len"),
+    )

@@ -228,3 +228,61 @@ def fingerprint(toks: Column, k: int = 4) -> Column:
     sharing any hot k-gram region collide — a cheap near-dup prefilter."""
     grams = shingles(toks, k)
     return F.array_min(F.transform(grams, lambda g: F.md5(g)))
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization — the one text stage that genuinely needs Python
+# (Spark has no built-in NFC/NFD; ICU lives JVM-side but isn't exposed
+# as a SQL function). Arrow-batched pandas UDFs, NEVER row-at-a-time:
+# one JVM↔Python crossing per batch, pandas .str ops inside. DuckDB's
+# nfc_normalize / strip_accents are the oracle twins (agreement
+# verified over composed, decomposed, and ascii-only inputs).
+
+
+def _series_udf(fn):
+    """Wrap a Series→Series function as an Arrow-batched pandas UDF.
+    (`from __future__ import annotations` stringifies hints, so the real
+    pd.Series annotation objects are attached explicitly.)"""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf("string")(fn)
+
+
+def normalize_nfc(text: Column) -> Column:
+    """Unicode NFC normalization (canonical composition): decomposed
+    sequences like 'e' + U+0301 collapse to 'é', so hash-based dedup and
+    equality joins treat canonically-equal strings as equal — run this
+    BEFORE exact/minhash dedup on any real-web corpus."""
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _series_udf(_nfc)(text)
+
+
+def strip_accents(text: Column) -> Column:
+    """Accent folding: NFD-decompose, drop combining marks (category
+    Mn), leaving base letters — matches DuckDB strip_accents. Used as a
+    retrieval/matching normalization, not a storage transform."""
+
+    def _strip(s):
+        import unicodedata
+
+        def fold(x):
+            if x is None:
+                return None
+            return "".join(
+                c
+                for c in unicodedata.normalize("NFD", x)
+                if unicodedata.category(c) != "Mn"
+            )
+
+        return s.map(fold)
+
+    return _series_udf(_strip)(text)

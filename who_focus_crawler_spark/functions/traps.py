@@ -95,3 +95,27 @@ def flag_traps(
     return df.withColumn("trap_score", trap_score(F.col(url_col))).withColumn(
         "is_trap", (F.col("trap_score") >= F.lit(threshold)).cast("boolean")
     )
+
+
+def url_path_template(url: Column) -> Column:
+    """Structural URL template: host + path with every decimal digit
+    run collapsed to '{N}' and every query VALUE to '{V}' (parameter
+    names kept, order preserved) — URLs minted by the same site code
+    collapse to one template. The frontier-side complement of
+    trap_score: grouping by template measures how much of the URL space
+    is generated (pagination/ids/calendars) vs authored, and a template
+    whose instance count explodes is the crawl trap to cap.
+
+    Native expressions only (regexp_replace chain, no Python, no
+    shuffle) — safe to evaluate on every discovered URL at scan time.
+    """
+    from who_focus_crawler_spark.functions.urls import url_host
+
+    path_t = F.regexp_replace(_path(url), "[0-9]+", "{N}")
+    q = _query(url)
+    q_t = F.when(
+        q == "", F.lit("")
+    ).otherwise(
+        F.concat(F.lit("?"), F.regexp_replace(q, "=[^&]*", "={V}"))
+    )
+    return F.concat(url_host(url), path_t, q_t)

@@ -920,3 +920,180 @@ SELECT node AS doc_id, label AS cluster_id, node = label AS keep FROM {prev}
 
 
 QUERIES["d_dedup_clusters"] = (d_dedup_clusters, _clusters_sql())
+
+
+def d_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode normalization (corpus/text.py::normalize_nfc /
+    strip_accents): the ascii corpus is decorated with deterministic
+    unicode per doc_id — including DECOMPOSED sequences ('e' + U+0301)
+    so NFC composition actually rewrites bytes — and the oracle pins the
+    full normalized text (md5) plus the length change."""
+    from who_focus_crawler_spark.corpus.text import normalize_nfc, strip_accents
+
+    d = t(spark, sf, "documents")
+    deco = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" Café visitée"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" Déjà vu ÅNGSTRÖM"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" niño señor"))
+        .otherwise(F.lit(" plain ascii"))
+    )
+    u = d.select(
+        "doc_id", F.concat(F.col("text"), deco).alias("ut")
+    )
+    return u.select(
+        "doc_id",
+        F.length("ut").cast("long").alias("len_raw"),
+        F.length(normalize_nfc(F.col("ut"))).cast("long").alias("len_nfc"),
+        F.md5(normalize_nfc(F.col("ut"))).alias("nfc_md5"),
+        F.md5(strip_accents(F.col("ut"))).alias("strip_md5"),
+    )
+
+
+D_TEXT_NORMALIZE_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         concat(text,
+           CASE WHEN doc_id % 4 = 0
+                  THEN concat(' Cafe', chr(769), ' visite', chr(769), 'e')
+                WHEN doc_id % 4 = 1 THEN ' Déjà vu ÅNGSTRÖM'
+                WHEN doc_id % 4 = 2 THEN ' niño señor'
+                ELSE ' plain ascii' END) AS ut
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(ut) AS BIGINT) AS len_raw,
+       CAST(length(nfc_normalize(ut)) AS BIGINT) AS len_nfc,
+       md5(nfc_normalize(ut)) AS nfc_md5,
+       md5(strip_accents(ut)) AS strip_md5
+FROM u
+"""
+
+QUERIES["d_text_normalize"] = (d_text_normalize, D_TEXT_NORMALIZE_SQL)
+
+
+def d_media_sniff(spark: SparkSession, sf: str) -> DataFrame:
+    """Magic-byte content-type sniffing (corpus/multimodal.py::
+    sniff_media_type) over payloads carrying real container magic
+    (PNG/JPEG/WAV/OGG/MP4/MKV, two formats per declared kind) — fully
+    native hex-prefix dispatch, blob never crosses to Python."""
+    from who_focus_crawler_spark.corpus.multimodal import (
+        attach_media_with_magic,
+        sniff_media_type,
+    )
+
+    media = attach_media_with_magic(t(spark, sf, "documents"))
+    return media.select(
+        "media_id",
+        "kind",
+        sniff_media_type(F.col("payload")).alias("content_type"),
+        "byte_len",
+    )
+
+
+D_MEDIA_SNIFF_SQL = r"""
+WITH m AS (
+  SELECT concat('m', CAST(doc_id AS VARCHAR)) AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         (CASE
+            WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+              THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB
+            WHEN doc_id % 3 = 0 THEN '\xFF\xD8\xFF\xE0'::BLOB
+            WHEN doc_id % 3 = 1 AND doc_id % 2 = 0
+              THEN 'RIFF\x24\x00\x00\x00WAVE'::BLOB
+            WHEN doc_id % 3 = 1 THEN 'OggS\x00\x02'::BLOB
+            WHEN doc_id % 2 = 0 THEN '\x00\x00\x00\x18ftypisom'::BLOB
+            ELSE '\x1A\x45\xDF\xA3\x93\x42\x82\x88'::BLOB
+          END) || encode(text) AS payload
+  FROM documents
+)
+SELECT media_id, kind,
+       CASE
+         WHEN substring(hex(payload), 1, 8) = '89504E47' THEN 'image/png'
+         WHEN substring(hex(payload), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+         WHEN substring(hex(payload), 1, 8) = '52494646'
+          AND substring(hex(payload), 17, 8) = '57415645' THEN 'audio/wav'
+         WHEN substring(hex(payload), 1, 8) = '4F676753' THEN 'audio/ogg'
+         WHEN substring(hex(payload), 9, 8) = '66747970' THEN 'video/mp4'
+         WHEN substring(hex(payload), 1, 8) = '1A45DFA3'
+           THEN 'video/x-matroska'
+         ELSE 'application/octet-stream'
+       END AS content_type,
+       CAST(octet_length(payload) AS BIGINT) AS byte_len
+FROM m
+"""
+
+QUERIES["d_media_sniff"] = (d_media_sniff, D_MEDIA_SNIFF_SQL)
+
+
+def d_text_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining: top-50 bigrams ranked by a PMI-style lift
+    score computed as an EXACT integer fraction — score_ppm =
+    (1,000,000 · c_xy · N) div (c_x · c_y), N = total unigram count —
+    so no float log enters the ranking and the oracle hash-matches.
+    Shape at 100 TB: one shuffle for unigram counts, one for bigram
+    counts, two broadcast-sized joins on the bigram's parts (the heavy
+    corpus never moves twice), TakeOrderedAndProject for the top-k."""
+    from who_focus_crawler_spark.corpus.text import ngrams_all, tokens
+
+    d = t(spark, sf, "documents")
+    toks = d.select(tokens(F.col("text")).alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = uni.agg(F.sum("c").cast("long").alias("n"))
+    big = (
+        toks.select(F.explode(ngrams_all(F.col("tk"), 2)).alias("xy"))
+        .groupBy("xy")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+        .withColumn("x", F.split_part(F.col("xy"), F.lit(" "), F.lit(1)))
+        .withColumn("y", F.split_part(F.col("xy"), F.lit(" "), F.lit(2)))
+    )
+    return (
+        big.join(uni.withColumnRenamed("w", "x").withColumnRenamed("c", "c_x"), "x")
+        .join(uni.withColumnRenamed("w", "y").withColumnRenamed("c", "c_y"), "y")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "xy",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.col("c_x").cast("long").alias("c_x"),
+            F.col("c_y").cast("long").alias("c_y"),
+            F.expr("(1000000 * c_xy * n) div (c_x * c_y)")
+            .cast("long")
+            .alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), "xy")
+        .limit(50)
+    )
+
+
+D_TEXT_COLLOCATIONS_SQL = f"""
+WITH tk AS (SELECT {SQL_TOKS} AS tk FROM documents),
+uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY w
+),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+big AS (
+  SELECT xy, count(*) AS c_xy FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, greatest(len(tk) - 1, 0)),
+             i -> array_to_string(list_slice(tk, i, i + 1), ' ')
+           )) AS xy
+    FROM tk
+  ) GROUP BY xy HAVING count(*) >= 5
+)
+SELECT b.xy, CAST(b.c_xy AS BIGINT) AS c_xy,
+       CAST(ux.c AS BIGINT) AS c_x, CAST(uy.c AS BIGINT) AS c_y,
+       CAST((1000000 * b.c_xy * n.n) // (ux.c * uy.c) AS BIGINT) AS score_ppm
+FROM big b
+JOIN uni ux ON ux.w = split_part(b.xy, ' ', 1)
+JOIN uni uy ON uy.w = split_part(b.xy, ' ', 2)
+CROSS JOIN n
+ORDER BY score_ppm DESC, xy
+LIMIT 50
+"""
+
+QUERIES["d_text_collocations"] = (d_text_collocations, D_TEXT_COLLOCATIONS_SQL)

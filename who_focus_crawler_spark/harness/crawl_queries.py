@@ -1628,3 +1628,60 @@ FROM events v JOIN events p
 """
 
 QUERIES["s_stream_join"] = (s_stream_join, S_STREAM_JOIN_SQL)
+
+
+# --------------------------------------------------------------------------
+# URL path templates (functions/traps.py::url_path_template): URLs
+# minted by the same site code collapse to one template; instance
+# counts per template are the crawl-space compression report. The Spark
+# side runs the real operator on full URLs; the oracle rebuilds each
+# branch's template analytically — an independent derivation, so a
+# parsing bug in _path/url_host cannot self-confirm.
+
+
+def c_url_templates(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.functions.traps import url_path_template
+
+    o = t(spark, sf, "orders")
+    k = F.col("o_orderkey").cast("string")
+    host = F.concat(
+        F.lit("h"), (F.col("o_custkey") % 9).cast("string"), F.lit(".example.org")
+    )
+    v = F.col("o_orderkey") % 6
+    url = F.concat(
+        F.lit("http://"),
+        host,
+        F.when(v == 0, F.concat(F.lit("/p/k"), k))
+        .when(v == 1, F.lit("/a/b/a/b/a/b"))
+        .when(v == 2, F.concat(F.lit("/2023/07/x"), k))
+        .when(v == 3, F.concat(F.lit("/id/123456789"), k))
+        .when(v == 4, F.concat(F.lit("/p/k"), k, F.lit("?a=1&b=2&c=")))
+        .otherwise(F.concat(F.lit("/a/b/c/d/e/f/g/h/k"), k)),
+    )
+    return (
+        o.select(url_path_template(url).alias("template"))
+        .groupBy("template")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+        .orderBy(F.desc("n_urls"), "template")
+    )
+
+
+C_URL_TEMPLATES_SQL = """
+SELECT template, CAST(count(*) AS BIGINT) AS n_urls
+FROM (
+  SELECT concat('h', CAST(o_custkey % 9 AS VARCHAR), '.example.org',
+           CASE o_orderkey % 6
+             WHEN 0 THEN '/p/k{N}'
+             WHEN 1 THEN '/a/b/a/b/a/b'
+             WHEN 2 THEN '/{N}/{N}/x{N}'
+             WHEN 3 THEN '/id/{N}'
+             WHEN 4 THEN '/p/k{N}?a={V}&b={V}&c={V}'
+             ELSE '/a/b/c/d/e/f/g/h/k{N}'
+           END) AS template
+  FROM orders
+)
+GROUP BY template
+ORDER BY n_urls DESC, template
+"""
+
+QUERIES["c_url_templates"] = (c_url_templates, C_URL_TEMPLATES_SQL)

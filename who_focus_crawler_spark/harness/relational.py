@@ -1284,3 +1284,45 @@ FROM documents
 """
 
 QUERIES["r_warc_roundtrip"] = (r_warc_roundtrip, R_WARC_ROUNDTRIP_SQL)
+
+
+# --------------------------------------------------------------------------
+# R23+ — event-time RANGE window frame: a true sliding-by-value frame
+# (all events of the PRECEDING hour, not the preceding N rows). Spark's
+# rangeBetween needs a numeric ordering key, so the frame is expressed
+# over epoch seconds — the portable form of RANGE BETWEEN INTERVAL.
+# Values accumulate as integer cents (floor) so the rolling sum is
+# order-independent and hash-exact across engines.
+
+
+def r_win_range_interval(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("es"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("es").rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "es",
+        F.sum("cents").over(w).alias("hour_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("hour_events"),
+    )
+
+
+R_WIN_RANGE_INTERVAL_SQL = """
+SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+       sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS hour_cents,
+       CAST(count(*) OVER w AS BIGINT) AS hour_events
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+"""
+
+QUERIES["r_win_range_interval"] = (r_win_range_interval, R_WIN_RANGE_INTERVAL_SQL)
