@@ -1,0 +1,185 @@
+"""Byte-pair-encoding tokenizer: distributed training + broadcast apply.
+
+The classic LLM-tokenizer build (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units"), shaped for Spark:
+
+- **Training never touches the corpus after one pass.** The corpus
+  collapses to a word-frequency VOCAB table (|distinct words| rows —
+  orders of magnitude smaller than the corpus); every merge round
+  counts adjacent symbol pairs over the vocab weighted by word count,
+  takes the argmax (count desc, pair asc — deterministic), and rewrites
+  only the vocab rows that contain the pair. At 100 TB the corpus scan
+  happens once; the k-round loop runs over a table that fits in a few
+  partitions.
+- **The merge argmax is one tiny collect per round** (a 1-row driver
+  action over a partial+final agg), the standard iterative-algorithm
+  shape here (cf. IVF k-means, hostrank). Vocab is localCheckpoint'd
+  per round to cut lineage.
+- **Apply is vocab-side Python, corpus-side join.** Segmenting applies
+  the merge list per DISTINCT word (pandas UDF over the vocab), then a
+  broadcast join maps corpus tokens to their segmentation — the corpus
+  text itself never enters Python.
+
+Symbols carry no end-of-word marker (word boundaries come from the
+frozen tokenizer); merges apply greedily in training order, exactly as
+trained — `_merge_word` is shared verbatim by train and apply, so a
+segmentation can never disagree with the merge table.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from who_focus_crawler_spark.corpus.text import tokens
+
+
+def _merge_word(symbols: list[str], pair: tuple[str, str]) -> list[str]:
+    """One merge pass over one word's symbol sequence (left-to-right,
+    non-overlapping) — the reference semantics for train AND apply."""
+    a, b = pair
+    out: list[str] = []
+    i = 0
+    n = len(symbols)
+    while i < n:
+        if i + 1 < n and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One corpus pass → (word, n) frequency table (the only stage that
+    sees corpus-sized data)."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_SEG_SCHEMA = T.ArrayType(T.StringType())
+
+
+def bpe_train(
+    vocab: DataFrame, num_merges: int, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Learn up to ``num_merges`` merges from a (word, n) vocab table.
+
+    Deterministic: ties on pair count break on the pair itself. Stops
+    early when no pair reaches ``min_count``. Returns the ordered merge
+    list (the tokenizer model).
+    """
+    spark = vocab.sparkSession
+    symed = vocab.select(
+        "word", "n", F.split(F.col("word"), "").alias("syms")
+    ).localCheckpoint(eager=False)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = symed.select(
+            "n",
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("a"),
+                            F.element_at(F.col("syms"), i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), F.asc("p.a"), F.asc("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < min_count:
+            break
+        pair = (top[0]["p"]["a"], top[0]["p"]["b"])
+        merges.append(pair)
+
+        @F.pandas_udf(_SEG_SCHEMA)
+        def apply_one(s: pd.Series) -> pd.Series:
+            return s.map(lambda syms: _merge_word(list(syms), pair))
+
+        # rewrite only words containing the pair (everything else is
+        # untouched — at real vocab sizes most rows skip the UDF)
+        has = F.array_contains(
+            F.transform(
+                F.slice(F.col("syms"), 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+                lambda s, i: (s == pair[0])
+                & (F.element_at(F.col("syms"), i + 2) == pair[1]),
+            ),
+            True,
+        )
+        symed = symed.withColumn(
+            "syms", F.when(has, apply_one(F.col("syms"))).otherwise(F.col("syms"))
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def segment_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference segmentation: greedy replay of the merge list."""
+    syms = list(word)
+    for pair in merges:
+        if len(syms) < 2:
+            break
+        syms = _merge_word(syms, pair)
+    return syms
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment every document: (id, subwords array<string>, n_subwords).
+
+    Python touches only the DISTINCT words of this input (segmentation
+    table), which then broadcast-joins back onto the exploded corpus —
+    at corpus scale the expensive side stays JVM-only.
+    """
+    frozen = list(merges)
+
+    @F.pandas_udf(_SEG_SCHEMA)
+    def seg_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda w: segment_word(w, frozen))
+
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .distinct()
+        .withColumn("seg", seg_udf(F.col("word")))
+    )
+    tok = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "word")
+    )
+    return (
+        tok.join(F.broadcast(words), "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("seg")))
+                    ),
+                    lambda s: s["seg"],
+                )
+            ).alias("subwords")
+        )
+        .select(
+            id_col,
+            "subwords",
+            F.size("subwords").cast("long").alias("n_subwords"),
+        )
+    )

@@ -1097,3 +1097,23 @@ LIMIT 50
 """
 
 QUERIES["d_text_collocations"] = (d_text_collocations, D_TEXT_COLLOCATIONS_SQL)
+
+
+def d_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer (corpus/bpe.py): train 20 merges on the corpus
+    word-frequency vocab, segment every document, report per-doc
+    subword counts. Iterative (driver merge loop) — not SQL-expressible,
+    rows-only like IVF; exact train/apply semantics are pinned against
+    an independent reference in tests/unit/test_bpe.py."""
+    from who_focus_crawler_spark.corpus.bpe import bpe_apply, bpe_train, word_vocab
+
+    d = t(spark, sf, "documents")
+    merges = bpe_train(word_vocab(d), num_merges=20, min_count=2)
+    return bpe_apply(d, merges).select(
+        "doc_id",
+        "n_subwords",
+        F.md5(F.array_join("subwords", " ")).alias("subwords_md5"),
+    )
+
+
+QUERIES["d_bpe_tokens"] = (d_bpe_tokens, None)
