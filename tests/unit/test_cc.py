@@ -1,0 +1,99 @@
+"""Large-star/small-star connected components (corpus/clusters.py::
+connected_components — Kiveris et al., SoCC 2014): converged labels
+equal a union-find reference and the hash-to-min operator, deep chains
+converge in O(log² n) rounds (where hash-to-min needs O(diameter)),
+and skewed hub graphs cluster correctly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.corpus.clusters import (
+    connected_components,
+    near_dup_clusters,
+)
+
+
+def union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def as_pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def check(spark, pairs, max_iters=30):
+    stats = {}
+    got = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in connected_components(
+            as_pairs_df(spark, pairs), max_iters=max_iters, stats=stats
+        ).collect()
+    }
+    exp = {
+        (n, root, n == root) for n, root in union_find(pairs).items()
+    }
+    assert got == exp
+    return stats["rounds"]
+
+
+def test_small_mixed_graph_matches_union_find(spark):
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 20), (5, 3), (11, 12), (40, 10)]
+    check(spark, pairs)
+
+
+def test_deep_chain_converges_in_log_rounds(spark):
+    # a 200-node path: hash-to-min needs ~199 rounds (one hop per round);
+    # the star algorithm must land well inside O(log² n)
+    pairs = [(i, i + 1) for i in range(200)]
+    rounds = check(spark, pairs, max_iters=20)
+    assert rounds <= 12
+
+
+def test_skewed_hub_graph(spark):
+    # one hub with 300 leaves plus a chain hanging off a leaf
+    pairs = [(1000, i) for i in range(300)] + [
+        (299, 2000), (2000, 2001), (2001, 2002)
+    ]
+    check(spark, pairs)
+
+
+def test_matches_hash_to_min_on_random_graph(spark):
+    # deterministic pseudo-random graph over 120 nodes
+    pairs = [
+        ((i * 37) % 120, (i * 59 + 11) % 120) for i in range(80)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    cc = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(as_pairs_df(spark, pairs)).collect()
+    }
+    htm = {
+        (r.doc_id, r.cluster_id)
+        for r in near_dup_clusters(as_pairs_df(spark, pairs)).collect()
+    }
+    assert cc == htm
+
+
+def test_empty_and_self_loop_only_input(spark):
+    empty = connected_components(
+        as_pairs_df(spark, []).filter(F.lit(False))
+    )
+    assert empty.count() == 0
+    only_self = connected_components(as_pairs_df(spark, [(7, 7)]))
+    assert [(r.doc_id, r.cluster_id, r.keep) for r in only_self.collect()] == [
+        (7, 7, True)
+    ]

@@ -91,6 +91,107 @@ def near_dup_clusters(
     )
 
 
+def _resymmetrize(e: DataFrame) -> DataFrame:
+    e = e.filter(F.col("src") != F.col("dst"))
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star (Kiveris et al., SoCC 2014): for every node u with
+    m = min(u, min Γ(u)), re-hang each STRICTLY LARGER neighbor v > u
+    onto m. Distributes a hot hub's edge list across all its neighbors'
+    groups in later rounds — the skew-defusing half of the pair."""
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """Small-star: for every node u, hang u and all its SMALLER
+    neighbors onto m = min of those neighbors (all < u)."""
+    down = sym.filter(F.col("dst") < F.col("src"))
+    mins = down.groupBy("src").agg(F.min("dst").alias("m"))
+    rehung = (
+        down.join(mins, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edge = mins.select("src", F.col("m").alias("dst"))
+    return rehung.unionByName(self_edge)
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 30, stats: dict | None = None
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the scale path next to `near_dup_clusters`'s
+    hash-to-min: O(log² n) rounds instead of O(diameter), and a
+    high-degree node's edges are re-hung across its neighbors' groups
+    rather than re-shuffling through one reducer key every round.
+    Use it when components may be deep (host link graphs, redirect
+    webs); near-dup pair graphs are shallow and either works.
+
+    Output contract matches `near_dup_clusters`: (doc_id, cluster_id,
+    keep) with cluster_id = min doc id of the component — the CONVERGED
+    labels are deterministic, so the whole operator is value-checkable
+    against a transitive-closure oracle even though round internals
+    differ. Pass ``stats={}`` to get the round count back
+    (stats["rounds"]).
+    """
+    sym = _symmetric_edges(pairs)
+    # every doc that appears in any pair gets a label — a doc paired
+    # only with itself is a singleton cluster (contract parity with
+    # near_dup_clusters); the star rounds run on self-loop-free edges
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    edges = sym.filter(F.col("src") != F.col("dst")).localCheckpoint(
+        eager=False
+    )
+    if edges.isEmpty():
+        if stats is not None:
+            stats["rounds"] = 0
+        return nodes.select(
+            F.col("node").alias("doc_id"),
+            F.col("node").alias("cluster_id"),
+            F.lit(True).alias("keep"),
+        )
+    rounds = 0
+    for _ in range(max_iters):
+        nxt = _resymmetrize(
+            _small_star(_large_star(edges))
+        ).localCheckpoint(eager=False)
+        rounds += 1
+        # sound fixpoint probe: both edge lists are distinct rows, so
+        # equal-count + empty-difference ⟺ identical sets
+        if nxt.count() == edges.count() and nxt.subtract(edges).isEmpty():
+            edges = nxt
+            break
+        edges = nxt
+    if stats is not None:
+        stats["rounds"] = rounds
+    # at fixpoint the symmetric edge set is a star per component:
+    # every node's min neighbor (or itself) IS the component min;
+    # nodes seen only in self-loops fall through to themselves
+    starred = edges.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+    return (
+        nodes.join(starred, nodes.node == starred.src, "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.least(
+                "node", F.coalesce("nbr_min", "node")
+            ).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 def dedup_keep(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", **kwargs
 ) -> DataFrame:

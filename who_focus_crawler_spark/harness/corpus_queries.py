@@ -842,6 +842,71 @@ QUERIES["d_sim_ann_ivf"] = (d_sim_ann_ivf, None)
 
 
 # --------------------------------------------------------------------------
+# Product quantization + ADC probe (corpus/similarity.py::pq_encode /
+# pq_adc_topk — Jégou et al., TPAMI 2011). The harness uses the
+# DETERMINISTIC md5-derived codebooks (weak quantizers, bit-reproducible
+# in SQL) so encode + lookup-table distance + top-k are all VALUE-exact;
+# the trained path (pq_fit_codebooks) is unit-tested for recall instead.
+
+_PQ_M, _PQ_K, _PQ_SUBDIM = 4, 8, 16  # 64-dim embeddings → 4×16
+
+
+def d_sim_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    books = S.pq_deterministic_codebooks(_PQ_M, _PQ_K, _PQ_SUBDIM)
+    return S.pq_adc_topk(
+        t(spark, sf, "embeddings"), books, query_vec_id=0, k=10
+    )
+
+
+D_SIM_ANN_PQ_SQL = f"""
+WITH cb AS (
+  SELECT j, c,
+         list_transform(generate_series(0, {_PQ_SUBDIM - 1}), t ->
+           (CAST(concat('0x', substring(md5('pq|' || j || '|' || c || '|' || t),
+                 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0) AS w
+  FROM generate_series(0, {_PQ_M - 1}) g1(j),
+       generate_series(0, {_PQ_K - 1}) g2(c)
+), sub AS (
+  SELECT vec_id, j,
+         list_transform(generate_series(1, {_PQ_SUBDIM}), i ->
+           CAST(embedding[j * {_PQ_SUBDIM} + i] AS DOUBLE)) AS sv
+  FROM embeddings, generate_series(0, {_PQ_M - 1}) g(j)
+), dist AS (
+  SELECT s.vec_id, s.j, cb.c,
+         round(list_aggregate(list_transform(
+           generate_series(1, {_PQ_SUBDIM}), i ->
+             (s.sv[i] - cb.w[i]) * (s.sv[i] - cb.w[i])), 'sum'), 9) AS d
+  FROM sub s JOIN cb ON s.j = cb.j
+), codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM dist
+  ) WHERE rn = 1
+), q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+), lut AS (
+  SELECT cb.j, cb.c,
+         list_aggregate(list_transform(
+           generate_series(1, {_PQ_SUBDIM}), i ->
+             (CAST(qe[cb.j * {_PQ_SUBDIM} + i] AS DOUBLE) - cb.w[i])
+             * (CAST(qe[cb.j * {_PQ_SUBDIM} + i] AS DOUBLE) - cb.w[i])),
+           'sum') AS ld
+  FROM cb, q
+)
+SELECT vec_id,
+       round(list_aggregate(list(ld ORDER BY codes.j), 'sum'), 6) AS adc_dist
+FROM codes JOIN lut ON codes.j = lut.j AND codes.c = lut.c
+WHERE codes.vec_id <> 0
+GROUP BY vec_id
+ORDER BY adc_dist, vec_id
+LIMIT 10
+"""
+
+QUERIES["d_sim_ann_pq"] = (d_sim_ann_pq, D_SIM_ANN_PQ_SQL)
+
+
+# --------------------------------------------------------------------------
 # Near-dup cluster formation over the MinHash pair graph (corpus/clusters.py)
 # — fixed-round min-label propagation so DuckDB reproduces the exact labels
 
@@ -920,6 +985,138 @@ SELECT node AS doc_id, label AS cluster_id, node = label AS keep FROM {prev}
 
 
 QUERIES["d_dedup_clusters"] = (d_dedup_clusters, _clusters_sql())
+
+
+# --------------------------------------------------------------------------
+# Connected components, large-star/small-star (corpus/clusters.py::
+# connected_components — Kiveris et al., SoCC 2014). The synthetic graph is
+# chains of 50 consecutive doc_ids (depth-49 components — the regime where
+# hash-to-min's O(diameter) rounds hurt and the star method's O(log² n)
+# matters), with node 123 severed into a self-loop singleton, splitting its
+# chain. Converged labels are min-of-component, so the oracle is ANALYTIC —
+# it states the closed-form cluster id rather than re-running the rounds,
+# making this a true independent check of convergence.
+
+
+def d_dedup_cc(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.clusters import connected_components
+
+    d = t(spark, sf, "documents").select("doc_id")
+    mx = F.broadcast(d.agg(F.max("doc_id").alias("mx")))
+    chain = (
+        d.crossJoin(mx)
+        .filter(
+            (F.col("doc_id") % 50 != 49)
+            & (F.col("doc_id") < F.col("mx"))
+            & (F.col("doc_id") != 123)
+            & (F.col("doc_id") != 122)
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1).alias("doc_b"),
+        )
+    )
+    loner = d.filter(F.col("doc_id") == 123).select(
+        F.col("doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    return connected_components(chain.unionByName(loner))
+
+
+D_DEDUP_CC_SQL = """
+WITH pairs AS (
+  SELECT doc_id AS doc_a, doc_id + 1 AS doc_b
+  FROM documents
+  WHERE doc_id % 50 <> 49
+    AND doc_id < (SELECT max(doc_id) FROM documents)
+    AND doc_id NOT IN (122, 123)
+  UNION ALL
+  SELECT doc_id, doc_id FROM documents WHERE doc_id = 123
+), nodes AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION
+  SELECT doc_b FROM pairs
+), labeled AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 123 THEN 123
+              WHEN doc_id BETWEEN 124 AND 149 THEN 124
+              ELSE (doc_id // 50) * 50 END AS cluster_id
+  FROM nodes
+)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM labeled
+"""
+
+QUERIES["d_dedup_cc"] = (d_dedup_cc, D_DEDUP_CC_SQL)
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (corpus/chunks.py — LBFS-style, SOSP 2001):
+# token-stream CDC cuts → chunk hashes → per-doc duplicated-chunk
+# coverage. Both engines run the identical frozen rule (w-gram
+# md5_hash60 % 2^mask_bits == 0 cuts), so the rollup is value-exact.
+
+_CDC_W, _CDC_MASK_BITS = 3, 4
+
+
+def d_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.chunks import (
+        cdc_chunks,
+        cdc_doc_coverage,
+    )
+
+    ch = cdc_chunks(
+        t(spark, sf, "documents"), w=_CDC_W, mask_bits=_CDC_MASK_BITS
+    )
+    return cdc_doc_coverage(ch)
+
+
+def _cdc_sql() -> str:
+    w, mask = _CDC_W, 1 << _CDC_MASK_BITS
+    gram = f"array_to_string(list_slice(tk, i, i + {w - 1}), ' ')"
+    h60 = "CAST(concat('0x', substring(md5({0}), 1, 15)) AS BIGINT)"
+    return f"""
+WITH pre AS (
+  SELECT doc_id, {SQL_TOKS} AS tk FROM documents
+), cut AS (
+  SELECT doc_id, tk,
+    list_concat([1], list_filter(list_transform(
+      generate_series(1, greatest(len(tk) - {w - 1}, 0)), i ->
+        CASE WHEN {h60.format(gram)} % {mask} = 0
+              AND i + {w} <= len(tk)
+             THEN i + {w} END),
+      x -> x IS NOT NULL)) AS starts
+  FROM pre
+), ch AS (
+  SELECT doc_id, u.idx AS chunk_idx, u.h AS chunk_hash, u.nt AS n_tokens
+  FROM (
+    SELECT doc_id,
+      unnest(list_transform(generate_series(1, len(starts)), ci ->
+        struct_pack(
+          idx := ci - 1,
+          h := {h60.format(
+            "array_to_string(list_slice(tk, starts[ci], "
+            "coalesce(starts[ci + 1], len(tk) + 1) - 1), ' ')")},
+          nt := coalesce(starts[ci + 1], len(tk) + 1) - starts[ci]))) AS u
+    FROM cut
+  ) WHERE u.nt > 0
+), dup AS (
+  SELECT chunk_hash FROM ch GROUP BY chunk_hash
+  HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT c.doc_id,
+  count(*) AS n_chunks,
+  CAST(sum(CASE WHEN d.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_dup_chunks,
+  CAST(sum(CASE WHEN d.chunk_hash IS NOT NULL THEN n_tokens ELSE 0 END)
+       AS BIGINT) AS dup_tokens,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(floor(sum(CASE WHEN d.chunk_hash IS NOT NULL THEN n_tokens ELSE 0 END)
+             * 1000.0 / greatest(sum(n_tokens), 1)) AS BIGINT) AS dup_permille
+FROM ch c LEFT JOIN dup d USING (chunk_hash)
+GROUP BY c.doc_id
+"""
+
+
+QUERIES["d_cdc_chunks"] = (d_cdc_chunks, _cdc_sql())
 
 
 def d_text_normalize(spark: SparkSession, sf: str) -> DataFrame:

@@ -1287,6 +1287,45 @@ QUERIES["r_warc_roundtrip"] = (r_warc_roundtrip, R_WARC_ROUNDTRIP_SQL)
 
 
 # --------------------------------------------------------------------------
+# Row-level DELETE, merge-on-read (Iceberg v2 equality deletes on the
+# snapshot-catalog shim). The scenario exercises the sequence-number rule
+# end-to-end: two appended file-sets, an equality delete over the whole
+# id space, then a THIRD append that re-introduces ids the delete names —
+# those must survive (the delete only applies to file-sets committed
+# before it). The oracle states the surviving set analytically.
+
+
+def r_delete_mor(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from who_focus_crawler_spark.checkpoint.snapshot import SnapshotCatalog
+
+    base = tempfile.mkdtemp(prefix="wfc_del_")
+    cat = SnapshotCatalog(base)
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+    cat.commit(0, {"documents": docs.filter(F.col("doc_id") % 3 == 0)}, state={})
+    cat.commit(1, {"documents": docs.filter(F.col("doc_id") % 3 == 1)}, state={})
+    cat.delete_where(
+        spark,
+        "documents",
+        docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+    )
+    cat.commit(3, {"documents": docs.filter(F.col("doc_id") % 3 == 2)}, state={})
+    return cat.read_table(spark, "documents", docs.schema)
+
+
+R_DELETE_MOR_SQL = """
+SELECT doc_id, md5(text) AS text_md5
+FROM documents
+WHERE doc_id % 3 = 2 OR doc_id % 5 <> 0
+"""
+
+QUERIES["r_delete_mor"] = (r_delete_mor, R_DELETE_MOR_SQL)
+
+
+# --------------------------------------------------------------------------
 # R23+ — event-time RANGE window frame: a true sliding-by-value frame
 # (all events of the PRECEDING hour, not the preceding N rows). Spark's
 # rangeBetween needs a numeric ordering key, so the frame is expressed
