@@ -907,6 +907,95 @@ QUERIES["d_sim_ann_pq"] = (d_sim_ann_pq, D_SIM_ANN_PQ_SQL)
 
 
 # --------------------------------------------------------------------------
+# SemDeDup — semantic dedup within embedding clusters (corpus/semdedup.py,
+# Abbas et al. 2023). Deterministic md5 centroids make the cluster
+# assignment bit-reproducible in SQL; threshold 0.35 is tuned to the
+# synthetic random embeddings (159 within-cluster pairs at sf0.01 — real
+# corpora use ~0.95+). Label propagation runs a FIXED 4 rounds on both
+# engines (the d_dedup_clusters pattern: the oracle value-checks the
+# round machinery; full convergence is unit-tested in engine mode).
+
+_SD_K, _SD_DIM, _SD_TAU, _SD_ITERS = 8, 64, 0.35, 4
+
+
+def _sd_centroids() -> list[list[float]]:
+    return S.pq_deterministic_codebooks(1, _SD_K, _SD_DIM, salt="semdedup")[0]
+
+
+def d_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.semdedup import semdedup
+
+    return semdedup(
+        t(spark, sf, "embeddings"),
+        _sd_centroids(),
+        threshold=_SD_TAU,
+        n_iters=_SD_ITERS,
+    )
+
+
+def _semdedup_sql() -> str:
+    cos = (
+        "list_aggregate(list_transform(a.embedding,"
+        " (x, i) -> x::DOUBLE * b.embedding[i]::DOUBLE), 'sum')"
+        " / greatest("
+        "sqrt(list_aggregate(list_transform(a.embedding,"
+        " x -> x::DOUBLE * x::DOUBLE), 'sum')) *"
+        " sqrt(list_aggregate(list_transform(b.embedding,"
+        " x -> x::DOUBLE * x::DOUBLE), 'sum')), 1e-12)"
+    )
+    sql = f"""
+WITH cents AS (
+  SELECT c, list_transform(generate_series(0, {_SD_DIM - 1}), t ->
+    (CAST(concat('0x', substring(md5('semdedup|0|' || c || '|' || t),
+          1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0) AS w
+  FROM generate_series(0, {_SD_K - 1}) g(c)
+), dist AS (
+  SELECT e.vec_id, e.embedding, c.c,
+    round(list_aggregate(list_transform(generate_series(1, {_SD_DIM}), i ->
+      (CAST(e.embedding[i] AS DOUBLE) - c.w[i])
+      * (CAST(e.embedding[i] AS DOUBLE) - c.w[i])), 'sum'), 9) AS d
+  FROM embeddings e, cents c
+), asg AS (
+  SELECT vec_id, embedding, c AS cluster FROM (
+    SELECT vec_id, embedding, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM dist
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round({cos}, 6) >= {_SD_TAU}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+)"""
+    prev = "l0"
+    for i in range(1, _SD_ITERS + 1):
+        sql += f""", l{i} AS (
+  SELECT l.node AS node,
+         least(l.label, coalesce(m.nbr_min, l.label)) AS label
+  FROM {prev} l LEFT JOIN (
+    SELECT e.dst AS node, min(p.label) AS nbr_min
+    FROM edges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst
+  ) m ON l.node = m.node
+)"""
+        prev = f"l{i}"
+    sql += f"""
+SELECT asg.vec_id, asg.cluster,
+       coalesce(lab.label, asg.vec_id) AS sem_cluster_id,
+       asg.vec_id = coalesce(lab.label, asg.vec_id) AS keep
+FROM asg LEFT JOIN {prev} lab ON asg.vec_id = lab.node
+"""
+    return sql
+
+
+QUERIES["d_semdedup"] = (d_semdedup, _semdedup_sql())
+
+
+# --------------------------------------------------------------------------
 # Near-dup cluster formation over the MinHash pair graph (corpus/clusters.py)
 # — fixed-round min-label propagation so DuckDB reproduces the exact labels
 
