@@ -1208,6 +1208,71 @@ GROUP BY c.doc_id
 QUERIES["d_cdc_chunks"] = (d_cdc_chunks, _cdc_sql())
 
 
+# --------------------------------------------------------------------------
+# DSIR importance weighting (corpus/dsir.py — Xie et al., NeurIPS 2023):
+# hashed unigram+bigram features, target/source bucket distributions,
+# integer-ppm importance score per source doc, deterministic top-50.
+# Target proxy = every 7th document. All arithmetic is integer (the
+# linearized log-ratio freeze documented in the module) ⇒ value-exact.
+
+_DS_B = 256
+
+
+def d_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.dsir import dsir_fit, dsir_topk
+
+    d = t(spark, sf, "documents")
+    target = d.filter(F.col("doc_id") % 7 == 0)
+    source = d.filter(F.col("doc_id") % 7 != 0)
+    model = dsir_fit(target, source, n_buckets=_DS_B)
+    return dsir_topk(source, model, k=50, n_buckets=_DS_B)
+
+
+D_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, u.g AS g
+  FROM toks, unnest(list_concat(
+    tk,
+    list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                   i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+  )) AS u(g)
+), b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) % {_DS_B}
+           AS bucket
+  FROM grams
+), tcnt AS (
+  SELECT bucket, count(*) AS c FROM b WHERE doc_id % 7 = 0 GROUP BY bucket
+), scnt AS (
+  SELECT bucket, count(*) AS c FROM b WHERE doc_id % 7 <> 0 GROUP BY bucket
+), ratio AS (
+  SELECT r.bucket,
+         (1000000 * (coalesce(t.c, 0) + 1)
+          * ((SELECT count(*) FROM b WHERE doc_id % 7 <> 0) + {_DS_B}))
+         // ((coalesce(s.c, 0) + 1)
+          * ((SELECT count(*) FROM b WHERE doc_id % 7 = 0) + {_DS_B}))
+           AS ratio_ppm
+  FROM (SELECT unnest(generate_series(0, {_DS_B - 1})) AS bucket) r
+  LEFT JOIN tcnt t USING (bucket)
+  LEFT JOIN scnt s USING (bucket)
+), scored AS (
+  SELECT b.doc_id, CAST(sum(ratio_ppm - 1000000) AS BIGINT) AS dsir_score
+  FROM b JOIN ratio USING (bucket)
+  WHERE b.doc_id % 7 <> 0
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, coalesce(s.dsir_score, 0) AS dsir_score
+FROM documents d LEFT JOIN scored s USING (doc_id)
+WHERE d.doc_id % 7 <> 0
+ORDER BY dsir_score DESC, d.doc_id
+LIMIT 50
+"""
+
+QUERIES["d_dsir_weights"] = (d_dsir_weights, D_DSIR_SQL)
+
+
 def d_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode normalization (corpus/text.py::normalize_nfc /
     strip_accents): the ascii corpus is decorated with deterministic
