@@ -1326,6 +1326,95 @@ QUERIES["r_delete_mor"] = (r_delete_mor, R_DELETE_MOR_SQL)
 
 
 # --------------------------------------------------------------------------
+# SCD Type 2 (operators/scd.py): orders as a change-event stream for a
+# per-customer status dimension — consecutive same-status orders collapse
+# into one version, lead() closes each version, ties broken on orderkey.
+# Oracle rebuilds the identical versioning with window functions.
+
+
+def r_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.scd import scd2_build
+
+    ev = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+    )
+    return scd2_build(
+        ev, ["custkey"], ["status"], "ts", tie_cols=["tb"]
+    )
+
+
+R_SCD2_SQL = """
+WITH ev AS (
+  SELECT o_custkey AS custkey, o_orderstatus AS status,
+         o_orderdate AS ts, o_orderkey AS tb
+  FROM orders
+), ord AS (
+  SELECT custkey, status, ts, tb,
+         lag(status) OVER (PARTITION BY custkey ORDER BY ts, tb) AS prev
+  FROM ev
+), chg AS (
+  SELECT custkey, status, ts, tb FROM ord
+  WHERE prev IS NULL OR prev IS DISTINCT FROM status
+)
+SELECT custkey, status, ts AS effective_from,
+       lead(ts) OVER (PARTITION BY custkey ORDER BY ts, tb) AS effective_to,
+       lead(ts) OVER (PARTITION BY custkey ORDER BY ts, tb) IS NULL
+         AS is_current
+FROM chg
+"""
+
+QUERIES["r_scd2"] = (r_scd2, R_SCD2_SQL)
+
+
+# --------------------------------------------------------------------------
+# Null-aware NOT IN anti join. Standard SQL: one NULL in the subquery
+# list makes `x NOT IN (...)` UNKNOWN for every non-member ⇒ 0 rows —
+# Spark plans this as a null-aware anti join (plain left_anti would
+# wrongly return rows). The query returns both counts so the row is
+# non-vacuous: the null-poisoned branch MUST be 0 while the null-free
+# branch is large, which is exactly the semantics difference.
+
+
+def r_not_in_null(spark: SparkSession, sf: str) -> DataFrame:
+    t(spark, sf, "customer").createOrReplaceTempView("_niv_customer")
+    t(spark, sf, "orders").createOrReplaceTempView("_niv_orders")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM _niv_customer
+           WHERE c_custkey NOT IN (
+             SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                         ELSE o_custkey END
+             FROM _niv_orders WHERE o_totalprice > 400000)) AS with_nulls,
+          (SELECT count(*) FROM _niv_customer
+           WHERE c_custkey NOT IN (
+             SELECT o_custkey FROM _niv_orders
+             WHERE o_totalprice > 400000 AND o_custkey IS NOT NULL))
+            AS without_nulls
+        """
+    )
+
+
+R_NOT_IN_NULL_SQL = """
+SELECT
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (
+     SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                 ELSE o_custkey END
+     FROM orders WHERE o_totalprice > 400000)) AS with_nulls,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (
+     SELECT o_custkey FROM orders
+     WHERE o_totalprice > 400000 AND o_custkey IS NOT NULL)) AS without_nulls
+"""
+
+QUERIES["r_not_in_null"] = (r_not_in_null, R_NOT_IN_NULL_SQL)
+
+
+# --------------------------------------------------------------------------
 # R23+ — event-time RANGE window frame: a true sliding-by-value frame
 # (all events of the PRECEDING hour, not the preceding N rows). Spark's
 # rangeBetween needs a numeric ordering key, so the frame is expressed
