@@ -1685,3 +1685,61 @@ ORDER BY n_urls DESC, template
 """
 
 QUERIES["c_url_templates"] = (c_url_templates, C_URL_TEMPLATES_SQL)
+
+
+# --------------------------------------------------------------------------
+# Adaptive politeness from observed fetch latency (operators/latency.py):
+# per-host nearest-rank p95 over a synthetic latency history, clamped
+# integer crawl_delay (2x the p95), min-observation gate. All integer
+# arithmetic; the oracle reproduces the identical rank selection.
+
+
+def c_adaptive_delay(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.latency import adaptive_crawl_delay
+
+    li = t(spark, sf, "lineitem")
+    hist = li.select(
+        F.concat(F.lit("h"), (F.col("l_suppkey") % 25).cast("string")).alias(
+            "host"
+        ),
+        (
+            1 + (F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7) % 4000
+        ).alias("latency_ms"),
+        F.col("l_orderkey").alias("tb1"),
+        F.col("l_linenumber").alias("tb2"),
+    )
+    return adaptive_crawl_delay(
+        hist,
+        delay_factor_permille=2000,
+        min_delay_s=1,
+        max_delay_s=6,
+        min_obs=3,
+        pct_permille=950,
+        tie_cols=["tb1", "tb2"],
+    )
+
+
+C_ADAPTIVE_DELAY_SQL = """
+WITH hist AS (
+  SELECT concat('h', CAST(l_suppkey % 25 AS VARCHAR)) AS host,
+         1 + (l_orderkey * 31 + l_linenumber * 7) % 4000 AS latency_ms,
+         l_orderkey AS tb1, l_linenumber AS tb2
+  FROM lineitem
+), ranked AS (
+  SELECT host, latency_ms,
+         row_number() OVER (
+           PARTITION BY host ORDER BY latency_ms, tb1, tb2) AS rn,
+         count(*) OVER (PARTITION BY host) AS n
+  FROM hist
+), pick AS (
+  SELECT host, n AS n_obs, latency_ms AS p_latency_ms
+  FROM ranked
+  WHERE rn = (n * 950 + 999) // 1000 AND n >= 3
+)
+SELECT host, n_obs, p_latency_ms,
+       least(6, greatest(1,
+         (p_latency_ms * 2000 + 999999) // 1000000)) AS crawl_delay
+FROM pick
+"""
+
+QUERIES["c_adaptive_delay"] = (c_adaptive_delay, C_ADAPTIVE_DELAY_SQL)
