@@ -1743,3 +1743,134 @@ FROM pick
 """
 
 QUERIES["c_adaptive_delay"] = (c_adaptive_delay, C_ADAPTIVE_DELAY_SQL)
+
+
+# --------------------------------------------------------------------------
+# TrustRank + spam mass (operators/hostrank.py::trust_rank/spam_mass —
+# Gyöngyi et al. VLDB 2004/2006). Synthetic graph = the c_host_rank legit
+# web (h0..h11 -> h0..h6) plus a planted link farm: an s0..s4 ring that
+# also links into the legit web, with only a trickle of legit->farm
+# edges. Seeds = h0..h3. Fixed rounds; both rank chains are integer
+# micro-units, so the oracle reproduces rank, trust, AND the permille
+# spam mass exactly.
+
+_TR_ITERS, _TR_SCALE = 6, 10**9
+
+
+def _tr_edges(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    legit = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 12).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 7).cast("string")).alias("dst"),
+    )
+    ring = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.concat(F.lit("s"), (F.col("o_orderkey") % 5).cast("string")).alias("src"),
+        F.concat(F.lit("s"), ((F.col("o_orderkey") + 1) % 5).cast("string")).alias("dst"),
+    )
+    infiltrate = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.concat(F.lit("s"), (F.col("o_orderkey") % 5).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 7).cast("string")).alias("dst"),
+    )
+    hijack = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 12).cast("string")).alias("src"),
+        F.concat(F.lit("s"), (F.col("o_orderkey") % 5).cast("string")).alias("dst"),
+    )
+    return (
+        legit.unionByName(ring).unionByName(infiltrate).unionByName(hijack)
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def c_trust_spam(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.hostrank import spam_mass
+
+    seeds = spark.createDataFrame(
+        [("h0",), ("h1",), ("h2",), ("h3",)], "host string"
+    )
+    return spam_mass(
+        _tr_edges(spark, sf), seeds, n_iters=_TR_ITERS, scale=_TR_SCALE
+    )
+
+
+def _trust_spam_sql() -> str:
+    rank_step = """, r{i} AS (
+  SELECT v.host,
+         (15 * ({scale} // nn.n)) // 100
+         + (85 * coalesce(s.in_sum, 0)) // 100 AS rank_units
+  FROM nodes v CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS host, sum(r.rank_units // d.out_deg) AS in_sum
+    FROM edges e
+    JOIN r{prev} r ON e.src = r.host
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON v.host = s.host
+)"""
+    trust_step = """, t{i} AS (
+  SELECT b.host,
+         (15 * b.seed_units) // 100
+         + (85 * coalesce(s.in_sum, 0)) // 100 AS trust_units
+  FROM seedbase b
+  LEFT JOIN (
+    SELECT e.dst AS host, sum(r.trust_units // d.out_deg) AS in_sum
+    FROM edges e
+    JOIN t{prev} r ON e.src = r.host
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON b.host = s.host
+)"""
+    sql = f"""
+WITH raw AS (
+  SELECT concat('h', CAST(o_custkey % 12 AS VARCHAR)) AS src,
+         concat('h', CAST(o_orderkey % 7 AS VARCHAR)) AS dst
+  FROM orders
+  UNION ALL
+  SELECT concat('s', CAST(o_orderkey % 5 AS VARCHAR)),
+         concat('s', CAST((o_orderkey + 1) % 5 AS VARCHAR))
+  FROM orders WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT concat('s', CAST(o_orderkey % 5 AS VARCHAR)),
+         concat('h', CAST(o_orderkey % 7 AS VARCHAR))
+  FROM orders WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT concat('h', CAST(o_custkey % 12 AS VARCHAR)),
+         concat('s', CAST(o_orderkey % 5 AS VARCHAR))
+  FROM orders WHERE o_orderkey % 101 = 0
+), edges AS (
+  SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+), nodes AS (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+), deg AS (
+  SELECT src, count(*) AS out_deg FROM edges GROUP BY src
+), nn AS (
+  SELECT count(*) AS n FROM nodes
+), seeds AS (
+  SELECT unnest(['h0', 'h1', 'h2', 'h3']) AS host
+), ns AS (
+  SELECT count(*) AS n FROM seeds
+), seedbase AS (
+  SELECT v.host,
+         CASE WHEN s.host IS NOT NULL
+              THEN CAST({_TR_SCALE} // ns.n AS BIGINT) ELSE 0 END AS seed_units
+  FROM nodes v CROSS JOIN ns LEFT JOIN seeds s ON v.host = s.host
+), r0 AS (
+  SELECT host, CAST({_TR_SCALE} // nn.n AS BIGINT) AS rank_units
+  FROM nodes CROSS JOIN nn
+), t0 AS (
+  SELECT host, seed_units AS trust_units FROM seedbase
+)"""
+    for i in range(1, _TR_ITERS + 1):
+        sql += rank_step.format(i=i, prev=i - 1, scale=_TR_SCALE)
+        sql += trust_step.format(i=i, prev=i - 1)
+    sql += f"""
+SELECT r.host, CAST(r.rank_units AS BIGINT) AS rank_units,
+       CAST(t.trust_units AS BIGINT) AS trust_units,
+       CAST(greatest(0, (r.rank_units - t.trust_units) * 1000
+                        // greatest(r.rank_units, 1)) AS BIGINT)
+         AS spam_mass_permille
+FROM r{_TR_ITERS} r JOIN t{_TR_ITERS} t ON r.host = t.host
+"""
+    return sql
+
+
+QUERIES["c_trust_spam"] = (c_trust_spam, _trust_spam_sql())

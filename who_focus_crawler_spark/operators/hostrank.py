@@ -94,3 +94,119 @@ def host_rank(
         if checkpoint_each:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("host", F.col("rank_units").cast("long"))
+
+
+def trust_rank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iters: int = 10,
+    scale: int = 10**9,
+    checkpoint_each: bool = True,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina, Pedersen, "Combating Web Spam
+    with TrustRank", VLDB 2004): PageRank whose teleport vector is
+    restricted to a human-vetted SEED set — trust flows out of the seeds
+    along links and decays with distance, so link-farm hosts (reachable
+    mostly from other spam) end up with rank mass but little trust.
+
+    ``seeds``: DataFrame with a ``host`` column. Same integer micro-unit
+    discipline and per-round shape as :func:`host_rank` (one edge join +
+    one groupBy per round, O(|edges|)); only the teleport term differs —
+    (1−d)·scale∕|seeds| lands on seed hosts, 0 elsewhere. Output:
+    (host, trust_units) for every host in the graph.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    s = seeds.select("host").distinct()
+    if checkpoint_each:
+        e = e.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    n_seeds = s.agg(F.count(F.lit(1)).alias("_ns"))  # 1-row broadcast
+    base = (
+        nodes.join(s.withColumn("_seed", F.lit(1)), "host", "left")
+        .crossJoin(F.broadcast(n_seeds))
+        .select(
+            "host",
+            F.when(
+                F.col("_seed").isNotNull(),
+                (F.lit(scale) / F.col("_ns")).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("seed_units"),
+        )
+    )
+    if checkpoint_each:
+        base = base.localCheckpoint(eager=False)
+    ranks = base.select("host", F.col("seed_units").alias("trust_units"))
+    for _ in range(n_iters):
+        contrib = (
+            e.join(
+                ranks.select(F.col("host").alias("src"), "trust_units"),
+                "src",
+            )
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("host"),
+                (F.col("trust_units") / F.col("out_deg"))
+                .cast("long")
+                .alias("contrib"),
+            )
+            .groupBy("host")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        ranks = (
+            base.join(contrib, "host", "left")
+            .select(
+                "host",
+                (
+                    (F.lit(DAMP_DEN - DAMP_NUM) * F.col("seed_units"))
+                    / F.lit(DAMP_DEN)
+                ).cast("long")
+                + (
+                    (F.lit(DAMP_NUM) * F.coalesce(F.col("in_sum"), F.lit(0)))
+                    / F.lit(DAMP_DEN)
+                ).cast("long"),
+            )
+            .toDF("host", "trust_units")
+        )
+        if checkpoint_each:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("host", F.col("trust_units").cast("long"))
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iters: int = 10,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Relative spam mass (Gyöngyi et al., "Link Spam Detection Based on
+    Mass Estimation", VLDB 2006): the share of a host's PageRank that
+    does NOT come with trust — m = (rank − trust)/rank, here in integer
+    permille, clamped at 0. High rank + high spam-mass = the link-farm
+    signature; feed the permille into the frontier's priority/trap
+    gating. Both ranks use the same micro-unit scale so the ratio is a
+    pure integer expression."""
+    r = host_rank(edges, n_iters=n_iters, scale=scale)
+    t = trust_rank(edges, seeds, n_iters=n_iters, scale=scale)
+    return (
+        r.join(t, "host")
+        .select(
+            "host",
+            "rank_units",
+            "trust_units",
+            F.greatest(
+                F.lit(0),
+                (
+                    (F.col("rank_units") - F.col("trust_units"))
+                    * F.lit(1000)
+                    / F.greatest(F.col("rank_units"), F.lit(1))
+                ).cast("long"),
+            ).alias("spam_mass_permille"),
+        )
+    )
