@@ -1415,6 +1415,69 @@ QUERIES["r_not_in_null"] = (r_not_in_null, R_NOT_IN_NULL_SQL)
 
 
 # --------------------------------------------------------------------------
+# Binned interval join (operators/rangejoin.py): interval-overlap with NO
+# equi-key, executed as a hash join on quantized bins with first-shared-
+# bin dedup — the scale path where the naive plan is a nested loop. The
+# oracle runs the plain theta join; the row sets must be identical.
+
+
+def r_join_interval_binned(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.rangejoin import (
+        binned_interval_join,
+    )
+
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    intervals = o.select(
+        F.col("o_orderkey").alias("interval_key"),
+        ((F.col("o_orderkey") * 37) % 1000000).alias("start"),
+        (
+            (F.col("o_orderkey") * 37) % 1000000
+            + 1
+            + (F.col("o_orderkey") % 500)
+        ).alias("end"),
+    )
+    points = (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            F.col("l_orderkey").alias("point_key"),
+            ((F.col("l_orderkey") * 101 + F.col("l_suppkey")) % 1000000).alias(
+                "p_start"
+            ),
+        )
+        .withColumn("p_end", F.col("p_start") + 1)
+    )
+    return binned_interval_join(
+        intervals,
+        points,
+        bin_width=256,
+        right_start="p_start",
+        right_end="p_end",
+    ).select("interval_key", "point_key", "p_start")
+
+
+R_JOIN_INTERVAL_BINNED_SQL = """
+WITH intervals AS (
+  SELECT o_orderkey AS interval_key,
+         (o_orderkey * 37) % 1000000 AS s,
+         (o_orderkey * 37) % 1000000 + 1 + (o_orderkey % 500) AS e
+  FROM orders WHERE o_orderkey % 10 = 0
+), points AS (
+  SELECT l_orderkey AS point_key,
+         (l_orderkey * 101 + l_suppkey) % 1000000 AS p
+  FROM lineitem WHERE l_linenumber = 1
+)
+SELECT interval_key, point_key, p AS p_start
+FROM intervals JOIN points ON p >= s AND p < e
+"""
+
+QUERIES["r_join_interval_binned"] = (
+    r_join_interval_binned,
+    R_JOIN_INTERVAL_BINNED_SQL,
+)
+
+
+# --------------------------------------------------------------------------
 # R23+ — event-time RANGE window frame: a true sliding-by-value frame
 # (all events of the PRECEDING hour, not the preceding N rows). Spark's
 # rangeBetween needs a numeric ordering key, so the frame is expressed
