@@ -1874,3 +1874,53 @@ FROM r{_TR_ITERS} r JOIN t{_TR_ITERS} t ON r.host = t.host
 
 
 QUERIES["c_trust_spam"] = (c_trust_spam, _trust_spam_sql())
+
+
+# --------------------------------------------------------------------------
+# Largest-remainder crawl-budget apportionment (operators/apportion.py):
+# integer Hamilton shares of a 10,000-fetch cycle across hosts weighted
+# by backlog mass. Sums to the budget exactly; remainder ranking runs on
+# the two-phase distributed sequencer. Value-exact (pure integers).
+
+_AP_BUDGET = 10000
+
+
+def c_budget_apportion(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.apportion import apportion_budget
+
+    w = (
+        t(spark, sf, "lineitem")
+        .groupBy(
+            F.concat(
+                F.lit("h"), (F.col("l_partkey") % 40).cast("string")
+            ).alias("host")
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("weight"))
+    )
+    return apportion_budget(w, _AP_BUDGET)
+
+
+C_BUDGET_APPORTION_SQL = f"""
+WITH w AS (
+  SELECT concat('h', CAST(l_partkey % 40 AS VARCHAR)) AS host,
+         CAST(sum(l_quantity) AS BIGINT) AS weight
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT sum(weight) AS tw FROM w
+), b AS (
+  SELECT host, weight,
+         (weight * {_AP_BUDGET}) // tw AS base,
+         (weight * {_AP_BUDGET}) % tw AS rem
+  FROM w, tot
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rk FROM b
+), lo AS (
+  SELECT {_AP_BUDGET} - sum(base) AS leftover FROM b
+)
+SELECT host, weight,
+       CAST(base + CASE WHEN rk <= leftover AND rem > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS budget
+FROM r, lo
+"""
+
+QUERIES["c_budget_apportion"] = (c_budget_apportion, C_BUDGET_APPORTION_SQL)
