@@ -417,3 +417,81 @@ def test_stream_interval_join_inner_and_outer(spark, tmp_path):
     for r in rows_l:
         if r.f_ts is None:
             assert r.status is None and r.latency_sec is None
+
+
+def test_stream_neardup_to_catalog(spark, tmp_path):
+    """Streaming near-dup maintenance: each epoch probes the persisted
+    signature index (new x old + new x new, never old x old), appends
+    pairs + signatures in one snapshot commit, and the cumulative pair
+    log equals the full-batch LSH run over all documents."""
+    from who_focus_crawler_spark import schemas
+    from who_focus_crawler_spark.checkpoint.snapshot import SnapshotCatalog
+    from who_focus_crawler_spark.corpus.dedup import minhash_lsh_pairs
+    from who_focus_crawler_spark.streaming.pipeline import (
+        stream_neardup_to_catalog,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi")
+    docs1 = [
+        (1, base),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, base.replace("pi", "rho")),  # near-dup of 1
+    ]
+    docs2 = [
+        (4, base.replace("alpha", "sigma")),  # near-dup of 1 and 3
+        (5, "cold rain falls on quiet roofs tonight and nobody minds"),
+    ]
+    doc_dir = str(tmp_path / "docs_nd")
+    ck, cat_root = str(tmp_path / "ck_nd"), str(tmp_path / "cat_nd")
+    schema = "doc_id long, text string"
+
+    def run():
+        docs = spark.readStream.schema(schema).parquet(doc_dir)
+        stream_neardup_to_catalog(docs, cat_root, ck)
+
+    spark.createDataFrame(docs1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(doc_dir)
+    run()
+    cat = SnapshotCatalog(cat_root)
+    pairs1 = {
+        (r.doc_a, r.doc_b)
+        for r in cat.read_table(
+            spark, "neardup_pairs", schemas.NEARDUP_PAIRS
+        ).collect()
+    }
+    assert pairs1 == {(1, 3)}
+    head1 = cat.head()
+
+    spark.createDataFrame(docs2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(doc_dir)
+    run()
+    cat = SnapshotCatalog(cat_root)
+    pairs2 = {
+        (r.doc_a, r.doc_b)
+        for r in cat.read_table(
+            spark, "neardup_pairs", schemas.NEARDUP_PAIRS
+        ).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(docs1 + docs2, schema)
+        ).collect()
+    }
+    assert pairs2 == full and {(1, 4), (3, 4)} <= pairs2
+    idx = {
+        r.doc_id
+        for r in cat.read_table(
+            spark, "minhash_index", schemas.MINHASH_INDEX
+        ).collect()
+    }
+    assert idx == {1, 2, 3, 4, 5}
+    assert cat.head() > head1
+
+    # drained re-run: no new files, catalog unchanged
+    head2 = cat.head()
+    run()
+    assert SnapshotCatalog(cat_root).head() == head2

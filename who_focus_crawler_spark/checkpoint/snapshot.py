@@ -59,6 +59,10 @@ APPEND_TABLES = {
     # streaming ingestion (streaming/pipeline.py::stream_frontier_to_catalog):
     # one appended delta per micro-batch epoch
     "frontier_ingest",
+    # streaming near-dup maintenance (stream_neardup_to_catalog): the
+    # signature index grows by one delta per epoch; pairs are a log
+    "minhash_index",
+    "neardup_pairs",
 }
 
 

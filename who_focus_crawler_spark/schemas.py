@@ -121,3 +121,21 @@ FRONTIER_INGEST = T.StructType(
         T.StructField("ts", T.TimestampType(), True),
     ]
 )
+
+# streaming near-dup maintenance (streaming/pipeline.py::
+# stream_neardup_to_catalog): persisted signature index + pair log
+MINHASH_INDEX = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sh", T.ArrayType(T.StringType()), True),
+        T.StructField("sig", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+NEARDUP_PAIRS = T.StructType(
+    [
+        T.StructField("doc_a", T.LongType(), False),
+        T.StructField("doc_b", T.LongType(), False),
+        T.StructField("jaccard", T.DoubleType(), True),
+    ]
+)

@@ -326,3 +326,97 @@ def stream_frontier_to_catalog(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_neardup_to_catalog(
+    docs: DataFrame,
+    catalog_root: str,
+    checkpoint: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> None:
+    """Streaming near-dup maintenance: each micro-batch of (doc_id, text)
+    documents is probed against the PERSISTED MinHash signature index
+    (new×old ∪ new×new — old×old never recomputed), the discovered pairs
+    are appended to a ``neardup_pairs`` log, and the batch's signatures
+    are appended to the ``minhash_index`` table — all in ONE atomic
+    snapshot commit per epoch.
+
+    This is the production "is this newly crawled page a dup of the
+    corpus" loop: the index table is read manifest-listed (no listing
+    scans), the batch side broadcasts its band keys so the index
+    contributes only colliding rows (corpus/dedup.py::
+    minhash_lsh_pairs_incremental), and the idempotent epoch guard makes
+    re-delivered epochs no-ops (exactly-once across restarts, same
+    contract as stream_frontier_to_catalog). Batch doc_ids already in
+    the index are dropped (re-crawls re-probe under a new doc_id).
+    """
+    from who_focus_crawler_spark import schemas
+    from who_focus_crawler_spark.checkpoint.snapshot import SnapshotCatalog
+    from who_focus_crawler_spark.corpus.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    cat = SnapshotCatalog(catalog_root)
+
+    def commit_batch(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        head = cat.head()
+        prev_state: dict = {}
+        carry: dict = {}
+        old = None
+        if head is not None:
+            prev_state = dict(cat.state(head))
+            if (
+                prev_state.get("neardup_ck") == checkpoint
+                and epoch_id <= prev_state.get("neardup_last_epoch", -1)
+            ):
+                return  # re-delivered epoch: already durable, skip
+            carry = {
+                name: None
+                for name in cat.manifest(head)["tables"]
+                if name not in ("minhash_index", "neardup_pairs")
+            }
+            old = cat.read_table(spark, "minhash_index", schemas.MINHASH_INDEX)
+        if old is None:
+            old = spark.createDataFrame([], schemas.MINHASH_INDEX)
+        batch = df.select("doc_id", "text").dropDuplicates(["doc_id"]).join(
+            old.select("doc_id"), "doc_id", "left_anti"
+        )
+        new_index = minhash_index(
+            batch, num_hashes=num_hashes, shingle_k=shingle_k
+        ).localCheckpoint()  # eager: consumed by probe AND commit
+        pairs = minhash_lsh_pairs_incremental(
+            new_index, old, bands=bands, jaccard_threshold=jaccard_threshold
+        ).select(
+            F.col("doc_a").cast("long"),
+            F.col("doc_b").cast("long"),
+            F.col("jaccard").cast("double"),
+        )
+        sid = (head + 1) if head is not None else 0
+        cat.commit(
+            sid,
+            {
+                **carry,
+                "minhash_index": new_index.select(
+                    F.col("doc_id").cast("long"), "sh", "sig"
+                ),
+                "neardup_pairs": pairs,
+            },
+            state={
+                **prev_state,
+                "neardup_last_epoch": int(epoch_id),
+                "neardup_ck": checkpoint,
+            },
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
