@@ -1287,6 +1287,48 @@ QUERIES["r_warc_roundtrip"] = (r_warc_roundtrip, R_WARC_ROUNDTRIP_SQL)
 
 
 # --------------------------------------------------------------------------
+# WARC via the Python Data Source API (sources/warc_datasource.py):
+# spark.read.format("warc") with the warc_type equality filter pushed
+# INTO the record parser. Same analytic oracle discipline as
+# r_warc_roundtrip — the query matches only if the registered source
+# preserves every payload byte and the pushdown drops exactly the
+# per-file warcinfo records.
+
+
+def r_warc_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from who_focus_crawler_spark.sources import warc_datasource
+    from who_focus_crawler_spark.sources.warc import write_warc
+
+    base = tempfile.mkdtemp(prefix="wfc_warcds_")
+    docs = t(spark, sf, "documents").select(
+        F.concat(
+            F.lit("http://d"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    write_warc(docs, base).collect()
+    warc_datasource.register(spark)
+    rec = (
+        spark.read.format("warc")
+        .load(base)
+        .filter(F.col("warc_type") == "response")
+    )
+    return rec.select(
+        "target_uri",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+QUERIES["r_warc_datasource"] = (r_warc_datasource, R_WARC_ROUNDTRIP_SQL)
+
+
+# --------------------------------------------------------------------------
 # Row-level DELETE, merge-on-read (Iceberg v2 equality deletes on the
 # snapshot-catalog shim). The scenario exercises the sequence-number rule
 # end-to-end: two appended file-sets, an equality delete over the whole

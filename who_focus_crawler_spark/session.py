@@ -55,6 +55,9 @@ def get_spark(
         # writing -> exactly one file per bucket (the case where the
         # reported ordering is actually true).
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        # Python Data Source API (sources/warc_datasource.py): allow
+        # readers to take equality filters into the scan
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
