@@ -32,6 +32,12 @@ def run_corpus_pipeline(
     mixture_weights: dict[str, float] | None = None,
     token_budget: int | None = None,
     merge_into: str | None = None,
+    embeddings: DataFrame | None = None,
+    semdedup_tau: float | None = None,
+    semdedup_clusters: int = 8,
+    dsir_target: DataFrame | None = None,
+    dsir_top_k: int | None = None,
+    dsir_buckets: int = 4096,
 ) -> dict:
     """docs(doc_id, text[, source]) → kept corpus + stats.
 
@@ -41,7 +47,14 @@ def run_corpus_pipeline(
     - ``split_weights``: label survivors with a deterministic
       train/val/test split column (corpus/sampling.py);
     - ``mixture_weights`` + ``token_budget``: per-source token-budget
-      selection (corpus/mixture.py; requires a ``source`` column).
+      selection (corpus/mixture.py; requires a ``source`` column);
+    - ``embeddings`` + ``semdedup_tau``: SemDeDup semantic dedup
+      (corpus/semdedup.py) — k-means centroids fitted on the embeddings
+      (vec_id must equal doc_id), within-cluster cosine groups above tau
+      keep only their min-id survivor;
+    - ``dsir_target`` + ``dsir_top_k``: DSIR importance selection
+      (corpus/dsir.py) — keep the top-k gated docs by hashed-n-gram
+      importance against the target sample.
     Returns the stats dict.
     """
     from who_focus_crawler_spark.corpus.clusters import dedup_keep
@@ -59,6 +72,10 @@ def run_corpus_pipeline(
 
     if token_budget is not None and mixture_weights is None:
         raise ValueError("token_budget requires mixture_weights")
+    if semdedup_tau is not None and embeddings is None:
+        raise ValueError("semdedup_tau requires embeddings")
+    if dsir_top_k is not None and dsir_target is None:
+        raise ValueError("dsir_top_k requires dsir_target")
     n_in = docs.count()
     # exact-dedup output feeds three consumers (pair mining, keep join,
     # count) — materialize once instead of re-running the scan + md5
@@ -67,6 +84,25 @@ def run_corpus_pipeline(
     n_exact = exact.count()
     pairs = minhash_lsh_pairs(exact, jaccard_threshold=minhash_threshold)
     kept = dedup_keep(exact, pairs).filter(F.col("keep"))
+    if semdedup_tau is not None:
+        from who_focus_crawler_spark.corpus.semdedup import semdedup
+        from who_focus_crawler_spark.corpus.similarity import (
+            ivf_fit_centroids,
+        )
+
+        cents = ivf_fit_centroids(
+            embeddings, n_clusters=semdedup_clusters, iters=5
+        )
+        # drop only docs POSITIVELY marked as redundant — docs without an
+        # embedding row pass through untouched
+        sem_drop = semdedup(
+            embeddings, cents, threshold=semdedup_tau
+        ).filter(~F.col("keep"))
+        kept = kept.join(
+            sem_drop.select(F.col("vec_id").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
     if max_dup_permille is not None:
         from who_focus_crawler_spark.corpus.substring import (
             filter_by_dup_coverage,
@@ -93,6 +129,17 @@ def run_corpus_pipeline(
         )
         .select("doc_id", *carry, "text", "quality")
     )
+    if dsir_top_k is not None:
+        from who_focus_crawler_spark.corpus.dsir import dsir_fit, dsir_scores
+
+        model = dsir_fit(dsir_target, final, n_buckets=dsir_buckets)
+        scored = dsir_scores(final, model, n_buckets=dsir_buckets)
+        final = (
+            final.join(scored, "doc_id")
+            .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+            .limit(dsir_top_k)
+            .drop("dsir_score")
+        )
     if mixture_weights is not None:
         if token_budget is None:
             raise ValueError("mixture_weights requires token_budget")
@@ -207,6 +254,25 @@ def main() -> None:
         help="existing kept-corpus parquet to upsert this run's docs into "
              "(by doc_id); the merged corpus is written to --output",
     )
+    ap.add_argument(
+        "--embeddings", default=None,
+        help="parquet with (vec_id, embedding) — vec_id matches doc_id; "
+             "required for --semdedup-tau",
+    )
+    ap.add_argument(
+        "--semdedup-tau", type=float, default=None,
+        help="SemDeDup within-cluster cosine threshold (e.g. 0.95)",
+    )
+    ap.add_argument("--semdedup-clusters", type=int, default=8)
+    ap.add_argument(
+        "--dsir-target", default=None,
+        help="parquet with (doc_id, text) in-domain sample; required for "
+             "--dsir-top-k",
+    )
+    ap.add_argument(
+        "--dsir-top-k", type=int, default=None,
+        help="keep only the top-k gated docs by DSIR importance",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("wfc-corpus").getOrCreate()
@@ -235,6 +301,15 @@ def main() -> None:
         mixture_weights=_parse_weights(args.mixture) if args.mixture else None,
         token_budget=args.token_budget,
         merge_into=args.merge_into,
+        embeddings=(
+            spark.read.parquet(args.embeddings) if args.embeddings else None
+        ),
+        semdedup_tau=args.semdedup_tau,
+        semdedup_clusters=args.semdedup_clusters,
+        dsir_target=(
+            spark.read.parquet(args.dsir_target) if args.dsir_target else None
+        ),
+        dsir_top_k=args.dsir_top_k,
     )
     print(json.dumps(stats))
     spark.stop()

@@ -830,3 +830,44 @@ def test_sniff_media_type(spark):
         ("audio", "audio/wav"), ("audio", "audio/ogg"),
         ("video", "video/mp4"), ("video", "video/x-matroska"),
     }
+
+
+def test_corpus_pipeline_semdedup_and_dsir(spark, tmp_path):
+    """The SemDeDup and DSIR stages in the runnable pipeline: semantic
+    duplicates drop (docs without embeddings pass through), DSIR keeps
+    the top-k most target-like docs."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from corpus import run_corpus_pipeline
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = str(tmp_path / "kept_sem")
+    base = run_corpus_pipeline(docs, output=str(tmp_path / "kept_base"))
+    stats = run_corpus_pipeline(
+        docs,
+        output=out,
+        embeddings=emb,
+        semdedup_tau=0.35,  # tuned low for the synthetic random vectors
+    )
+    # semantic dedup can only shrink the kept set
+    assert 0 < stats["n_kept"] <= base["n_kept"]
+
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    out2 = str(tmp_path / "kept_dsir")
+    stats2 = run_corpus_pipeline(
+        docs, output=out2, dsir_target=target, dsir_top_k=50,
+        dsir_buckets=256,
+    )
+    kept2 = spark.read.parquet(out2)
+    assert stats2["n_kept"] == kept2.count() == 50
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires embeddings"):
+        run_corpus_pipeline(docs, semdedup_tau=0.9)
+    with _pytest.raises(ValueError, match="requires dsir_target"):
+        run_corpus_pipeline(docs, dsir_top_k=10)

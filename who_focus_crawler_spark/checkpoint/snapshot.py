@@ -49,7 +49,19 @@ import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _stat_json(v):
+    """Manifest-storable stat value: numbers/strings/bools pass through,
+    date/datetime become ISO strings (lexicographic == chronological for
+    the fixed format), anything else becomes None = "cannot skip"."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return None
 
 APPEND_TABLES = {
     "crawl_order",
@@ -95,6 +107,7 @@ class SnapshotCatalog:
         tables: dict[str, DataFrame],
         state: dict,
         num_files: int = 1,
+        stats_cols: dict[str, list[str]] | None = None,
     ) -> None:
         """Write each table's delta/replacement, then atomically publish.
 
@@ -112,6 +125,7 @@ class SnapshotCatalog:
         else:
             prev = self.manifest(snapshot_id - 1) if snapshot_id > 0 else None
         entry: dict[str, list[str]] = {}
+        stats_cols = stats_cols or {}
 
         def write(name: str, df: DataFrame) -> tuple[str, str]:
             path = self.root / "data" / name / f"snap-{snapshot_id:06d}"
@@ -171,6 +185,36 @@ class SnapshotCatalog:
             sch["file_physical"] = {
                 p: m for p, m in sch["file_physical"].items() if p in live
             }
+        # manifest column stats (Iceberg file-skipping): min/max per NEW
+        # file-set for the requested columns, computed with one tiny agg
+        # over the just-written parquet; prior file-sets keep their stats
+        stats: dict = (
+            json.loads(json.dumps(prev.get("stats", {}))) if prev else {}
+        )
+        for name, cols in stats_cols.items():
+            if name not in written:
+                continue
+            df_w = list(tables[name].sparkSession.read.parquet(
+                written[name]
+            ).agg(
+                *[f(c).alias(f"{tag}_{c}")
+                  for c in cols
+                  for tag, f in (("min", F.min), ("max", F.max))]
+            ).collect())[0]
+            tstats = stats.setdefault(name, {})
+            tstats[written[name]] = {
+                c: [
+                    _stat_json(df_w[f"min_{c}"]),
+                    _stat_json(df_w[f"max_{c}"]),
+                ]
+                for c in cols
+            }
+        # drop stats for file-sets no longer live (replace tables)
+        for name in list(stats):
+            live = set(entry.get(name, []))
+            stats[name] = {
+                p: s for p, s in stats[name].items() if p in live
+            }
         self._publish(
             {
                 "snapshot_id": snapshot_id,
@@ -179,6 +223,7 @@ class SnapshotCatalog:
                 "state": state,
                 "schemas": schemas,
                 "deletes": dict(prev.get("deletes", {})) if prev else {},
+                "stats": stats,
             }
         )
 
@@ -327,6 +372,9 @@ class SnapshotCatalog:
                 "state": manifest["state"],
                 "schemas": manifest.get("schemas", {}),
                 "deletes": deletes,
+                # deletes only remove rows: recorded min/max remain valid
+                # conservative bounds, so stats carry forward unchanged
+                "stats": manifest.get("stats", {}),
             }
         )
         return {"snapshot_id": new_sid, "delete_file": str(path)}
@@ -352,6 +400,68 @@ class SnapshotCatalog:
         res = self.delete_where(spark, name, keys)
         res["deleted"] = n
         return res
+
+    # ------------------------------------------------- stats file skipping
+    def scan_table(
+        self,
+        spark: SparkSession,
+        name: str,
+        schema: T.StructType,
+        col: str,
+        lo=None,
+        hi=None,
+        snapshot_id: int | str | None = None,
+        stats_out: dict | None = None,
+    ) -> DataFrame | None:
+        """Range scan with MANIFEST-level file skipping (Iceberg file
+        skipping): file-sets whose recorded [min, max] for ``col``
+        (``commit(stats_cols=…)``) cannot intersect [lo, hi] are never
+        opened — the planner sees only surviving paths, so at corpus
+        scale a time/key-ranged read touches O(matching deltas) files
+        instead of every delta ever appended. The exact predicate is
+        re-applied to the surviving rows (stats only prune, rows decide).
+
+        Bounds are inclusive; None = unbounded on that side. File-sets
+        with no recorded stats (pre-stats commits, compactions, NULL-only
+        columns) are conservatively read. Live equality deletes still
+        apply — stats bounds stay valid because deletes only remove rows.
+        Pass ``stats_out={}`` to get {"candidates", "skipped"} back.
+        Returns None when the table is empty/absent (read_table's
+        contract)."""
+        sid = self._resolve(snapshot_id)
+        if sid is None:
+            return None
+        manifest = self.manifest(sid)
+        files = manifest["tables"].get(name, [])
+        tstats = manifest.get("stats", {}).get(name, {})
+
+        def may_match(path: str) -> bool:
+            rng = tstats.get(path, {}).get(col)
+            if not rng or rng[0] is None or rng[1] is None:
+                return True  # unknown stats: cannot skip
+            fmin, fmax = rng
+            if lo is not None and fmax < lo:
+                return False
+            if hi is not None and fmin > hi:
+                return False
+            return True
+
+        kept = [p for p in files if may_match(p)]
+        if stats_out is not None:
+            stats_out["candidates"] = len(files)
+            stats_out["skipped"] = len(files) - len(kept)
+        if not kept:
+            return None
+        deletes = manifest.get("deletes", {}).get(name, [])
+        if deletes:
+            df = self._read_with_deletes(spark, schema, kept, deletes)
+        else:
+            df = spark.read.schema(schema).parquet(*kept)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     def state(self, snapshot_id: int | str | None = None) -> dict | None:
         sid = self._resolve(snapshot_id)
@@ -506,6 +616,13 @@ class SnapshotCatalog:
                 "state": manifest["state"],
                 "schemas": schemas,
                 "deletes": manifest.get("deletes", {}),
+                # renames/drops may invalidate recorded column stats —
+                # drop the table's stats (conservative: no skipping)
+                "stats": {
+                    t: st
+                    for t, st in manifest.get("stats", {}).items()
+                    if t != name
+                },
             }
         )
         return {"snapshot_id": new_sid, "schema": entry["current"]}
@@ -755,6 +872,13 @@ class SnapshotCatalog:
                 "state": manifest["state"],
                 "schemas": schemas,
                 "deletes": deletes,
+                # the rewrite replaces every file-set the stats describe;
+                # re-register stats on the next stats_cols commit
+                "stats": {
+                    t: st
+                    for t, st in manifest.get("stats", {}).items()
+                    if t != name
+                },
             }
         )
         return {

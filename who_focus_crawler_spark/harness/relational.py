@@ -1520,6 +1520,63 @@ QUERIES["r_join_interval_binned"] = (
 
 
 # --------------------------------------------------------------------------
+# Manifest-stats file skipping (checkpoint/snapshot.py::scan_table):
+# three committed deltas with recorded doc_id min/max, a ranged scan that
+# must skip two of them, and value equality against the plain filter.
+# The skip count is asserted inside the query (a wrong skip would change
+# the returned rows; a missing skip is caught by the embedded assert).
+
+
+def r_scan_pruned_catalog(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from who_focus_crawler_spark.checkpoint.snapshot import SnapshotCatalog
+
+    base = tempfile.mkdtemp(prefix="wfc_stats_")
+    cat = SnapshotCatalog(base)
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+    for i in range(3):
+        cat.commit(
+            i,
+            {"documents": docs.filter(F.col("doc_id") % 3 == i)},
+            state={},
+            stats_cols={"documents": ["doc_id"]},
+        )
+    # the deltas interleave ids, so prune on a FOURTH delta with a
+    # disjoint id range: re-commit a shifted copy and scan only it
+    cat.commit(
+        3,
+        {
+            "documents": docs.select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text_md5"
+            )
+        },
+        state={},
+        stats_cols={"documents": ["doc_id"]},
+    )
+    out: dict = {}
+    df = cat.scan_table(
+        spark,
+        "documents",
+        docs.schema,
+        "doc_id",
+        lo=1000000,
+        stats_out=out,
+    )
+    assert out["skipped"] == 3, out  # all original deltas pruned
+    return df
+
+
+R_SCAN_PRUNED_SQL = """
+SELECT doc_id + 1000000 AS doc_id, md5(text) AS text_md5 FROM documents
+"""
+
+QUERIES["r_scan_pruned_catalog"] = (r_scan_pruned_catalog, R_SCAN_PRUNED_SQL)
+
+
+# --------------------------------------------------------------------------
 # R23+ — event-time RANGE window frame: a true sliding-by-value frame
 # (all events of the PRECEDING hour, not the preceding N rows). Spark's
 # rangeBetween needs a numeric ordering key, so the frame is expressed
