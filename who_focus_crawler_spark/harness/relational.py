@@ -1616,3 +1616,77 @@ WINDOW w AS (
 """
 
 QUERIES["r_win_range_interval"] = (r_win_range_interval, R_WIN_RANGE_INTERVAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Exact distinct counting via bitmap aggregates (Spark's bitmap_* family):
+# the two-level bucket/or pattern that replaces a full distinct shuffle
+# with fixed-size bitmap blobs — per (group, bucket) construct, then sum
+# of exact bit counts. Oracle = plain COUNT(DISTINCT).
+
+
+def r_agg_bitmap(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    per_bucket = (
+        li.groupBy(
+            "l_returnflag",
+            F.bitmap_bucket_number(F.col("l_partkey")).alias("_bkt"),
+        )
+        .agg(
+            F.bitmap_count(
+                F.bitmap_construct_agg(
+                    F.bitmap_bit_position(F.col("l_partkey"))
+                )
+            ).alias("_cnt")
+        )
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum("_cnt").alias("n_distinct_parts")
+    )
+
+
+R_AGG_BITMAP_SQL = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+QUERIES["r_agg_bitmap"] = (r_agg_bitmap, R_AGG_BITMAP_SQL)
+
+
+# --------------------------------------------------------------------------
+# VARIANT (Spark 4 semi-structured type): parse_json into a variant,
+# typed variant_get extraction, NULL-safe try_variant_get on a missing
+# path. Oracle = DuckDB JSON extraction of the same fields.
+
+
+def r_variant(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events").withColumn(
+        "_v", F.parse_json(F.col("props"))
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(F.col("_v"), "$.k", "long").alias("k"),
+            F.try_variant_get(F.col("_v"), "$.missing", "long").alias(
+                "absent"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("absent").alias("n_absent"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+R_VARIANT_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       0 AS n_absent,
+       count(*) AS n_rows
+FROM events GROUP BY event_type
+"""
+
+QUERIES["r_variant"] = (r_variant, R_VARIANT_SQL)
