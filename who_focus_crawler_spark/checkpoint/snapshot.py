@@ -108,6 +108,7 @@ class SnapshotCatalog:
         state: dict,
         num_files: int = 1,
         stats_cols: dict[str, list[str]] | None = None,
+        branch: str | None = None,
     ) -> None:
         """Write each table's delta/replacement, then atomically publish.
 
@@ -118,8 +119,35 @@ class SnapshotCatalog:
         is the only manifest guaranteed to exist — and it already points
         at the compacted file lists, so a resumed crawl builds on the
         rewrite instead of the superseded per-batch files.
+
+        ``branch``: commit on a named branch instead of main — the base
+        is the branch tip, the branch ref advances, and HEAD does NOT
+        move (main readers see nothing until `fast_forward_main`).
+        Prefer :meth:`commit_to_branch`, which also allocates a
+        collision-free snapshot id.
         """
-        head = self.head()
+        if self._manifest_path(snapshot_id).exists():
+            # a manifest may exist here ONLY as the orphan of a crash
+            # between manifest write and HEAD swap — rewriting that is
+            # exactly the recovery path. A reachable snapshot (HEAD or
+            # any ref/branch) is immutable.
+            h = self.head()
+            published = (h is not None and snapshot_id <= h) or (
+                snapshot_id in set(self.refs().values())
+            )
+            if published:
+                raise ValueError(
+                    f"commit: snapshot {snapshot_id} is published — ids are "
+                    "immutable; allocate with _next_sid()/commit_to_branch()"
+                )
+        if branch is not None:
+            head = self.ref(branch)
+            if head is None:
+                raise ValueError(
+                    f"commit: unknown branch {branch!r} — create_branch first"
+                )
+        else:
+            head = self.head()
         if head is not None:
             prev = self.manifest(head)
         else:
@@ -215,36 +243,47 @@ class SnapshotCatalog:
             stats[name] = {
                 p: s for p, s in stats[name].items() if p in live
             }
-        self._publish(
-            {
-                "snapshot_id": snapshot_id,
-                "committed_at": time.time(),
-                "tables": entry,
-                "state": state,
-                "schemas": schemas,
-                "deletes": dict(prev.get("deletes", {})) if prev else {},
-                "stats": stats,
-            }
-        )
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "committed_at": time.time(),
+            "tables": entry,
+            "state": state,
+            "schemas": schemas,
+            "deletes": dict(prev.get("deletes", {})) if prev else {},
+            "stats": stats,
+            "parent": head,
+        }
+        if branch is not None:
+            # manifest becomes durable first, then the branch ref swings —
+            # same crash discipline as the HEAD publish, main untouched
+            self._write_manifest(manifest)
+            self.set_ref(branch, snapshot_id)
+        else:
+            self._publish(manifest)
 
-    def _publish(self, manifest: dict) -> None:
-        """Durably write a manifest, then atomically swap HEAD to it —
-        the shared publish point for commit() and compact_table()."""
-        snapshot_id = manifest["snapshot_id"]
-        mp = self._manifest_path(snapshot_id)
+    def _write_manifest(self, manifest: dict) -> None:
+        mp = self._manifest_path(manifest["snapshot_id"])
         tmp = mp.with_suffix(".tmp")
         with open(tmp, "w") as f:
             f.write(json.dumps(manifest))
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, mp)
-        # atomic HEAD swap — the publish point
+
+    def _swap_head(self, snapshot_id: int) -> None:
         htmp = self._head_path.with_suffix(".tmp")
         with open(htmp, "w") as f:
             f.write(str(snapshot_id))
             f.flush()
             os.fsync(f.fileno())
         os.replace(htmp, self._head_path)
+
+    def _publish(self, manifest: dict) -> None:
+        """Durably write a manifest, then atomically swap HEAD to it —
+        the shared publish point for commit() and compact_table()."""
+        self._write_manifest(manifest)
+        # atomic HEAD swap — the publish point
+        self._swap_head(manifest["snapshot_id"])
 
     # ---------------------------------------------------------------- read
     def read_table(
@@ -375,6 +414,7 @@ class SnapshotCatalog:
                 # deletes only remove rows: recorded min/max remain valid
                 # conservative bounds, so stats carry forward unchanged
                 "stats": manifest.get("stats", {}),
+                "parent": head,
             }
         )
         return {"snapshot_id": new_sid, "delete_file": str(path)}
@@ -520,6 +560,79 @@ class SnapshotCatalog:
         except FileNotFoundError:
             return False
 
+    # ------------------------------------------------------------- branches
+    # Iceberg-style branches = refs that ADVANCE on commit. The flagship
+    # workflow is write-audit-publish (WAP): stage crawl/corpus deltas on
+    # a branch (main readers see nothing), validate the branch snapshot
+    # through the ordinary read path (read_table/scan_table take the
+    # branch name anywhere they take a snapshot id), then atomically
+    # fast-forward main — one HEAD swap publishes the whole audited
+    # chain, or drop_ref abandons it without a trace on main.
+
+    def _next_sid(self) -> int:
+        """Allocate a snapshot id no existing manifest/ref/HEAD uses."""
+        ids = [
+            int(p.stem.split("-")[1])
+            for p in self.root.glob("manifest-*.json")
+        ]
+        h = self.head()
+        if h is not None:
+            ids.append(h)
+        ids.extend(self.refs().values())
+        return 1 + max(ids, default=-1)
+
+    def create_branch(self, name: str, from_snapshot: int | None = None) -> int:
+        """Branch off HEAD (or an explicit snapshot). Refuses to clobber
+        an existing ref — branches move only via their own commits."""
+        if self.ref(name) is not None:
+            raise ValueError(f"create_branch: ref {name!r} already exists")
+        return self.set_ref(name, from_snapshot)
+
+    def commit_to_branch(
+        self,
+        branch: str,
+        tables: dict[str, DataFrame],
+        state: dict,
+        num_files: int = 1,
+        stats_cols: dict[str, list[str]] | None = None,
+    ) -> int:
+        """Stage a commit on ``branch``: base = branch tip, snapshot id
+        auto-allocated, branch ref advances, HEAD untouched."""
+        sid = self._next_sid()
+        self.commit(
+            sid, tables, state,
+            num_files=num_files, stats_cols=stats_cols, branch=branch,
+        )
+        return sid
+
+    def _is_ancestor(self, ancestor: int, tip: int) -> bool:
+        cur: int | None = tip
+        while cur is not None:
+            if cur == ancestor:
+                return True
+            m = self.manifest(cur) if self._manifest_path(cur).exists() else {}
+            cur = m.get("parent")
+        return False
+
+    def fast_forward_main(self, branch: str, drop_branch: bool = False) -> int:
+        """Publish an audited branch: if HEAD is an ancestor of the
+        branch tip (pure fast-forward — no divergence), swap HEAD to the
+        tip atomically. Diverged branches are refused (rebase by
+        re-staging on a fresh branch; the shim does not merge)."""
+        tip = self.ref(branch)
+        if tip is None:
+            raise ValueError(f"fast_forward_main: unknown branch {branch!r}")
+        h = self.head()
+        if h is not None and not self._is_ancestor(h, tip):
+            raise ValueError(
+                f"fast_forward_main: main ({h}) is not an ancestor of "
+                f"{branch!r} tip ({tip}) — the branch has diverged"
+            )
+        self._swap_head(tip)
+        if drop_branch:
+            self.drop_ref(branch)
+        return tip
+
     def _resolve(self, snapshot_id: int | str | None) -> int | None:
         """Snapshot id, ref name, or None (= HEAD) → snapshot id."""
         if snapshot_id is None:
@@ -623,6 +736,7 @@ class SnapshotCatalog:
                     for t, st in manifest.get("stats", {}).items()
                     if t != name
                 },
+                "parent": head,
             }
         )
         return {"snapshot_id": new_sid, "schema": entry["current"]}
@@ -879,6 +993,7 @@ class SnapshotCatalog:
                     for t, st in manifest.get("stats", {}).items()
                     if t != name
                 },
+                "parent": head,
             }
         )
         return {
