@@ -1577,6 +1577,46 @@ QUERIES["r_scan_pruned_catalog"] = (r_scan_pruned_catalog, R_SCAN_PRUNED_SQL)
 
 
 # --------------------------------------------------------------------------
+# Branch write-audit-publish (checkpoint/snapshot.py): half the corpus
+# lands on main, the other half is STAGED on a branch (in-query asserts
+# pin main's isolation), then fast-forward publishes atomically and the
+# final read must equal the whole corpus.
+
+
+def r_branch_wap(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from who_focus_crawler_spark.checkpoint.snapshot import SnapshotCatalog
+
+    base = tempfile.mkdtemp(prefix="wfc_wap_")
+    cat = SnapshotCatalog(base)
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+    cat.commit(0, {"documents": docs.filter(F.col("doc_id") % 2 == 0)}, state={})
+    cat.create_branch("audit")
+    cat.commit_to_branch(
+        "audit", {"documents": docs.filter(F.col("doc_id") % 2 == 1)}, state={}
+    )
+    # audit gate: main must still be the even half while the branch stages
+    assert cat.head() == 0, cat.head()
+    n_main = cat.read_table(spark, "documents", docs.schema).count()
+    n_branch = cat.read_table(
+        spark, "documents", docs.schema, snapshot_id="audit"
+    ).count()
+    assert n_main < n_branch, (n_main, n_branch)
+    cat.fast_forward_main("audit", drop_branch=True)
+    return cat.read_table(spark, "documents", docs.schema)
+
+
+R_BRANCH_WAP_SQL = """
+SELECT doc_id, md5(text) AS text_md5 FROM documents
+"""
+
+QUERIES["r_branch_wap"] = (r_branch_wap, R_BRANCH_WAP_SQL)
+
+
+# --------------------------------------------------------------------------
 # R23+ — event-time RANGE window frame: a true sliding-by-value frame
 # (all events of the PRECEDING hour, not the preceding N rows). Spark's
 # rangeBetween needs a numeric ordering key, so the frame is expressed
