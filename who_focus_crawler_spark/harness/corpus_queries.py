@@ -996,6 +996,80 @@ QUERIES["d_semdedup"] = (d_semdedup, _semdedup_sql())
 
 
 # --------------------------------------------------------------------------
+# Contrastive pair mining (corpus/contrastive.py — DPR/ANCE shape):
+# same-cluster duplicates as positives, md5-ranked same-cluster far
+# pairs as hard negatives, over the SemDeDup centroids. Thresholds are
+# tuned to the synthetic random embeddings (real corpora: 0.95 / 0.5).
+
+_CT_POS, _CT_NEG, _CT_NNEG = 0.35, 0.0, 3
+
+
+def d_contrastive(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.contrastive import contrastive_pairs
+
+    return contrastive_pairs(
+        t(spark, sf, "embeddings"),
+        _sd_centroids(),
+        pos_tau=_CT_POS,
+        neg_tau=_CT_NEG,
+        n_neg=_CT_NNEG,
+    )
+
+
+def _contrastive_sql() -> str:
+    cos = (
+        "list_aggregate(list_transform(a.embedding,"
+        " (x, i) -> x::DOUBLE * b.embedding[i]::DOUBLE), 'sum')"
+        " / greatest("
+        "sqrt(list_aggregate(list_transform(a.embedding,"
+        " x -> x::DOUBLE * x::DOUBLE), 'sum')) *"
+        " sqrt(list_aggregate(list_transform(b.embedding,"
+        " x -> x::DOUBLE * x::DOUBLE), 'sum')), 1e-12)"
+    )
+    return f"""
+WITH cents AS (
+  SELECT c, list_transform(generate_series(0, {_SD_DIM - 1}), t ->
+    (CAST(concat('0x', substring(md5('semdedup|0|' || c || '|' || t),
+          1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0) AS w
+  FROM generate_series(0, {_SD_K - 1}) g(c)
+), dist AS (
+  SELECT e.vec_id, e.embedding, c.c,
+    round(list_aggregate(list_transform(generate_series(1, {_SD_DIM}), i ->
+      (CAST(e.embedding[i] AS DOUBLE) - c.w[i])
+      * (CAST(e.embedding[i] AS DOUBLE) - c.w[i])), 'sum'), 9) AS d
+  FROM embeddings e, cents c
+), asg AS (
+  SELECT vec_id, embedding, c AS cluster FROM (
+    SELECT vec_id, embedding, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM dist
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS anchor, b.vec_id AS cand,
+         round({cos}, 6) AS cosine_sim
+  FROM asg a JOIN asg b
+    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+), pos AS (
+  SELECT anchor, cand, 1 AS label, cosine_sim
+  FROM pairs WHERE cosine_sim >= {_CT_POS}
+), neg AS (
+  SELECT anchor, cand, 0 AS label, cosine_sim FROM (
+    SELECT anchor, cand, cosine_sim,
+           row_number() OVER (
+             PARTITION BY anchor
+             ORDER BY md5(concat_ws('|', 'contrastive', anchor, cand))
+           ) AS rk
+    FROM pairs WHERE cosine_sim <= {_CT_NEG}
+  ) WHERE rk <= {_CT_NNEG}
+)
+SELECT * FROM pos UNION ALL SELECT * FROM neg
+"""
+
+
+QUERIES["d_contrastive"] = (d_contrastive, _contrastive_sql())
+
+
+# --------------------------------------------------------------------------
 # Near-dup cluster formation over the MinHash pair graph (corpus/clusters.py)
 # — fixed-round min-label propagation so DuckDB reproduces the exact labels
 
