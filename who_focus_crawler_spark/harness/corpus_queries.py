@@ -996,6 +996,54 @@ QUERIES["d_semdedup"] = (d_semdedup, _semdedup_sql())
 
 
 # --------------------------------------------------------------------------
+# MLM training-example generation (corpus/mlm.py — BERT 15%/80-10-10
+# masking with md5-derived draws): one row per selected position with
+# the applied corruption; value-exact because every "random" choice is
+# a hash of (seed, doc_id, pos).
+
+
+def d_mlm_examples(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.mlm import mlm_examples
+
+    return mlm_examples(t(spark, sf, "documents"))
+
+
+_MLM_H = (
+    "CAST(concat('0x', substring(md5('mlm:{tag}|' || doc_id || '|' || pos),"
+    " 1, 15)) AS BIGINT)"
+)
+
+D_MLM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS tk FROM documents
+), ex AS (
+  SELECT doc_id, tk, u.pos AS pos, u.original AS original FROM (
+    SELECT doc_id, tk,
+           unnest(list_transform(generate_series(1, len(tk)), i ->
+             struct_pack(pos := CAST(i AS BIGINT), original := tk[i]))) AS u
+    FROM toks
+  )
+), sel AS (
+  SELECT doc_id, tk, pos, original,
+         {_MLM_H.format(tag='act')} % 10 AS act,
+         {_MLM_H.format(tag='tok')} % greatest(len(tk), 1) + 1 AS rnd
+  FROM ex
+  WHERE {_MLM_H.format(tag='sel')} % 1000 < 150
+)
+SELECT doc_id, pos, original,
+       CASE WHEN act < 8 THEN '[MASK]'
+            WHEN act = 8 THEN tk[CAST(rnd AS INT)]
+            ELSE original END AS replacement,
+       CASE WHEN act < 8 THEN 'mask'
+            WHEN act = 8 THEN 'random'
+            ELSE 'keep' END AS action
+FROM sel
+"""
+
+QUERIES["d_mlm_examples"] = (d_mlm_examples, D_MLM_SQL)
+
+
+# --------------------------------------------------------------------------
 # Contrastive pair mining (corpus/contrastive.py — DPR/ANCE shape):
 # same-cluster duplicates as positives, md5-ranked same-cluster far
 # pairs as hard negatives, over the SemDeDup centroids. Thresholds are
