@@ -134,3 +134,48 @@ def cdc_doc_coverage(chunks: DataFrame) -> DataFrame:
             F.col("dup_tokens") * 1000 / F.greatest(F.col("total_tokens"), F.lit(1))
         ).cast("long"),
     )
+
+
+def sliding_windows(
+    docs: DataFrame,
+    size: int = 256,
+    stride: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size overlapping token windows — the retrieval/RAG chunking
+    counterpart to CDC's dedup chunking: every document becomes
+    ceil(max(n - size, 0) / stride) + 1 windows of ``size`` tokens
+    stepping by ``stride`` (the final window is the shorter tail; a
+    document shorter than ``size`` yields exactly one window).
+
+    Pure per-row native array work (sequence → transform → slice) with a
+    posexplode — no shuffle, no Python; window text re-joins with single
+    spaces under the frozen tokenizer. Output: (doc_id, window_idx,
+    window_text, n_tokens, start_pos) with window_idx/start_pos 0-based.
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError(f"size/stride must be positive, got {size}/{stride}")
+    tk = tokens(F.col(text_col))
+    n = F.size(tk)
+    n_windows = (
+        F.floor(
+            (F.greatest(n - size, F.lit(0)) + stride - 1) / stride
+        ).cast("int")
+        + 1
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda w: F.slice(tk, w * stride + 1, size),
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(wins).alias("window_idx", "_wtk"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("window_idx").cast("long").alias("window_idx"),
+        F.array_join("_wtk", " ").alias("window_text"),
+        F.size("_wtk").cast("long").alias("n_tokens"),
+        (F.col("window_idx") * stride).cast("long").alias("start_pos"),
+    )

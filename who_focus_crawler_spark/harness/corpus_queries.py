@@ -996,6 +996,87 @@ QUERIES["d_semdedup"] = (d_semdedup, _semdedup_sql())
 
 
 # --------------------------------------------------------------------------
+# Sliding-window chunking (corpus/chunks.py::sliding_windows — the
+# retrieval/RAG splitter): fixed-size overlapping token windows, pure
+# per-row array work. Oracle replays the identical slice arithmetic.
+
+_SW_SIZE, _SW_STRIDE = 24, 16
+
+
+def d_sliding_windows(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.chunks import sliding_windows
+
+    return sliding_windows(
+        t(spark, sf, "documents"), size=_SW_SIZE, stride=_SW_STRIDE
+    )
+
+
+D_SLIDING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS tk FROM documents
+), wins AS (
+  SELECT doc_id, tk,
+         generate_series(0,
+           CAST(ceil(greatest(len(tk) - {_SW_SIZE}, 0)
+                     / {_SW_STRIDE}.0) AS BIGINT)) AS widx
+  FROM toks
+)
+SELECT doc_id, CAST(w AS BIGINT) AS window_idx,
+       array_to_string(
+         list_slice(tk, w * {_SW_STRIDE} + 1,
+                    w * {_SW_STRIDE} + {_SW_SIZE}), ' ') AS window_text,
+       CAST(len(list_slice(tk, w * {_SW_STRIDE} + 1,
+                           w * {_SW_STRIDE} + {_SW_SIZE})) AS BIGINT)
+         AS n_tokens,
+       CAST(w * {_SW_STRIDE} AS BIGINT) AS start_pos
+FROM (SELECT doc_id, tk, unnest(widx) AS w FROM wins)
+"""
+
+QUERIES["d_sliding_windows"] = (d_sliding_windows, D_SLIDING_SQL)
+
+
+# --------------------------------------------------------------------------
+# Cross-source quality calibration (corpus/calibrate.py — CCNet-style
+# per-source percentile bucketing): integer permille percent-rank of the
+# verified quality score within each source; the running-below sum runs
+# over the tiny per-(source, quality) aggregate, never per-row.
+
+
+def d_quality_calibrate(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.calibrate import quality_percentile
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", "source", X.quality_score(F.col("text")).alias("quality")
+    )
+    return quality_percentile(d)
+
+
+D_QUALITY_CAL_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+         len({SQL_TOKS}) AS n_tokens,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+         len(list_filter({SQL_TOKS}, x -> x IN ({_SW}))) AS n_stop
+  FROM documents
+), q AS (
+  SELECT doc_id, source,
+         CAST(least(n_tokens, 100) * 5
+              + least((n_stop * 1500) // greatest(n_tokens, 1), 300)
+              + greatest(200 - (n_punct * 2000) // greatest(n_chars, 1), 0)
+              AS BIGINT) AS quality
+  FROM base
+)
+SELECT source, quality, doc_id,
+       CAST((rank() OVER (PARTITION BY source ORDER BY quality) - 1) * 1000
+            // greatest(count(*) OVER (PARTITION BY source) - 1, 1)
+            AS BIGINT) AS quality_permille
+FROM q
+"""
+
+QUERIES["d_quality_calibrate"] = (d_quality_calibrate, D_QUALITY_CAL_SQL)
+
+
+# --------------------------------------------------------------------------
 # MLM training-example generation (corpus/mlm.py — BERT 15%/80-10-10
 # masking with md5-derived draws): one row per selected position with
 # the applied corruption; value-exact because every "random" choice is
