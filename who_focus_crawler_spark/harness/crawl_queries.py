@@ -1924,3 +1924,79 @@ FROM r, lo
 """
 
 QUERIES["c_budget_apportion"] = (c_budget_apportion, C_BUDGET_APPORTION_SQL)
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (operators/hostrank.py::hits — Kleinberg 1999)
+# over the same legit+farm synthetic web as c_trust_spam: per round two
+# edge joins, exact L-infinity integer renormalization (decimal floor
+# division — DuckDB runs the identical quotient on HUGEINT).
+
+_HI_ITERS, _HI_SCALE = 6, 10**9
+
+
+def c_hits(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.hostrank import hits
+
+    return hits(_tr_edges(spark, sf), n_iters=_HI_ITERS, scale=_HI_SCALE)
+
+
+def _hits_sql() -> str:
+    norm = (
+        "CASE WHEN mx.m > 0 THEN"
+        " (CAST(coalesce(r.raw, 0) AS HUGEINT) * {scale}) // mx.m"
+        " ELSE 0 END"
+    )
+    a_step = """, ar{i} AS MATERIALIZED (
+  SELECT e.dst AS host, sum(h.hub_units) AS raw
+  FROM edges e JOIN h{prev} h ON e.src = h.host GROUP BY e.dst
+), a{i} AS MATERIALIZED (
+  SELECT v.host, CAST(""" + norm + """ AS BIGINT) AS auth_units
+  FROM nodes v
+  LEFT JOIN ar{i} r ON v.host = r.host
+  CROSS JOIN (SELECT coalesce(max(raw), 0) AS m FROM ar{i}) mx
+)"""
+    h_step = """, hr{i} AS MATERIALIZED (
+  SELECT e.src AS host, sum(a.auth_units) AS raw
+  FROM edges e JOIN a{i} a ON e.dst = a.host GROUP BY e.src
+), h{i} AS MATERIALIZED (
+  SELECT v.host, CAST(""" + norm + """ AS BIGINT) AS hub_units
+  FROM nodes v
+  LEFT JOIN hr{i} r ON v.host = r.host
+  CROSS JOIN (SELECT coalesce(max(raw), 0) AS m FROM hr{i}) mx
+)"""
+    sql = f"""
+WITH raw AS (
+  SELECT concat('h', CAST(o_custkey % 12 AS VARCHAR)) AS src,
+         concat('h', CAST(o_orderkey % 7 AS VARCHAR)) AS dst
+  FROM orders
+  UNION ALL
+  SELECT concat('s', CAST(o_orderkey % 5 AS VARCHAR)),
+         concat('s', CAST((o_orderkey + 1) % 5 AS VARCHAR))
+  FROM orders WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT concat('s', CAST(o_orderkey % 5 AS VARCHAR)),
+         concat('h', CAST(o_orderkey % 7 AS VARCHAR))
+  FROM orders WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT concat('h', CAST(o_custkey % 12 AS VARCHAR)),
+         concat('s', CAST(o_orderkey % 5 AS VARCHAR))
+  FROM orders WHERE o_orderkey % 101 = 0
+), edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+), nodes AS MATERIALIZED (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+), h0 AS (
+  SELECT host, CAST({_HI_SCALE} AS BIGINT) AS hub_units FROM nodes
+)"""
+    for i in range(1, _HI_ITERS + 1):
+        sql += a_step.format(i=i, prev=i - 1, scale=_HI_SCALE)
+        sql += h_step.format(i=i, scale=_HI_SCALE)
+    sql += f"""
+SELECT h.host, h.hub_units, a.auth_units
+FROM h{_HI_ITERS} h JOIN a{_HI_ITERS} a ON h.host = a.host
+"""
+    return sql
+
+
+QUERIES["c_hits"] = (c_hits, _hits_sql())

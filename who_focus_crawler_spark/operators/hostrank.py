@@ -210,3 +210,84 @@ def spam_mass(
             ).alias("spam_mass_permille"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    n_iters: int = 10,
+    scale: int = 10**9,
+    checkpoint_each: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) in integer
+    micro-units: per round, authority(v) = Σ hub over in-edges and
+    hub(v) = Σ authority over out-edges, each vector renormalized to
+    L∞ = ``scale`` by exact integer division (max via a 1-row broadcast
+    aggregate, no driver action). Deterministic and bit-identical across
+    engines/partitionings — the fixed-round CTE twin value-checks it.
+
+    A crawl scheduler reads the two sides differently: high-authority
+    hosts are fetch targets, high-hub hosts are frontier EXPANSION
+    targets (their link pages feed discovery). Per round: two edge joins
+    + two aggs, O(|edges|) each, same shape as host_rank.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    if checkpoint_each:
+        e = e.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
+    hubs = nodes.withColumn("hub_units", F.lit(scale).cast("long"))
+    auths = None
+    for _ in range(n_iters):
+        a_raw = (
+            e.join(hubs.select(F.col("host").alias("src"), "hub_units"), "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum("hub_units").alias("_raw"))
+        )
+        auths = _linf_normalize(nodes, a_raw, scale, "auth_units")
+        h_raw = (
+            e.join(
+                auths.select(F.col("host").alias("dst"), "auth_units"), "dst"
+            )
+            .groupBy(F.col("src").alias("host"))
+            .agg(F.sum("auth_units").alias("_raw"))
+        )
+        hubs = _linf_normalize(nodes, h_raw, scale, "hub_units")
+        if checkpoint_each:
+            hubs = hubs.localCheckpoint(eager=False)
+            auths = auths.localCheckpoint(eager=False)
+    return hubs.join(auths, "host").select(
+        "host",
+        F.col("hub_units").cast("long"),
+        F.col("auth_units").cast("long"),
+    )
+
+
+def _linf_normalize(nodes, raw, scale, out_col):
+    """(host, _raw) → every node with out_col = (_raw·scale) div max(_raw)
+    (0 for nodes with no mass; all-zero vectors stay zero).
+
+    _raw·scale can reach in_degree·scale² ≫ 2^63, so the floor quotient
+    is computed in DECIMAL(38,0): q = (num − num mod mx) / mx — the
+    division's true result is an exact integer, so the decimal divide
+    introduces no rounding (matches DuckDB's HUGEINT `//`)."""
+    mx = raw.agg(
+        F.coalesce(F.max("_raw"), F.lit(0)).cast("long").alias("_mx")
+    )
+    num = F.col("_r").cast("decimal(38,0)") * F.lit(scale)
+    q = ((num - num % F.col("_mx")) / F.col("_mx")).cast("long")
+    return (
+        nodes.join(raw, "host", "left")
+        .crossJoin(F.broadcast(mx))
+        .withColumn("_r", F.coalesce(F.col("_raw"), F.lit(0)).cast("long"))
+        .select(
+            "host",
+            F.when(F.col("_mx") > 0, q)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(out_col),
+        )
+    )
