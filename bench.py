@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     # metric unaffected)
     "d_dup_ngrams",
     "d_mixture_budget",
+    # session-3 ops
+    "d_semdedup",
+    "d_dsir_weights",
+    "d_contrastive",
+    "r_join_interval_binned",
 ]
 
 
