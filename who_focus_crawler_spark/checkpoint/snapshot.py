@@ -569,6 +569,14 @@ class SnapshotCatalog:
     # fast-forward main — one HEAD swap publishes the whole audited
     # chain, or drop_ref abandons it without a trace on main.
 
+    def next_snapshot_id(self) -> int:
+        """Public allocator for the next commit's snapshot id (alias of
+        `_next_sid`): the crawl loop and any external writer must use
+        this instead of assuming batch == snapshot id, because
+        maintenance operations (compaction, branch publishes) allocate
+        ids of their own and published ids are immutable."""
+        return self._next_sid()
+
     def _next_sid(self) -> int:
         """Allocate a snapshot id no existing manifest/ref/HEAD uses."""
         ids = [

@@ -218,3 +218,146 @@ def attach_media_with_magic(
         payload.alias("payload"),
         F.octet_length(payload).cast("long").alias("byte_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual image near-dup: 64-bit difference hash (dHash) over the
+# opaque payload, banded LSH pairing — the image tier of the dedup
+# pipeline (exact dedup catches byte-identical blobs; dHash catches
+# re-encoded / lightly-edited images whose perceptual content matches).
+#
+# The container has no image codecs, so the "grayscale 9x8 downsample"
+# is a deterministic byte-probe of the payload (evenly-spaced byte
+# values) rather than a real decode — the hash construction, banding,
+# and pair-join ARE the production shapes; swap `dhash_pixels` for a
+# codec-backed resize when codecs exist.
+#
+# Scale shape (same as SimHash, corpus/dedup.py): only (media_id, band,
+# value) rows ever shuffle; 4x16-bit bands make band-equality pairing
+# COMPLETE for Hamming distance <= 3 (pigeonhole: 4 mismatching bands
+# need >= 4 differing bits), and exact Hamming verification runs on the
+# candidate set only — never all pairs.
+
+DHASH_BANDS = 4
+DHASH_BAND_BITS = 16
+
+
+def dhash_pixels(payload: "F.Column") -> "F.Column":
+    """72 probe 'pixels' (the 9x8 grid): pixel i = byte value at the
+    evenly-spaced 1-based position 1 + floor(i*(len-1)/71). Native hex
+    probing — the blob never crosses to Python."""
+    h = F.hex(payload)
+    n = F.octet_length(payload)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(71)),
+        lambda i: F.conv(
+            h.substr(
+                (F.floor(i * (n - 1) / F.lit(71)) * 2 + 1).cast("int"), F.lit(2)
+            ),
+            16,
+            10,
+        ).cast("int"),
+    )
+
+
+def dhash_bands(payload: "F.Column") -> "F.Column":
+    """The 64-bit dHash as array<int> of 4 16-bit band values (band k
+    packs bits 16k..16k+15, little-endian). Bit (r, c) = 1 iff
+    pixel[r*9+c] > pixel[r*9+c+1] for r, c in 0..7 — the classic dHash
+    horizontal-gradient rule.
+
+    Single-evaluation structure (the corpus/dedup.py SimHash lesson:
+    Catalyst does not CSE heavy subtrees referenced inside higher-order
+    lambdas): the pixel array is evaluated twice (self + shift-by-one
+    zip), then ONE aggregate folds the 71 adjacent comparisons into the
+    4 band accumulators. zip_with pads the shorter slice with NULL and
+    j % 9 < 8 drops row-boundary comparisons, leaving exactly 64 bits."""
+    px = dhash_pixels(payload)
+    cmp_idx = F.zip_with(
+        F.zip_with(px, F.slice(px, 2, 71), lambda a, b: (a > b).cast("int")),
+        F.sequence(F.lit(0), F.lit(71)),
+        lambda g, j: F.struct(g.alias("g"), j.alias("j")),
+    )
+
+    def bitidx(e):  # grid (row = j div 9, col = j mod 9) -> bit r*8+c
+        return (e["j"] / 9).cast("int") * 8 + e["j"] % 9
+
+    return F.aggregate(
+        cmp_idx,
+        F.array_repeat(F.lit(0), DHASH_BANDS),
+        lambda acc, e: F.transform(
+            acc,
+            lambda a, k: a
+            + F.when(
+                (e["g"] == 1)
+                & (e["j"] % 9 < 8)
+                & (F.floor(bitidx(e) / DHASH_BAND_BITS).cast("int") == k),
+                F.pow(
+                    F.lit(2.0), (bitidx(e) % DHASH_BAND_BITS).cast("double")
+                ).cast("int"),
+            ).otherwise(F.lit(0)),
+        ),
+    )
+
+
+def dhash_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual near-dup pairs: (media_a, media_b, hamming) with
+    media_a < media_b and dHash Hamming distance <= max_hamming.
+
+    Complete for max_hamming <= 3 (band pigeonhole); larger thresholds
+    still return only true sub-threshold pairs but may miss some —
+    callers wanting completeness beyond 3 must raise DHASH_BANDS.
+    """
+    bands = media.select(
+        F.col(id_col).alias("media_id"), dhash_bands(F.col(payload_col)).alias("bands")
+    ).localCheckpoint(eager=False)  # 3 consumers: explode + 2 re-attaches
+    ex = bands.select("media_id", F.posexplode("bands").alias("k", "v"))
+    cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            bands.select(
+                F.col("media_id").alias("media_a"), F.col("bands").alias("_ba")
+            ),
+            "media_a",
+        )
+        .join(
+            bands.select(
+                F.col("media_id").alias("media_b"), F.col("bands").alias("_bb")
+            ),
+            "media_b",
+        )
+        .withColumn(
+            "hamming",
+            F.aggregate(
+                F.zip_with(
+                    "_ba",
+                    "_bb",
+                    lambda x, y: F.bit_count(
+                        x.cast("long").bitwiseXOR(y.cast("long"))
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )

@@ -1671,3 +1671,146 @@ def d_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["d_bpe_tokens"] = (d_bpe_tokens, None)
+
+
+# --------------------------------------------------------------------------
+# Perceptual image near-dup (dHash, corpus/multimodal.py): the media
+# table is documents' payload blobs plus a planted last-byte-edited
+# variant for every 5th doc, so sub-threshold pairs exist by
+# construction. Both engines compute the identical 72-probe pixel grid
+# from the payload BYTES (Spark: hex(payload); DuckDB: hex(encode(text))
+# — same utf-8 bytes), the 64-bit gradient hash, 4x16-bit band
+# candidates, and exact Hamming verification.
+
+
+def d_media_phash(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    base = d.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    var = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit("v"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode(
+            F.concat(
+                F.expr("substring(text, 1, length(text)-1)"), F.lit("~")
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    return MM.dhash_pairs(base.unionByName(var), max_hamming=3)
+
+
+D_MEDIA_PHASH_SQL = """
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+  UNION ALL
+  SELECT 'v' || CAST(doc_id AS VARCHAR),
+         hex(encode(substring(text, 1, length(text)-1) || '~')),
+         octet_length(encode(substring(text, 1, length(text)-1) || '~'))
+  FROM documents WHERE doc_id % 5 = 0
+),
+px AS (
+  SELECT media_id,
+         list_transform(generate_series(0,71), i ->
+           CAST(('0x' || substring(h, CAST((i*(n-1))//71 AS BIGINT)*2 + 1, 2))
+                AS INTEGER)) AS p
+  FROM m
+),
+bits AS (
+  SELECT media_id,
+         list_transform(generate_series(0,63), j ->
+           CASE WHEN p[(j//8)*9 + (j%8) + 1] > p[(j//8)*9 + (j%8) + 2]
+                THEN 1 ELSE 0 END) AS b
+  FROM px
+),
+bands AS (
+  SELECT media_id,
+         list_transform(generate_series(0,3), k ->
+           CAST(list_sum(list_transform(generate_series(0,15),
+                t -> b[k*16+t+1] * (1<<t))) AS INTEGER)) AS bd
+  FROM bits
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+  FROM bands a, bands b, generate_series(1,4) g(k)
+  WHERE a.media_id < b.media_id AND a.bd[g.k] = b.bd[g.k]
+),
+ham AS (
+  SELECT media_a, media_b,
+         CAST(list_sum(list_transform(generate_series(1,4), k ->
+           bit_count(xor(CAST(a.bd[k] AS BIGINT), CAST(b.bd[k] AS BIGINT)))))
+           AS BIGINT) AS hamming
+  FROM cand
+  JOIN bands a ON a.media_id = media_a
+  JOIN bands b ON b.media_id = media_b
+)
+SELECT media_a, media_b, hamming FROM ham WHERE hamming <= 3
+"""
+
+QUERIES["d_media_phash"] = (d_media_phash, D_MEDIA_PHASH_SQL)
+
+
+# --------------------------------------------------------------------------
+# Exact set-similarity join (AllPairs prefix filtering, corpus/setjoin.py):
+# every pair with 3-shingle Jaccard >= 0.8, exact — the complete-recall
+# complement of MinHash-LSH. The oracle replays the identical frozen
+# pipeline (frequency-ordered sets, prefix+length filter, integer
+# verification); completeness itself is pinned by the brute-force
+# equivalence unit test.
+
+from who_focus_crawler_spark.corpus.setjoin import jaccard_similarity_join
+
+
+def d_jaccard_join(spark: SparkSession, sf: str) -> DataFrame:
+    return jaccard_similarity_join(
+        t(spark, sf, "documents"), tau_permille=800, shingle_k=3
+    )
+
+
+_JJ_SH = _sql_shingles(SQL_TOKS, 3)
+
+D_JACCARD_JOIN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_JJ_SH} AS tk FROM documents
+),
+freq AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok
+),
+ordered AS (
+  SELECT doc_id,
+         list_transform(list_sort(list(struct_pack(c := c, t := tok))),
+                        s -> s.t) AS tk,
+         count(*) AS n
+  FROM (SELECT doc_id, unnest(tk) AS tok2 FROM toks) e
+  JOIN freq ON freq.tok = e.tok2
+  GROUP BY doc_id
+),
+pre AS (
+  SELECT doc_id, n,
+         list_slice(tk, 1, CAST(n - (((800 * n) + 999) // 1000) + 1 AS BIGINT))
+           AS pref
+  FROM ordered
+),
+ex AS (SELECT doc_id, n, unnest(pref) AS tok FROM pre),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+   AND b.n * 1000 >= 800 * a.n AND a.n * 1000 >= 800 * b.n
+),
+res AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(oa.tk, ob.tk)) AS inter,
+         len(oa.tk) + len(ob.tk) - len(list_intersect(oa.tk, ob.tk)) AS uni
+  FROM cand
+  JOIN ordered oa ON oa.doc_id = doc_a
+  JOIN ordered ob ON ob.doc_id = doc_b
+)
+SELECT doc_a, doc_b, CAST((inter * 1000000) // uni AS BIGINT) AS jaccard_ppm
+FROM res WHERE inter * 1000 >= 800 * uni
+"""
+
+QUERIES["d_jaccard_join"] = (d_jaccard_join, D_JACCARD_JOIN_SQL)

@@ -1730,3 +1730,49 @@ FROM events GROUP BY event_type
 """
 
 QUERIES["r_variant"] = (r_variant, R_VARIANT_SQL)
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): bounded BFS reachability over a
+# deterministic synthetic link graph (out-degree 2 per node, derived from
+# customer keys). Both engines run the structurally identical recursive
+# query — this pins Spark's native recursive-CTE execution (UnionLoop)
+# against DuckDB's, including path multiplicities (n_paths counts every
+# distinct derivation under UNION ALL, not just reachability).
+#
+# Scale shape: each recursion step is one hash join frontier×edges — the
+# same per-round cost as the iterative operators (hostrank, redirects);
+# the depth bound caps rounds, and UNION ALL avoids a per-round global
+# dedup shuffle (min-depth/dedup happens once, in the final aggregate).
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE
+nodes AS (SELECT c_custkey AS node FROM {customer}),
+edges AS (
+  SELECT node AS src, (node * 7 + 3) % (SELECT count(*) FROM nodes) AS dst
+  FROM nodes
+  UNION ALL
+  SELECT node, (node * 11 + 5) % (SELECT count(*) FROM nodes) FROM nodes
+),
+reach(node, depth) AS (
+  SELECT node, 0 FROM nodes WHERE node % 100 = 0
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.depth < 5
+)
+SELECT node, CAST(min(depth) AS BIGINT) AS min_depth,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY node
+"""
+
+
+def r_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    t(spark, sf, "customer").createOrReplaceTempView("_rec_customer")
+    return spark.sql(_RECURSIVE_SQL.format(customer="_rec_customer"))
+
+
+QUERIES["r_recursive_cte"] = (
+    r_recursive_cte,
+    _RECURSIVE_SQL.format(customer="customer"),
+)

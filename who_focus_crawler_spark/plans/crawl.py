@@ -188,6 +188,12 @@ def run_batch(
     st = catalog.state()
     assert st is not None and not st["finished"]
     batch, base_seq = st["next_batch"], st["next_seq"]
+    # The snapshot id is ALLOCATED, not the batch number: in the plain
+    # loop they coincide (bootstrap=0, batches 1..n), but between-run
+    # maintenance (compact_table/expire_snapshots, branch publishes)
+    # creates snapshots of its own, and published ids are immutable —
+    # a resumed crawl must commit past them.
+    sid = catalog.next_snapshot_id()
     P = cfg.num_buckets
 
     frontier = catalog.read_table(spark, "frontier", schemas.FRONTIER)
@@ -226,7 +232,7 @@ def run_batch(
     _mark("politeness+count")
     if n_selected == 0:
         catalog.commit(
-            batch,
+            sid,
             {t: None for t in ("crawl_order", "documents", "metrics", "url_seen")}
             | {
                 "frontier": frontier,
@@ -353,7 +359,7 @@ def run_batch(
 
     _mark("plan_rest")
     catalog.commit(
-        batch,
+        sid,
         {
             "frontier": frontier2,
             "url_seen": url_seen_delta,  # append table: delta only
