@@ -163,3 +163,61 @@ def stratified_sample(
     default_lit = F.lit(fraction_threshold(default_fraction))
     threshold = default_lit if thr is None else thr.otherwise(default_lit)
     return df.filter(sample_bucket(F.col(key_col), seed) < threshold)
+
+
+def epoch_order(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    epoch: int = 0,
+    n_shards: int = 8,
+    seed: str = "epoch",
+    curriculum: list[Column] | None = None,
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle + shard layout — the data
+    loader's "shuffle each epoch" reproducibly, as a pure function of
+    (seed, epoch, key).
+
+    Every row gets an order key md5-derived from (seed, epoch, key), a
+    shard in [0, n_shards) (order key mod n_shards — balanced in
+    expectation, and a shard's rows stay spread across input partitions
+    so no reader hot-spots one file), and ``pos`` = its 0-based position
+    within the shard under (curriculum..., order key, key) ordering.
+    Different epochs draw independent permutations; re-running an epoch
+    reproduces it exactly on any partitioning.
+
+    ``curriculum`` optionally prepends sort expressions (e.g. a
+    difficulty/quality stage) so each shard reads easy→hard while the
+    hash key still shuffles within a stage — curriculum learning
+    without losing reproducibility.
+
+    Scale shape: the per-shard rank runs on the two-phase distributed
+    sequencer (operators/prefix.py) — never a PARTITION BY shard window
+    funnelling n/n_shards rows through one task.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from who_focus_crawler_spark.operators.prefix import grouped_running_sum
+
+    tagged = F.concat(
+        F.lit(seed),
+        F.lit(":"),
+        F.lit(int(epoch)).cast("string"),
+        F.lit(":"),
+        F.col(key_col).cast("string"),
+    )
+    okey = md5_hash60(tagged)
+    staged = df.withColumn("_eo_key", okey).withColumn(
+        "shard", (F.col("_eo_key") % F.lit(n_shards)).cast("int")
+    )
+    order = list(curriculum or []) + [F.col("_eo_key"), F.col(key_col)]
+    ranked = grouped_running_sum(
+        staged.withColumn("_eo_one", F.lit(1)),
+        group_cols=["shard"],
+        order=order,
+        value_col="_eo_one",
+        out_col="_eo_rank",
+    )
+    return (
+        ranked.withColumn("pos", (F.col("_eo_rank") - 1).cast("long"))
+        .drop("_eo_key", "_eo_one", "_eo_rank")
+    )

@@ -649,3 +649,40 @@ FROM packed p JOIN stats s USING (source, pack_id)
 """
 
 QUERIES["d_pack_assign"] = (d_pack_assign, D_PACK_ASSIGN_SQL)
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle (corpus/sampling.py::epoch_order): the data
+# loader's per-epoch global permutation — shard + in-shard position as a
+# pure function of (seed, epoch, doc_id). The oracle reproduces the md5
+# order key and ranks with a plain window; the engine runs the two-phase
+# distributed sequencer — value equality proves the distributed rank
+# reproduces the naive total order exactly.
+
+
+def _sql_epoch_key(seed: str, epoch: int, key: str) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5(concat('{seed}', ':', '{epoch}', "
+        f"':', CAST({key} AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+
+
+def d_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return SP.epoch_order(d, "doc_id", epoch=3, n_shards=8, seed="ep").select(
+        "doc_id", "shard", "pos"
+    )
+
+
+D_EPOCH_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, {_sql_epoch_key('ep', 3, 'doc_id')} AS okey
+  FROM documents
+)
+SELECT doc_id, CAST(okey % 8 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY okey % 8 ORDER BY okey, doc_id)
+            - 1 AS BIGINT) AS pos
+FROM keyed
+"""
+
+QUERIES["d_epoch_shuffle"] = (d_epoch_shuffle, D_EPOCH_SHUFFLE_SQL)
