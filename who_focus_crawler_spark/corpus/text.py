@@ -15,7 +15,7 @@ Frozen conventions (shared with the oracle SQL):
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_RE = "[a-z0-9]+"
@@ -286,3 +286,151 @@ def strip_accents(text: Column) -> Column:
         return s.map(fold)
 
     return _series_udf(_strip)(text)
+
+
+# --------------------------------------------------------------------------
+# Document-level quality rule bundles from the published LLM-corpus
+# pipelines — all arithmetic integer permille (engine-portable, no
+# floats), all expressions native (codegen'd scan-side projection).
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1),
+# frozen to an exact-integer subset. Words = whitespace-split runs.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3  # chars, inclusive
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MAX_SYMBOL_PERMILLE = 100  # '#' or '...' per word <= 0.1
+GOPHER_MAX_BULLET_PERMILLE = 900  # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_PERMILLE = 300  # lines ending with '...'
+GOPHER_MIN_ALPHA_PERMILLE = 800  # words containing an alphabetic char
+GOPHER_MIN_STOPWORDS = 2  # distinct required stopwords present
+
+
+def _words(text: Column) -> Column:
+    return F.filter(
+        F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0
+    )
+
+
+def gopher_stats(text: Column) -> dict[str, Column]:
+    """The Gopher rule measurements, exact integers/permilles."""
+    ws = _words(text)
+    lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_words = F.size(ws)
+    n_lines = F.size(lines)
+    sum_len = F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w))
+    n_symbol = (
+        F.size(F.split(text, "#", -1))
+        - 1
+        + F.size(F.split(text, r"\.\.\.", -1))
+        - 1
+    )
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.startswith(F.trim(l), F.lit("- "))
+            | F.startswith(F.trim(l), F.lit("* ")),
+        )
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: F.endswith(F.rtrim(l), F.lit("...")))
+    )
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    lw = F.transform(ws, lambda w: F.lower(w))
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lw, s),
+        )
+    )
+    pm = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.floor(num * F.lit(1000) / den).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return {
+        "n_words": n_words.cast("long"),
+        "n_lines": n_lines.cast("long"),
+        "sum_word_len": sum_len.cast("long"),
+        "symbol_permille": pm(n_symbol, n_words),
+        "bullet_permille": pm(n_bullet, n_lines),
+        "ellipsis_permille": pm(n_ellipsis, n_lines),
+        "alpha_permille": pm(n_alpha, n_words),
+        "n_stopwords": n_stop.cast("long"),
+    }
+
+
+def gopher_keep(text: Column) -> Column:
+    """True iff the document passes every frozen Gopher rule. The mean
+    word-length bounds compare as 3*n <= sum_len <= 10*n — exact, no
+    division."""
+    s = gopher_stats(text)
+    n, sl = s["n_words"], s["sum_word_len"]
+    return (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (sl >= F.lit(GOPHER_MIN_MEAN_WORD_LEN) * n)
+        & (sl <= F.lit(GOPHER_MAX_MEAN_WORD_LEN) * n)
+        & (s["symbol_permille"] <= GOPHER_MAX_SYMBOL_PERMILLE)
+        & (s["bullet_permille"] <= GOPHER_MAX_BULLET_PERMILLE)
+        & (s["ellipsis_permille"] <= GOPHER_MAX_ELLIPSIS_PERMILLE)
+        & (s["alpha_permille"] >= GOPHER_MIN_ALPHA_PERMILLE)
+        & (s["n_stopwords"] >= GOPHER_MIN_STOPWORDS)
+    )
+
+
+# C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", §2.2),
+# line-level filter + document-level drops, frozen subset.
+C4_MIN_LINE_WORDS = 5
+
+
+def c4_line_keep(line: Column) -> Column:
+    """C4's per-line rule: terminal punctuation, >= 5 words, and no
+    'javascript' marker."""
+    t = F.rtrim(line)
+    terminal = (
+        F.endswith(t, F.lit("."))
+        | F.endswith(t, F.lit("!"))
+        | F.endswith(t, F.lit("?"))
+        | F.endswith(t, F.lit('"'))
+    )
+    return (
+        terminal
+        & (F.size(_words(line)) >= C4_MIN_LINE_WORDS)
+        & ~F.contains(F.lower(line), F.lit("javascript"))
+    )
+
+
+def c4_stats(text: Column) -> dict[str, Column]:
+    """Line filter + doc-level flags; kept_text is the rebuilt document
+    (kept lines joined by newline) — the actual C4 output artifact."""
+    lines = F.split(text, "\n")
+    kept = F.filter(lines, lambda l: c4_line_keep(l))
+    low = F.lower(text)
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept": F.size(kept).cast("long"),
+        "has_lorem": F.contains(low, F.lit("lorem ipsum")),
+        "has_brace": F.contains(text, F.lit("{")),
+        "kept_text": F.array_join(kept, "\n"),
+    }
+
+
+def c4_filter(
+    docs: DataFrame, text_col: str = "text", min_kept_lines: int = 3
+) -> DataFrame:
+    """Apply C4: drop lorem-ipsum/brace documents, keep only qualifying
+    lines, drop documents with fewer than ``min_kept_lines`` surviving
+    lines; ``text_col`` is rewritten to the cleaned text."""
+    s = c4_stats(F.col(text_col))
+    return (
+        docs.withColumn("_c4_kept", s["kept_text"])
+        .withColumn("_c4_n", s["n_kept"])
+        .filter(
+            ~s["has_lorem"] & ~s["has_brace"] & (F.col("_c4_n") >= min_kept_lines)
+        )
+        .withColumn(text_col, F.col("_c4_kept"))
+        .drop("_c4_kept", "_c4_n")
+    )

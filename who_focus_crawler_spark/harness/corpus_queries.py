@@ -1814,3 +1814,173 @@ FROM res WHERE inter * 1000 >= 800 * uni
 """
 
 QUERIES["d_jaccard_join"] = (d_jaccard_join, D_JACCARD_JOIN_SQL)
+
+
+# --------------------------------------------------------------------------
+# Gopher + C4 quality-rule bundles (corpus/text.py). The raw corpus text
+# is single-line and punctuation-free, so both engines first synthesize
+# the SAME structured multi-line document from each doc's tokens (lines
+# of 7 tokens; deterministic bullet prefixes, terminal punctuation, an
+# occasional planted 'lorem ipsum'/'{' marker keyed off doc_id) — then
+# the real rule bundle runs on it. Every stat and the rebuilt C4 text
+# (pinned via md5) is value-compared.
+
+
+def _structured_text_spark(doc_id, text):
+    toks = F.slice(X.tokens(text), 1, 28)  # 4 lines x 7 tokens
+    n_lines = F.ceil(F.size(toks) / F.lit(7)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.when((doc_id + i) % 5 == 0, F.lit("- ")).otherwise(F.lit("")),
+            F.array_join(F.slice(toks, i * 7 + 1, 7), " "),
+            F.element_at(
+                F.array(F.lit(""), F.lit("."), F.lit("!"), F.lit("...")),
+                ((doc_id + i) % 4 + 1).cast("int"),
+            ),
+        ),
+    )
+    lines = F.when(
+        doc_id % 97 == 0,
+        F.concat(F.array(F.lit("lorem ipsum dolor sit amet consectetur.")), lines),
+    ).otherwise(lines)
+    lines = F.when(
+        doc_id % 89 == 0, F.concat(lines, F.array(F.lit("function() {")))
+    ).otherwise(lines)
+    return F.array_join(lines, "\n")
+
+
+_STRUCTURED_TEXT_SQL = """
+  SELECT doc_id, array_to_string(CASE WHEN doc_id % 89 = 0
+           THEN list_append(lns, 'function() {{')
+           ELSE lns END, chr(10)) AS stext
+  FROM (
+    SELECT doc_id, CASE WHEN doc_id % 97 = 0
+             THEN list_prepend('lorem ipsum dolor sit amet consectetur.', lns0)
+             ELSE lns0 END AS lns
+    FROM (
+      SELECT doc_id,
+             list_transform(generate_series(0,
+                 CAST(ceil(len(tk) / 7.0) AS INTEGER) - 1), i ->
+               concat(
+                 CASE WHEN (doc_id + i) % 5 = 0 THEN '- ' ELSE '' END,
+                 array_to_string(list_slice(tk, i*7 + 1, i*7 + 7), ' '),
+                 ['', '.', '!', '...'][CAST((doc_id + i) % 4 AS INTEGER) + 1]
+               )) AS lns0
+      FROM (SELECT doc_id, list_slice({toks}, 1, 28) AS tk FROM documents)
+    )
+  )
+"""
+
+
+def d_text_gopher(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    st = _structured_text_spark(F.col("doc_id"), F.col("text"))
+    stats = X.gopher_stats(st)
+    return d.select(
+        "doc_id",
+        *[v.alias(k) for k, v in stats.items()],
+        X.gopher_keep(st).alias("keep"),
+    )
+
+
+D_TEXT_GOPHER_SQL = f"""
+WITH st AS ({_STRUCTURED_TEXT_SQL.format(toks=SQL_TOKS)}),
+w AS (
+  SELECT doc_id, stext,
+         list_filter(str_split_regex(trim(stext), '\\s+'),
+                     x -> len(x) > 0) AS ws,
+         list_filter(str_split(stext, chr(10)),
+                     l -> len(trim(l)) > 0) AS lns
+  FROM st
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(lns) AS BIGINT) AS n_lines,
+         CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT)
+           AS sum_word_len,
+         len(str_split(stext, '#')) - 1
+           + len(str_split(stext, '...')) - 1 AS n_symbol,
+         len(list_filter(lns, l -> starts_with(trim(l), '- ')
+                               OR starts_with(trim(l), '* '))) AS n_bullet,
+         len(list_filter(lns, l -> ends_with(rtrim(l), '...'))) AS n_ellipsis,
+         len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         CAST(len(list_filter(
+             {list(X.GOPHER_STOPWORDS)},
+             s -> list_contains(list_transform(ws, x -> lower(x)), s)))
+           AS BIGINT) AS n_stopwords
+  FROM w
+)
+SELECT doc_id, n_words, n_lines,
+       coalesce(sum_word_len, 0) AS sum_word_len,
+       CAST(CASE WHEN n_words > 0
+            THEN (n_symbol * 1000) // n_words ELSE 0 END AS BIGINT)
+         AS symbol_permille,
+       CAST(CASE WHEN n_lines > 0
+            THEN (n_bullet * 1000) // n_lines ELSE 0 END AS BIGINT)
+         AS bullet_permille,
+       CAST(CASE WHEN n_lines > 0
+            THEN (n_ellipsis * 1000) // n_lines ELSE 0 END AS BIGINT)
+         AS ellipsis_permille,
+       CAST(CASE WHEN n_words > 0
+            THEN (n_alpha * 1000) // n_words ELSE 0 END AS BIGINT)
+         AS alpha_permille,
+       n_stopwords,
+       (n_words >= {X.GOPHER_MIN_WORDS} AND n_words <= {X.GOPHER_MAX_WORDS}
+        AND coalesce(sum_word_len, 0) >= {X.GOPHER_MIN_MEAN_WORD_LEN} * n_words
+        AND coalesce(sum_word_len, 0) <= {X.GOPHER_MAX_MEAN_WORD_LEN} * n_words
+        AND CASE WHEN n_words > 0 THEN (n_symbol * 1000) // n_words ELSE 0 END
+            <= {X.GOPHER_MAX_SYMBOL_PERMILLE}
+        AND CASE WHEN n_lines > 0 THEN (n_bullet * 1000) // n_lines ELSE 0 END
+            <= {X.GOPHER_MAX_BULLET_PERMILLE}
+        AND CASE WHEN n_lines > 0 THEN (n_ellipsis * 1000) // n_lines ELSE 0 END
+            <= {X.GOPHER_MAX_ELLIPSIS_PERMILLE}
+        AND CASE WHEN n_words > 0 THEN (n_alpha * 1000) // n_words ELSE 0 END
+            >= {X.GOPHER_MIN_ALPHA_PERMILLE}
+        AND n_stopwords >= {X.GOPHER_MIN_STOPWORDS}) AS keep
+FROM m
+"""
+
+QUERIES["d_text_gopher"] = (d_text_gopher, D_TEXT_GOPHER_SQL)
+
+
+def d_text_c4(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    st = _structured_text_spark(F.col("doc_id"), F.col("text"))
+    stats = X.c4_stats(st)
+    return d.select(
+        "doc_id",
+        stats["n_lines"].alias("n_lines"),
+        stats["n_kept"].alias("n_kept"),
+        stats["has_lorem"].alias("has_lorem"),
+        stats["has_brace"].alias("has_brace"),
+        F.md5(stats["kept_text"]).alias("kept_md5"),
+    )
+
+
+D_TEXT_C4_SQL = f"""
+WITH st AS ({_STRUCTURED_TEXT_SQL.format(toks=SQL_TOKS)}),
+l AS (
+  SELECT doc_id, stext, str_split(stext, chr(10)) AS lns FROM st
+),
+k AS (
+  SELECT doc_id, stext, lns,
+         list_filter(lns, l ->
+           (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+            OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+           AND len(list_filter(str_split_regex(trim(l), '\\s+'),
+                               x -> len(x) > 0)) >= {X.C4_MIN_LINE_WORDS}
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM l
+)
+SELECT doc_id,
+       CAST(len(lns) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       contains(lower(stext), 'lorem ipsum') AS has_lorem,
+       contains(stext, '{{') AS has_brace,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_md5
+FROM k
+"""
+
+QUERIES["d_text_c4"] = (d_text_c4, D_TEXT_C4_SQL)
