@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from who_focus_crawler_spark.corpus.similarity import cosine, ivf_assign
+from who_focus_crawler_spark.corpus.similarity import within_cluster_pairs
 
 
 def _within_cluster(
@@ -34,23 +34,32 @@ def _within_cluster(
     centroids: list[list[float]],
     id_col: str,
     vec_col: str,
+    salt: int = 8,
 ) -> DataFrame:
     """Directed within-cluster candidate pairs (anchor ≠ cand, both
-    directions — every doc serves as an anchor) with exact cosine."""
-    asg = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
-    a = asg.select(
-        "cluster", F.col(id_col).alias("anchor"), F.col(vec_col).alias("_va")
+    directions — every doc serves as an anchor) with exact cosine.
+
+    Runs on the shared salted pair core (similarity.py::
+    within_cluster_pairs); each unordered pair's cosine is computed
+    ONCE and mirrored for the reverse direction (IEEE multiplication is
+    commutative and the fold order unchanged, so the mirrored value is
+    bit-identical to recomputation).
+    """
+    half = within_cluster_pairs(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col, salt=salt
+    ).select(
+        F.col("vec_a").alias("anchor"),
+        F.col("vec_b").alias("cand"),
+        "cluster",
+        "cosine_sim",
     )
-    b = asg.select(
-        "cluster", F.col(id_col).alias("cand"), F.col(vec_col).alias("_vb")
-    )
-    return (
-        a.join(b, "cluster")
-        .filter(F.col("anchor") != F.col("cand"))
-        .withColumn(
-            "cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    return half.unionByName(
+        half.select(
+            F.col("cand").alias("anchor"),
+            F.col("anchor").alias("cand"),
+            "cluster",
+            "cosine_sim",
         )
-        .select("anchor", "cand", "cluster", "cosine_sim")
     )
 
 
@@ -72,7 +81,10 @@ def contrastive_pairs(
         raise ValueError(
             f"pos_tau ({pos_tau}) must exceed neg_tau ({neg_tau})"
         )
+    # two consumers (positive filter + negative rank) — pin the pair
+    # table so the salted cosine join runs once
     pairs = _within_cluster(embeddings, centroids, id_col, vec_col)
+    pairs = pairs.localCheckpoint(eager=False)
     pos = pairs.filter(F.col("cosine_sim") >= pos_tau).select(
         "anchor", "cand", F.lit(1).alias("label"), "cosine_sim"
     )

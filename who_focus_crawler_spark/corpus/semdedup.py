@@ -36,7 +36,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from who_focus_crawler_spark.corpus.clusters import near_dup_clusters
-from who_focus_crawler_spark.corpus.similarity import cosine, ivf_assign
+from who_focus_crawler_spark.corpus.similarity import (
+    ivf_assign,
+    within_cluster_pairs,
+)
 
 
 def semdedup_pairs(
@@ -54,26 +57,9 @@ def semdedup_pairs(
     paper's accepted trade for the n²→n²/k cut; raise k's resolution or
     lower epsilon rather than widening the join).
     """
-    asg = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
-    a = asg.select(
-        F.col("cluster"),
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("_va"),
-    )
-    b = asg.select(
-        F.col("cluster"),
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("_vb"),
-    )
-    return (
-        a.join(b, "cluster")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6)
-        )
-        .filter(F.col("cosine_sim") >= threshold)
-        .select("vec_a", "vec_b", "cluster", "cosine_sim")
-    )
+    return within_cluster_pairs(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col
+    ).filter(F.col("cosine_sim") >= threshold)
 
 
 def semdedup(
