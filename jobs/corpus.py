@@ -38,6 +38,9 @@ def run_corpus_pipeline(
     dsir_target: DataFrame | None = None,
     dsir_top_k: int | None = None,
     dsir_buckets: int = 4096,
+    c4: bool = False,
+    c4_min_lines: int = 3,
+    gopher: bool = False,
 ) -> dict:
     """docs(doc_id, text[, source]) → kept corpus + stats.
 
@@ -77,6 +80,13 @@ def run_corpus_pipeline(
     if dsir_top_k is not None and dsir_target is None:
         raise ValueError("dsir_top_k requires dsir_target")
     n_in = docs.count()
+    if c4:
+        # C4 line cleaning REWRITES text, so it runs before any
+        # content-hash stage (a dedup hash of uncleaned text would not
+        # survive the rewrite)
+        from who_focus_crawler_spark.corpus.text import c4_filter
+
+        docs = c4_filter(docs, min_kept_lines=c4_min_lines)
     # exact-dedup output feeds three consumers (pair mining, keep join,
     # count) — materialize once instead of re-running the scan + md5
     # window per action
@@ -129,6 +139,10 @@ def run_corpus_pipeline(
         )
         .select("doc_id", *carry, "text", "quality")
     )
+    if gopher:
+        from who_focus_crawler_spark.corpus.text import gopher_keep
+
+        final = final.filter(gopher_keep(F.col("text")))
     if dsir_top_k is not None:
         from who_focus_crawler_spark.corpus.dsir import dsir_fit, dsir_scores
 
@@ -273,6 +287,16 @@ def main() -> None:
         "--dsir-top-k", type=int, default=None,
         help="keep only the top-k gated docs by DSIR importance",
     )
+    ap.add_argument(
+        "--c4", action="store_true",
+        help="C4 line cleaning (terminal punctuation / 5-word floor / "
+             "javascript lines; lorem-ipsum + brace doc drops) before dedup",
+    )
+    ap.add_argument("--c4-min-lines", type=int, default=3)
+    ap.add_argument(
+        "--gopher", action="store_true",
+        help="Gopher document-quality rules on the gated survivors",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("wfc-corpus").getOrCreate()
@@ -298,6 +322,9 @@ def main() -> None:
         lang=args.lang,
         max_dup_permille=args.max_dup_permille,
         split_weights=_parse_weights(args.split) if args.split else None,
+        c4=args.c4,
+        c4_min_lines=args.c4_min_lines,
+        gopher=args.gopher,
         mixture_weights=_parse_weights(args.mixture) if args.mixture else None,
         token_budget=args.token_budget,
         merge_into=args.merge_into,

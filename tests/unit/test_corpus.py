@@ -871,3 +871,63 @@ def test_corpus_pipeline_semdedup_and_dsir(spark, tmp_path):
         run_corpus_pipeline(docs, semdedup_tau=0.9)
     with _pytest.raises(ValueError, match="requires dsir_target"):
         run_corpus_pipeline(docs, dsir_top_k=10)
+
+
+def test_corpus_pipeline_c4_and_gopher(spark, tmp_path):
+    """--c4 rewrites text before dedup (lorem-ipsum/brace docs drop,
+    non-qualifying lines vanish); --gopher gates the survivors."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from corpus import run_corpus_pipeline
+
+    keep_line = (
+        "the quick brown fox jumps over and over to the lazy dog of that fame."
+    )
+    good = "\n".join([keep_line] * 6)
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + "\nlorem ipsum dolor sit amet."),  # C4 doc drop
+            (3, "var f = function() {\n" + good),  # brace drop
+            (4, "\n".join([keep_line, "no terminal punctuation here",
+                           "short one."])),  # < 3 kept lines
+            (5, good + "\nthis line has no terminal punctuation at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "kept_c4")
+    stats = run_corpus_pipeline(
+        docs, output=out, c4=True, gopher=True, min_quality=0
+    )
+    kept = spark.read.parquet(out)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # docs 2/3 dropped by C4 doc rules, 4 by min kept lines; 1 and 5
+    # clean to IDENTICAL text (the bad line is filtered), so exact dedup
+    # keeps only the min doc_id
+    assert ids == {1}
+    text = kept.collect()[0].text
+    assert text == good  # rewritten to kept lines only
+    assert stats["n_kept"] == 1
+
+
+def test_corpus_pipeline_gopher_rejects_thin_docs(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from corpus import run_corpus_pipeline
+
+    thin = "tiny doc."  # far under the Gopher 50-word floor
+    rich = " ".join(
+        ["the quick brown fox jumps over and over to the lazy dog of that"]
+        * 6
+    )
+    docs = spark.createDataFrame(
+        [(1, thin), (2, rich)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "kept_g")
+    stats = run_corpus_pipeline(
+        docs, output=out, gopher=True, min_quality=0
+    )
+    ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert ids == {2} and stats["n_kept"] == 1
