@@ -62,3 +62,48 @@ def test_only_matching_docs_returned_and_n_matched(spark):
     d = _df(spark, [(1, "alpha beta"), (2, "beta gamma"), (3, "delta")])
     got = {r.doc_id: r.n_matched for r in bm25_scores(d, ["alpha", "beta"]).collect()}
     assert got == {1: 2, 2: 1}
+
+
+def test_positional_postings_and_phrase_search(spark):
+    from who_focus_crawler_spark.corpus.index import (
+        phrase_search,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat the cat sat here"),
+            (3, "cat sat mat on the"),          # 'the cat' absent
+            (4, "THE CAT sat"),                  # case folding
+            (5, "cat"),                          # shorter than phrase
+        ],
+        "doc_id long, text string",
+    )
+    pp = {
+        (r.term, r.doc_id): list(r.positions)
+        for r in positional_postings(docs).collect()
+    }
+    assert pp[("the", 1)] == [0, 4]
+    assert pp[("cat", 2)] == [1, 3]
+
+    got = {r.doc_id: r.n_hits for r in phrase_search(docs, "the cat").collect()}
+    assert got == {1: 1, 2: 2, 4: 1}
+    got3 = {
+        r.doc_id: r.n_hits for r in phrase_search(docs, "the cat sat").collect()
+    }
+    assert got3 == {1: 1, 2: 1, 4: 1}
+    # probing a precomputed index gives identical results
+    idx = positional_postings(docs)
+    got_idx = {
+        r.doc_id: r.n_hits
+        for r in phrase_search(docs, "the cat", index=idx).collect()
+    }
+    assert got_idx == got
+    # single-token phrase counts plain occurrences
+    got1 = {r.doc_id: r.n_hits for r in phrase_search(docs, "cat").collect()}
+    assert got1 == {1: 1, 2: 2, 3: 1, 4: 1, 5: 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_search(docs, "   ")

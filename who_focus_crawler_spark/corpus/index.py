@@ -147,3 +147,78 @@ def bm25_scores(
             .alias("score_milli"),
         )
     )
+
+
+# ------------------------------------------------------------- phrases ---
+
+
+def positional_postings(
+    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings: (term, doc_id, positions) with 0-based token
+    positions sorted ascending — the index artifact phrase and proximity
+    queries run against. Same one-shuffle shape as ``postings``; only
+    (term, doc_id, position) triples ever shuffle."""
+    return (
+        docs.select(
+            doc_col,
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+        )
+        .groupBy("term", doc_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-phrase retrieval: (doc_id, n_hits) for documents containing
+    the phrase's tokens CONSECUTIVELY, n_hits = occurrence count.
+
+    The classic positional-intersection plan: each phrase term pulls its
+    postings row (the term filter prunes the index scan to |phrase|
+    terms), terms join on doc_id, and a hit is a start position p with
+    term i at p+i for every i. Shapes at 100 TB: the postings rows for a
+    handful of phrase terms are a sliver of the index; the per-doc
+    adjacency check is a native higher-order intersection over position
+    arrays (no Python, no explode of positions).
+
+    ``index``: pass a precomputed ``positional_postings`` table to probe
+    a persisted index instead of rebuilding one per query.
+    """
+    terms = [t.lower() for t in phrase.split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    post = (
+        index
+        if index is not None
+        else positional_postings(docs, doc_col, text_col)
+    )
+    # distinct-term postings, filtered BEFORE any join: only |phrase|
+    # terms' rows survive the scan
+    need = post.filter(F.col("term").isin(*set(terms)))
+    joined = None
+    for i, term in enumerate(terms):
+        side = need.filter(F.col("term") == term).select(
+            F.col(doc_col),
+            F.col("positions").alias(f"_p{i}"),
+        )
+        joined = side if joined is None else joined.join(side, doc_col)
+    # start positions: p in _p0 with (p + i) in _pi for all i. The
+    # lambda must take exactly ONE argument (F.filter passes the index
+    # to 2-arg callables), so the offset binds via a closure factory.
+    def _adjacent(idx: int):
+        return lambda p: F.array_contains(F.col(f"_p{idx}"), p + F.lit(idx))
+
+    starts = F.col("_p0")
+    for i in range(1, len(terms)):
+        starts = F.filter(starts, _adjacent(i))
+    return (
+        joined.withColumn("n_hits", F.size(starts).cast("long"))
+        .filter(F.col("n_hits") > 0)
+        .select(doc_col, "n_hits")
+    )

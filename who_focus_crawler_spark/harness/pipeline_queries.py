@@ -686,3 +686,51 @@ FROM keyed
 """
 
 QUERIES["d_epoch_shuffle"] = (d_epoch_shuffle, D_EPOCH_SHUFFLE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Positional phrase search (corpus/index.py): the engine answers via the
+# real positional-postings machinery (term-filtered index scan → doc_id
+# joins → native position-array intersection); the oracle counts phrase
+# starts with a direct sliding-window check over the token list —
+# independent derivations, identical values.
+
+from who_focus_crawler_spark.corpus import index as IDX
+
+
+def d_index_phrase(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    p2 = IDX.phrase_search(d, "table value").select(
+        F.lit("table value").alias("phrase"), "doc_id", "n_hits"
+    )
+    p3 = IDX.phrase_search(d, "value table part").select(
+        F.lit("value table part").alias("phrase"), "doc_id", "n_hits"
+    )
+    return p2.unionByName(p3)
+
+
+def _phrase_sql(phrase: str) -> str:
+    terms = phrase.split()
+    conds = " AND ".join(
+        f"tk[s + {i}] = '{t}'" for i, t in enumerate(terms)
+    )
+    return f"""
+SELECT * FROM (
+  SELECT '{phrase}' AS phrase, doc_id,
+         CAST(len(list_filter(generate_series(1, len(tk) - {len(terms) - 1}),
+                              s -> {conds})) AS BIGINT) AS n_hits
+  FROM (SELECT doc_id, {SQL_TOKS} AS tk FROM documents)
+  WHERE len(tk) >= {len(terms)}
+) WHERE n_hits > 0
+"""
+
+
+D_INDEX_PHRASE_SQL = (
+    "SELECT * FROM ("
+    + _phrase_sql("table value")
+    + ") UNION ALL SELECT * FROM ("
+    + _phrase_sql("value table part")
+    + ")"
+)
+
+QUERIES["d_index_phrase"] = (d_index_phrase, D_INDEX_PHRASE_SQL)
