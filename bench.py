@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     "d_dsir_weights",
     "d_contrastive",
     "r_join_interval_binned",
+    # session-4 ops
+    "d_jaccard_join",
+    "d_media_phash",
+    "d_epoch_shuffle",
+    "d_text_gopher",
 ]
 
 

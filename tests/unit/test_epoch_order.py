@@ -59,3 +59,43 @@ def test_curriculum_stages_order_within_shard(spark):
 def test_bad_shards_rejected(spark):
     with pytest.raises(ValueError):
         epoch_order(_docs(spark, 5), n_shards=0)
+
+
+def test_shard_layout_job(spark, tmp_path):
+    """jobs/shards.py: corpus → packed, epoch-shuffled shards on disk;
+    per-shard files ordered by pos; curriculum stages by quality."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from shards import run_shard_layout
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", (F.col("doc_id") % 5).alias("quality"))
+    out = str(tmp_path / "shards")
+    stats = run_shard_layout(
+        docs, output=out, epoch=2, n_shards=4, pack_capacity=128
+    )
+    assert stats["n_docs"] == 500 and stats["n_shards_used"] == 4
+    assert stats["n_packs"] >= stats["n_tokens"] // 128
+    laid = spark.read.parquet(out)
+    assert laid.count() == 500
+    # dense positions per shard
+    for shard in range(4):
+        poss = sorted(
+            r.pos for r in laid.filter(F.col("shard") == shard).collect()
+        )
+        assert poss == list(range(len(poss)))
+    # determinism across reruns
+    stats2 = run_shard_layout(docs, epoch=2, n_shards=4, pack_capacity=128)
+    assert stats2 == stats
+    # curriculum: within a shard, quality is non-increasing along pos
+    cur = run_shard_layout(
+        docs, epoch=2, n_shards=2, pack_capacity=128, curriculum="quality"
+    )
+    assert cur["n_docs"] == 500
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_shard_layout(docs, curriculum="nope")
