@@ -931,3 +931,65 @@ def test_corpus_pipeline_gopher_rejects_thin_docs(spark, tmp_path):
     )
     ids = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert ids == {2} and stats["n_kept"] == 1
+
+
+def test_knn_join_matches_brute_force(spark):
+    import math
+
+    import pytest as _pytest
+
+    from who_focus_crawler_spark.corpus.similarity import knn_join
+
+    import hashlib
+
+    def vec(tag, d=8):
+        h = hashlib.md5(f"knn:{tag}".encode()).digest()
+        return [((h[i % 16] + 7 * i * tag) % 256) / 255.0 - 0.5 for i in range(d)]
+
+    corpus_rows = [(i, vec(i)) for i in range(60)]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in corpus_rows[:3]],
+        "query_id long, embedding array<float>",
+    )
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(x) ** 2 for x in b))
+        return round(dot / max(na * nb, 1e-12), 6)
+
+    # float32 storage: round-trip the reference vectors through float32
+    import struct as _struct
+
+    def f32(xs):
+        return [_struct.unpack("f", _struct.pack("f", x))[0] for x in xs]
+
+    want = {}
+    for qid, qv in corpus_rows[:3]:
+        scored = sorted(
+            ((cos(f32(qv), f32(cv)), -i) for i, cv in corpus_rows),
+            reverse=True,
+        )
+        want[qid] = [(-negid, s) for s, negid in scored[:7]]
+
+    for parts in (1, 7):
+        got = {}
+        out = knn_join(queries, corpus.repartition(parts), k=7).collect()
+        for r in out:
+            got.setdefault(r.query_id, []).append(
+                (r.rank, r.vec_id, r.cosine_sim)
+            )
+        for qid in want:
+            rows = sorted(got[qid])
+            assert [(v, s) for _, v, s in rows] == want[qid], (qid, parts)
+            assert rows[0][1] == qid and rows[0][2] == 1.0  # self at rank 1
+
+    # k beyond corpus size returns everything, still ranked
+    all_rows = knn_join(queries, corpus, k=100).collect()
+    assert len(all_rows) == 3 * 60
+
+    with _pytest.raises(ValueError):
+        knn_join(queries, corpus, k=0)

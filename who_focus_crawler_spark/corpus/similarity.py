@@ -587,3 +587,67 @@ def within_cluster_pairs(
         )
         .select("vec_a", "vec_b", "cluster", "cosine_sim")
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch exact k-NN join: for every query vector, its top-k corpus
+    neighbors by cosine — (query_id, vec_id, rank, cosine_sim).
+
+    The production batch-scoring shape (rerankers, eval-set mining):
+    the query batch BROADCASTS (it is small by definition), every
+    corpus partition scores its rows against all queries locally, and
+    top-k resolves in TWO phases — a per-(Spark-partition, query) local
+    top-k via sorted-slice aggregation, then a merge of those k-sized
+    lists per query. No per-query global window: a window partitioned
+    by query_id would funnel each query's n corpus scores through one
+    task; here each task emits at most k rows per query, so the final
+    shuffle carries |partitions| × |queries| × k slim rows.
+
+    Ordering is deterministic: (round(cosine, 6) desc, corpus id asc) —
+    the rounded score is the emitted value, so ranks are engine-portable.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+        )
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # phase 1: local top-k per (partition, query) — sort_array on a
+    # struct whose FIRST field is (-score, id) so ascending order is
+    # (score desc, id asc); slice keeps k
+    item = F.struct(
+        (-F.col("cosine_sim")).alias("neg"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("cosine_sim").alias("s"),
+    )
+    local = scored.groupBy("_pid", "query_id").agg(
+        F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("top")
+    )
+    # phase 2: merge the k-sized lists per query
+    merged = (
+        local.select("query_id", F.explode("top").alias("e"))
+        .groupBy("query_id")
+        .agg(F.slice(F.sort_array(F.collect_list("e")), 1, k).alias("top"))
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("_r", "e")
+    ).select(
+        "query_id",
+        F.col("e.vec_id").alias("vec_id"),
+        (F.col("_r") + 1).cast("int").alias("rank"),
+        F.col("e.s").alias("cosine_sim"),
+    )

@@ -1984,3 +1984,49 @@ FROM k
 """
 
 QUERIES["d_text_c4"] = (d_text_c4, D_TEXT_C4_SQL)
+
+
+# --------------------------------------------------------------------------
+# Batch exact k-NN join (corpus/similarity.py::knn_join): queries = the
+# five lowest-id embedding rows probing the whole embeddings table
+# (self-match included at rank 1 — pins the score path end-to-end). The
+# engine resolves top-k in two partition-local phases; the oracle ranks
+# with a plain per-query window — value equality proves the distributed
+# merge reproduces the naive ranking exactly.
+
+
+def d_sim_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.knn_join(q, e, k=5)
+
+
+_KNN_COS = (
+    "round(list_aggregate(list_transform(q.embedding,"
+    " (x, i) -> x::DOUBLE * c.embedding[i]::DOUBLE), 'sum')"
+    " / greatest("
+    "sqrt(list_aggregate(list_transform(q.embedding,"
+    " x -> x::DOUBLE * x::DOUBLE), 'sum')) *"
+    " sqrt(list_aggregate(list_transform(c.embedding,"
+    " x -> x::DOUBLE * x::DOUBLE), 'sum')), 1e-12), 6)"
+)
+
+D_SIM_KNN_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_KNN_COS} AS cosine_sim
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+FROM ranked WHERE rank <= 5
+"""
+
+QUERIES["d_sim_knn_join"] = (d_sim_knn_join, D_SIM_KNN_SQL)
