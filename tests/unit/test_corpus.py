@@ -993,3 +993,130 @@ def test_knn_join_matches_brute_force(spark):
 
     with _pytest.raises(ValueError):
         knn_join(queries, corpus, k=0)
+
+
+def test_ann_recall_single_bucket_is_perfect(spark):
+    # nplanes=0 => every vector has signature 0 => the ANN side sees the
+    # full corpus and recall@k must be exactly 1.0 for every query.
+    import hashlib
+
+    from who_focus_crawler_spark.corpus.similarity import ann_recall
+
+    def vec(tag, d=8):
+        h = hashlib.md5(f"rec:{tag}".encode()).digest()
+        return [((h[i % 16] + 5 * i * tag) % 256) / 255.0 - 0.5 for i in range(d)]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)], "vec_id long, embedding array<float>"
+    )
+    rows = ann_recall(emb, n_queries=4, k=5, nplanes=0).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.n_exact == 5
+        assert r.n_hit == 5
+        assert r.recall == 1.0
+
+
+def test_ann_recall_bounds_and_partitioning_invariance(spark):
+    import hashlib
+
+    from who_focus_crawler_spark.corpus.similarity import ann_recall
+
+    def vec(tag, d=8):
+        h = hashlib.md5(f"rec2:{tag}".encode()).digest()
+        return [((h[i % 16] + 3 * i * tag) % 256) / 255.0 - 0.5 for i in range(d)]
+
+    rows = [(i, vec(i)) for i in range(80)]
+    emb1 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out1 = sorted(
+        tuple(r) for r in ann_recall(emb1, n_queries=6, k=8, nplanes=4).collect()
+    )
+    emb2 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(7)
+    out2 = sorted(
+        tuple(r) for r in ann_recall(emb2, n_queries=6, k=8, nplanes=4).collect()
+    )
+    assert out1 == out2
+    for _, n_exact, n_hit, recall in out1:
+        assert n_exact == 8
+        assert 0 <= n_hit <= 8
+        assert recall == round(n_hit / 8.0, 6)
+
+
+def test_fairness_gini_extremes(spark):
+    from who_focus_crawler_spark.operators.diagnostics import fairness_gini
+
+    # perfectly even: 4 keys x 25 rows each -> gini == 0
+    even = spark.createDataFrame(
+        [(i % 4,) for i in range(100)], "k long"
+    )
+    r = fairness_gini(even, F.col("k")).collect()[0]
+    assert r.n_keys == 4 and r.total_rows == 100
+    assert r.gini == 0.0
+
+    # heavily concentrated: one key has 97 rows, three have 1 each
+    skew = spark.createDataFrame(
+        [(0,)] * 97 + [(1,), (2,), (3,)], "k long"
+    )
+    s = fairness_gini(skew, F.col("k")).collect()[0]
+    # exact: counts asc [1,1,1,97]; S1=100, S2=1+2+3+4*97=394
+    # gini = (2*394 - 5*100) / (4*100) = 288/400 = 0.72
+    assert s.gini == 0.72
+
+    # partitioning invariance of the distributed rank
+    s2 = fairness_gini(
+        spark.createDataFrame([(0,)] * 97 + [(1,), (2,), (3,)], "k long")
+        .repartition(7),
+        F.col("k"),
+    ).collect()[0]
+    assert tuple(s2) == tuple(s)
+
+
+def test_rendezvous_sharding_stability(spark):
+    from who_focus_crawler_spark.operators.sharding import assign_shards
+
+    hosts = spark.createDataFrame(
+        [(f"host{i}.example.org",) for i in range(200)], "host string"
+    )
+    a5 = {r.host: r.shard for r in assign_shards(hosts, 5).collect()}
+    a6 = {r.host: r.shard for r in assign_shards(hosts, 6).collect()}
+    assert set(a5.values()) <= set(range(5))
+    # minimal disruption: a host either keeps its shard or moved to the
+    # NEW shard (5) — rendezvous never reshuffles between old shards
+    moved = {h for h in a5 if a5[h] != a6[h]}
+    assert moved, "adding a shard should claim some hosts"
+    assert all(a6[h] == 5 for h in moved)
+    # rough balance: every shard owns something
+    assert set(a5.values()) == set(range(5))
+
+
+def test_schedule_retries_states(spark):
+    from who_focus_crawler_spark.operators.retry import schedule_retries
+
+    rows = [
+        # url A: failed once -> retry at batch 1 + 1
+        ("a", "h1", 1, False),
+        # url B: failed three times -> retry at 5 + 4
+        ("b", "h1", 1, False), ("b", "h1", 2, False), ("b", "h1", 5, False),
+        # url C: failed then succeeded -> done
+        ("c", "h2", 1, False), ("c", "h2", 3, True),
+        # url D: four failures -> gave_up
+        ("d", "h2", 1, False), ("d", "h2", 2, False),
+        ("d", "h2", 3, False), ("d", "h2", 9, False),
+    ]
+    att = spark.createDataFrame(
+        rows, "canon_url string, host string, batch long, ok boolean"
+    )
+    out = {r.canon_url: r for r in schedule_retries(att, max_attempts=4).collect()}
+    assert out["a"].state == "retry" and out["a"].next_due_batch == 2
+    assert out["b"].state == "retry" and out["b"].next_due_batch == 9
+    assert out["c"].state == "done" and out["c"].next_due_batch is None
+    assert out["d"].state == "gave_up" and out["d"].next_due_batch is None
+    # cap: 10 failures -> delay capped at 64
+    many = spark.createDataFrame(
+        [("e", "h3", i, False) for i in range(1, 11)],
+        "canon_url string, host string, batch long, ok boolean",
+    )
+    e = schedule_retries(many, max_attempts=99, max_delay=64).collect()[0]
+    assert e.next_due_batch == 10 + 64

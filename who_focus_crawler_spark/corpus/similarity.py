@@ -619,16 +619,23 @@ def knn_join(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
-    scored = (
-        c.join(F.broadcast(q))
-        .withColumn(
-            "cosine_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
-        )
-        .withColumn("_pid", F.spark_partition_id())
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
     )
-    # phase 1: local top-k per (partition, query) — sort_array on a
-    # struct whose FIRST field is (-score, id) so ascending order is
-    # (score desc, id asc); slice keeps k
+    return two_phase_topk(scored, k)
+
+
+def two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed per-query top-k over (query_id, vec_id, cosine_sim)
+    rows — (query_id, vec_id, rank, cosine_sim), rank 1-based.
+
+    Phase 1: local top-k per (Spark partition, query) via sorted-slice
+    aggregation — sort_array on a struct whose FIRST field is
+    (-score, id) so ascending order is (score desc, id asc); slice keeps
+    k. Phase 2: merge the k-sized lists per query. No per-query global
+    window: each task emits at most k rows per query, so the final
+    shuffle carries |partitions| × |queries| × k slim rows."""
+    scored = scored.withColumn("_pid", F.spark_partition_id())
     item = F.struct(
         (-F.col("cosine_sim")).alias("neg"),
         F.col("vec_id").alias("vec_id"),
@@ -637,7 +644,6 @@ def knn_join(
     local = scored.groupBy("_pid", "query_id").agg(
         F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("top")
     )
-    # phase 2: merge the k-sized lists per query
     merged = (
         local.select("query_id", F.explode("top").alias("e"))
         .groupBy("query_id")
@@ -650,4 +656,69 @@ def knn_join(
         F.col("e.vec_id").alias("vec_id"),
         (F.col("_r") + 1).cast("int").alias("rank"),
         F.col("e.s").alias("cosine_sim"),
+    )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    nplanes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the hyperplane-LSH bucketed ANN against the exact
+    brute-force ground truth — (query_id, n_exact, n_hit, recall).
+
+    The standard quality gauge for an approximate index: for each of the
+    first `n_queries` vectors (used as queries, self-matches excluded on
+    both sides), compute the exact cosine top-k and the top-k restricted
+    to the query's LSH bucket, then recall = |exact ∩ ann| / k. Both
+    sides resolve their top-k with the two-phase partition-local slice
+    merge (no per-query global window); the ANN side joins on signature
+    equality, so at corpus scale it touches one bucket per query while
+    the exact side is the (bounded, n_queries-wide) ground-truth scan.
+    The final recall join handles only k-sized result sets per query.
+
+    Determinism: scores rounded to 6 before ranking, ties broken on
+    vec_id, signatures md5-derived — engine-portable, value-exact."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), nplanes).alias("sig"),
+    )
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("_qv"),
+        F.col("sig").alias("qsig"),
+    )
+    exact_scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("_qv"), F.col("vec")), 6))
+    )
+    exact = two_phase_topk(exact_scored, k)
+    ann_scored = (
+        base.join(F.broadcast(q), F.col("sig") == F.col("qsig"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("_qv"), F.col("vec")), 6))
+    )
+    ann = two_phase_topk(ann_scored, k).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(ann, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.lit(float(k)), 6).alias(
+                "recall"
+            ),
+        )
     )

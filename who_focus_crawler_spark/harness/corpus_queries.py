@@ -2030,3 +2030,66 @@ FROM ranked WHERE rank <= 5
 """
 
 QUERIES["d_sim_knn_join"] = (d_sim_knn_join, D_SIM_KNN_SQL)
+
+
+# --------------------------------------------------------------------------
+# ANN quality evaluation (corpus/similarity.py::ann_recall): recall@k of
+# the LSH-bucketed approximate top-k against the exact brute-force
+# ground truth, per query. The engine resolves both sides with the
+# two-phase distributed top-k; the oracle ranks both sides with plain
+# windows over the same md5-derived signatures — value equality pins the
+# bucketing, the ranking, and the recall arithmetic.
+
+
+def d_sim_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    return S.ann_recall(
+        t(spark, sf, "embeddings"), n_queries=8, k=10, nplanes=_ANN_PLANES
+    )
+
+
+_RECALL_COS = (
+    "round(list_aggregate(list_transform(q.qv,"
+    " (x, i) -> x::DOUBLE * s.embedding[i]::DOUBLE), 'sum')"
+    " / greatest("
+    "sqrt(list_aggregate(list_transform(q.qv,"
+    " x -> x::DOUBLE * x::DOUBLE), 'sum')) *"
+    " sqrt(list_aggregate(list_transform(s.embedding,"
+    " x -> x::DOUBLE * x::DOUBLE), 'sum')), 1e-12), 6)"
+)
+
+
+def _ann_recall_sql() -> str:
+    sig = _sig_sql(_ANN_PLANES)
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, CAST({sig} AS BIGINT) AS sig FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, sig AS qsig
+  FROM sigs WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, s.vec_id, {_RECALL_COS} AS cosine_sim,
+         (s.sig = q.qsig) AS same_bucket
+  FROM sigs s, q WHERE s.vec_id <> q.query_id
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, vec_id) AS r
+    FROM scored) WHERE r <= 10
+), ann AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, vec_id) AS r
+    FROM scored WHERE same_bucket) WHERE r <= 10
+)
+SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       round(count(a.vec_id)::DOUBLE / 10, 6) AS recall
+FROM exact e LEFT JOIN ann a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+"""
+
+
+QUERIES["d_sim_ann_recall"] = (d_sim_ann_recall, _ann_recall_sql())

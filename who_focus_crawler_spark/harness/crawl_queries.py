@@ -2000,3 +2000,150 @@ FROM h{_HI_ITERS} h JOIN a{_HI_ITERS} a ON h.host = a.host
 
 
 QUERIES["c_hits"] = (c_hits, _hits_sql())
+
+
+# --------------------------------------------------------------------------
+# Scheduler fairness — operators/diagnostics.py::fairness_gini. Gini of
+# the per-host fetch-count distribution on the same deliberately skewed
+# synthetic frontier as c_hot_hosts (two hot hosts ⇒ a clearly nonzero
+# coefficient). The global rank inside runs on the two-phase distributed
+# sequencer; the oracle ranks with a plain window — value equality pins
+# the distributed rank AND the integer Gini arithmetic.
+
+
+def c_fairness_gini(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.diagnostics import fairness_gini
+
+    li = t(spark, sf, "lineitem")
+    host = (
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit("hot-a.example.org"))
+        .when(F.col("l_orderkey") % 7 < 2, F.lit("hot-b.example.org"))
+        .otherwise(
+            F.concat(
+                F.lit("h"),
+                (F.col("l_partkey") % 40).cast("string"),
+                F.lit(".example.org"),
+            )
+        )
+    )
+    return fairness_gini(li, host)
+
+
+C_FAIRNESS_GINI_SQL = """
+WITH h AS (
+  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'hot-a.example.org'
+              WHEN l_orderkey % 7 < 2 THEN 'hot-b.example.org'
+              ELSE concat('h', CAST(l_partkey % 40 AS VARCHAR), '.example.org')
+         END AS host
+  FROM lineitem
+), counts AS (
+  SELECT host AS key, count(*) AS n FROM h GROUP BY host
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n ASC, key ASC) AS r FROM counts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS total_rows,
+       CAST(sum(r * n) AS BIGINT) AS s_rank_weighted,
+       round((2.0 * sum(r * n) - (count(*) + 1.0) * sum(n))
+             / (count(*)::DOUBLE * sum(n)), 6) AS gini
+FROM ranked
+"""
+
+QUERIES["c_fairness_gini"] = (c_fairness_gini, C_FAIRNESS_GINI_SQL)
+
+
+# --------------------------------------------------------------------------
+# Retry / backoff scheduling — operators/retry.py::schedule_retries.
+# Attempt log synthesized from lineitem (one attempt per line item, so
+# URLs get 1–7 attempts); the modulus choices make all three states
+# (done / retry / gave_up) non-vacuous at sf0.01.
+
+
+def c_retry_backoff(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.retry import schedule_retries
+
+    li = t(spark, sf, "lineitem")
+    attempts = li.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("l_orderkey") % 40).cast("string"),
+            F.lit(".example.org/o/"),
+            F.col("l_orderkey").cast("string"),
+        ).alias("canon_url"),
+        F.concat(
+            F.lit("h"), (F.col("l_orderkey") % 40).cast("string"),
+            F.lit(".example.org"),
+        ).alias("host"),
+        (F.col("l_linenumber")).cast("long").alias("batch"),
+        (F.col("l_partkey") % 7 == 3).alias("ok"),
+    )
+    return schedule_retries(attempts, base_delay=1, max_attempts=4, max_delay=64)
+
+
+C_RETRY_BACKOFF_SQL = """
+WITH attempts AS (
+  SELECT concat('https://h', CAST(l_orderkey % 40 AS VARCHAR),
+                '.example.org/o/', CAST(l_orderkey AS VARCHAR)) AS canon_url,
+         concat('h', CAST(l_orderkey % 40 AS VARCHAR), '.example.org') AS host,
+         CAST(l_linenumber AS BIGINT) AS batch,
+         (l_partkey % 7 = 3) AS ok
+  FROM lineitem
+), per_url AS (
+  SELECT canon_url, host, CAST(count(*) AS BIGINT) AS n_attempts,
+         CAST(max(batch) AS BIGINT) AS last_batch,
+         max(CASE WHEN ok THEN 1 ELSE 0 END) AS any_ok
+  FROM attempts GROUP BY canon_url, host
+)
+SELECT canon_url, host, n_attempts, last_batch,
+       CASE WHEN any_ok = 1 THEN 'done'
+            WHEN n_attempts >= 4 THEN 'gave_up'
+            ELSE 'retry' END AS state,
+       CASE WHEN any_ok = 0 AND n_attempts < 4
+            THEN last_batch + least(1 << (n_attempts - 1), 64)
+       END AS next_due_batch
+FROM per_url
+"""
+
+QUERIES["c_retry_backoff"] = (c_retry_backoff, C_RETRY_BACKOFF_SQL)
+
+
+# --------------------------------------------------------------------------
+# Rendezvous host→shard assignment — operators/sharding.py. The oracle
+# recomputes the md5-derived weights and picks the arg-max with a
+# window; the engine's arg-max is a pure projection (array_max over
+# structs, no shuffle). Value equality pins weights AND tie order.
+
+
+def c_host_shard(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.sharding import assign_shards
+
+    o = t(spark, sf, "orders")
+    hosts = o.select(
+        F.concat(
+            F.lit("w"), (F.col("o_orderkey") % 7).cast("string"),
+            F.lit(".site"), (F.col("o_custkey") % 13).cast("string"),
+            F.lit(".example.org"),
+        ).alias("host")
+    ).distinct()
+    return assign_shards(hosts, n_shards=5)
+
+
+C_HOST_SHARD_SQL = """
+WITH hosts AS (
+  SELECT DISTINCT concat('w', CAST(o_orderkey % 7 AS VARCHAR),
+                         '.site', CAST(o_custkey % 13 AS VARCHAR),
+                         '.example.org') AS host
+  FROM orders
+), weighted AS (
+  SELECT host, s.s AS shard,
+         CAST(concat('0x', substring(md5(concat(host, '#', CAST(s.s AS VARCHAR))), 1, 15)) AS BIGINT) AS w
+  FROM hosts, (SELECT unnest(generate_series(0, 4)) AS s) s
+), ranked AS (
+  SELECT host, shard,
+         row_number() OVER (PARTITION BY host ORDER BY w DESC, shard DESC) AS r
+  FROM weighted
+)
+SELECT host, CAST(shard AS INTEGER) AS shard FROM ranked WHERE r = 1
+"""
+
+QUERIES["c_host_shard"] = (c_host_shard, C_HOST_SHARD_SQL)

@@ -1776,3 +1776,64 @@ QUERIES["r_recursive_cte"] = (
     r_recursive_cte,
     _RECURSIVE_SQL.format(customer="customer"),
 )
+
+
+# --------------------------------------------------------------------------
+# Correlated LATERAL join (Spark 4 `JOIN LATERAL` — DecorrelateInnerQuery
+# plans it as a ranked join, not a per-row rescan): top-2 orders per
+# customer written as a correlated subquery with ORDER BY + LIMIT.
+# DuckDB executes the same SQL with its own lateral-join operator, so
+# value equality pins Spark's decorrelation against a second engine.
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM {customer} c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM {orders} o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey % 10 = 3
+"""
+
+
+def r_join_lateral(spark: SparkSession, sf: str) -> DataFrame:
+    t(spark, sf, "customer").createOrReplaceTempView("_lat_customer")
+    t(spark, sf, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        _LATERAL_SQL.format(customer="_lat_customer", orders="_lat_orders")
+    )
+
+
+QUERIES["r_join_lateral"] = (
+    r_join_lateral,
+    _LATERAL_SQL.format(customer="customer", orders="orders"),
+)
+
+
+# --------------------------------------------------------------------------
+# Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+# NULL keys — the join form MERGE/SCD pipelines need for nullable
+# business keys. Keys are derived with NULLIF so both engines see real
+# NULLs in the join column.
+
+
+def r_join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
+    n = t(spark, sf, "nation").select(
+        "n_name", F.nullif(F.col("n_regionkey"), F.lit(2)).alias("nk")
+    )
+    r = t(spark, sf, "region").select(
+        "r_name", F.nullif(F.col("r_regionkey"), F.lit(2)).alias("rk")
+    )
+    return n.join(r, F.col("nk").eqNullSafe(F.col("rk"))).select(
+        "n_name", "r_name"
+    )
+
+
+R_JOIN_NULL_SAFE_SQL = """
+SELECT n_name, r_name
+FROM (SELECT n_name, nullif(n_regionkey, 2) AS nk FROM nation) n
+JOIN (SELECT r_name, nullif(r_regionkey, 2) AS rk FROM region) r
+  ON n.nk IS NOT DISTINCT FROM r.rk
+"""
+
+QUERIES["r_join_null_safe"] = (r_join_null_safe, R_JOIN_NULL_SAFE_SQL)

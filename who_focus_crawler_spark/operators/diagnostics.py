@@ -76,3 +76,40 @@ def skew_summary(df: DataFrame, key: Column) -> DataFrame:
         .cast("long")
         .alias("suggested_salt"),
     )
+
+
+def fairness_gini(df: DataFrame, key: Column) -> DataFrame:
+    """Gini coefficient of the per-key row-count distribution — one row
+    ``(n_keys, total_rows, s_rank_weighted, gini)``.
+
+    The scheduler-fairness gauge: how evenly did the crawl spread its
+    fetches across hosts? 0 = perfectly even, →1 = one host took
+    everything. Uses the rank formula over counts sorted ascending
+    (rank i = 1..n): G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i).
+
+    Σ i·x_i needs a GLOBAL rank over per-key counts; that rank is the
+    two-phase distributed sequencer (operators/sequencer.py) — no
+    single-task window even with hundreds of millions of distinct
+    hosts. All sums are exact integers; the one double division is the
+    final expression, so the value is engine-portable.
+    """
+    from who_focus_crawler_spark.operators.sequencer import global_row_number
+
+    counts = key_counts(df, key)
+    ranked = global_row_number(
+        counts, [F.asc("n"), F.asc("key")], out_col="_rank"
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.sum(F.col("_rank") * F.col("n")).cast("long").alias("s_rank_weighted"),
+    ).select(
+        "n_keys",
+        "total_rows",
+        "s_rank_weighted",
+        F.round(
+            (2.0 * F.col("s_rank_weighted") - (F.col("n_keys") + 1.0) * F.col("total_rows"))
+            / (F.col("n_keys").cast("double") * F.col("total_rows")),
+            6,
+        ).alias("gini"),
+    )
