@@ -481,3 +481,60 @@ def test_crawl_delay_budget_matches_golden(spark, tmp_path_factory):
         for r in mrows
     }
     assert gotm == golden.metrics
+
+
+def test_meta_robots_crawl_matches_golden(spark, tmp_path_factory):
+    """Robots META directives (opt-in web config): noindex pages are
+    fetched (hold a seq) but excluded from the documents corpus;
+    nofollow pages emit no discovery events. The whole crawl stays
+    byte-exact vs the sequential golden. Default goldens untouched
+    (meta_robots_every=None elsewhere)."""
+    from dataclasses import replace
+
+    from who_focus_crawler_spark.sources.fixture_web import meta_robots
+
+    web = replace(UNIT_WEB, meta_robots_every=4, max_batches=12)
+    cfg = CrawlConfig(
+        web=web,
+        checkpoint_dir=str(tmp_path_factory.mktemp("crawl_meta")),
+        num_buckets=8,
+    )
+    catalog = run_crawl(spark, cfg)
+    golden = run_golden(web)
+    rows = (
+        catalog.read_table(spark, "crawl_order", schemas.CRAWL_ORDER)
+        .orderBy("seq")
+        .collect()
+    )
+    got = [(r.seq, r.batch, r.canon_url, r.host, r.depth, r.seed_id) for r in rows]
+    assert got == golden.crawl_order
+    seen = {
+        r.canon_url
+        for r in catalog.read_table(spark, "url_seen", schemas.URL_SEEN).collect()
+    }
+    assert seen == golden.url_seen
+    # documents: byte-exact AND noindex exclusion on both sides
+    docs = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in catalog.read_table(
+            spark, "documents", schemas.DOCUMENTS_OUT
+        ).collect()
+    }
+    gold_docs = {
+        u: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in sp]
+        for u, sp in golden.documents.items()
+    }
+    assert docs == gold_docs
+    # non-vacuity: the crawl actually fetched noindex and nofollow pages
+    fetched_urls = [u for _, _, u, _, _, _ in golden.crawl_order]
+    noindexed = [u for u in fetched_urls if meta_robots(u, web)[0]]
+    nofollowed = [u for u in fetched_urls if meta_robots(u, web)[1]]
+    assert noindexed, "scenario vacuous: no noindex page fetched"
+    assert nofollowed, "scenario vacuous: no nofollow page fetched"
+    for u in noindexed:
+        assert u not in docs
+    # nofollow pages ARE indexed (unless also noindex) — only their
+    # links are suppressed
+    for u in nofollowed:
+        if not meta_robots(u, web)[0]:
+            assert u in docs

@@ -1120,3 +1120,26 @@ def test_schedule_retries_states(spark):
     )
     e = schedule_retries(many, max_attempts=99, max_delay=64).collect()[0]
     assert e.next_due_batch == 10 + 64
+
+
+def test_resize_nearest_known_values(spark):
+    import pytest as _pytest
+
+    from who_focus_crawler_spark.corpus.multimodal import resize_nearest
+
+    # 2x2 grid [[1,2],[3,4]] row-major
+    df = spark.createDataFrame([([1.0, 2.0, 3.0, 4.0],)], "px array<float>")
+    # identity resize
+    same = df.select(resize_nearest(F.col("px"), 2, 2, 2, 2).alias("o")).collect()[0].o
+    assert same == [1.0, 2.0, 3.0, 4.0]
+    # downsample to 1x1 -> top-left pixel (nearest with floor mapping)
+    one = df.select(resize_nearest(F.col("px"), 2, 2, 1, 1).alias("o")).collect()[0].o
+    assert one == [1.0]
+    # upsample to 4x4: each source pixel replicated 2x2
+    up = df.select(resize_nearest(F.col("px"), 2, 2, 4, 4).alias("o")).collect()[0].o
+    assert up == [1.0, 1.0, 2.0, 2.0,
+                  1.0, 1.0, 2.0, 2.0,
+                  3.0, 3.0, 4.0, 4.0,
+                  3.0, 3.0, 4.0, 4.0]
+    with _pytest.raises(ValueError):
+        resize_nearest(F.col("px"), 2, 2, 0, 1)

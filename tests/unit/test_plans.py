@@ -223,3 +223,36 @@ def test_runtime_bloom_filter_injected_for_big_joins(spark):
     )
     plain = li.join(o, li.l_orderkey == o.o_orderkey).groupBy().sum("l_quantity")
     assert with_bloom == plain.collect()[0][0]
+
+
+def test_shard_assignment_is_pure_projection(spark):
+    """Rendezvous sharding must not shuffle: the arg-max over per-shard
+    weights is a row-local array expression."""
+    from who_focus_crawler_spark.operators.sharding import assign_shards
+
+    hosts = spark.range(1000).select(
+        F.concat(F.lit("host"), F.col("id").cast("string")).alias("host")
+    )
+    plan = _plan(assign_shards(hosts, 8))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
+def test_two_phase_topk_has_no_window(spark):
+    """knn_join / ann_recall resolve per-query top-k via sorted-slice
+    aggregation — a per-query global window would funnel each query's
+    full score stream through one task."""
+    from who_focus_crawler_spark.corpus.similarity import knn_join
+
+    corpus = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 97).cast("float") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(knn_join(q, corpus, k=5))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan  # query side broadcasts

@@ -260,6 +260,35 @@ def dhash_pixels(payload: "F.Column") -> "F.Column":
     )
 
 
+def resize_nearest(
+    pixels: "F.Column", src_w: int, src_h: int, dst_w: int, dst_h: int
+) -> "F.Column":
+    """Nearest-neighbor resize of a row-major (src_h × src_w) flat pixel
+    array to (dst_h × dst_w) — the resize stage of the multimodal
+    pipeline (decode → feature-extract → RESIZE → frame-sample).
+
+    Pure index arithmetic inside one native `transform`: output pixel
+    (r, c) reads input pixel (⌊r·src_h/dst_h⌋, ⌊c·src_w/dst_w⌋). No
+    Python, no explode — at corpus scale this pipelines inside
+    whole-stage codegen next to the decode that produced the array."""
+    if src_w < 1 or src_h < 1 or dst_w < 1 or dst_h < 1:
+        raise ValueError("resize dimensions must be positive")
+
+    def src_index(i):
+        r = F.floor(i / dst_w)
+        c = i % dst_w
+        return (
+            F.floor(r * src_h / dst_h).cast("int") * src_w
+            + F.floor(c * src_w / dst_w).cast("int")
+            + 1
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dst_h * dst_w - 1)),
+        lambda i: F.element_at(pixels, src_index(i).cast("int")),
+    )
+
+
 def dhash_bands(payload: "F.Column") -> "F.Column":
     """The 64-bit dHash as array<int> of 4 16-bit band values (band k
     packs bits 16k..16k+15, little-endian). Bit (r, c) = 1 iff

@@ -434,3 +434,33 @@ def c4_filter(
         .withColumn(text_col, F.col("_c4_kept"))
         .drop("_c4_kept", "_c4_n")
     )
+
+
+# -------------------------------------------------------------- soft-404 ---
+
+# Error-page markers (lowercased-substring rules). A "soft 404" is an
+# error page served with HTTP 200 — crawlers must detect it from content
+# (Bar-Yossef, Broder, Kumar & Tomkins, "Sic transit gloria telae:
+# towards an understanding of the web's decay", WWW 2004) or the corpus
+# fills with boilerplate error shells.
+SOFT404_STRONG = ("page not found", "404 not found", "no longer available")
+SOFT404_WEAK = ("404", "not found", "error")
+
+
+def soft404_score(text: Column) -> Column:
+    """Soft-404 likelihood in integer points (long): +500 per strong
+    marker kind present, +100 per weak marker kind, +200 when the page
+    has fewer than 20 tokens (error shells are short). Integer
+    arithmetic end-to-end — bit-identical across engines; classify with
+    score >= 500."""
+    t = F.lower(text)
+    strong = sum(
+        (F.when(t.contains(m), F.lit(500)).otherwise(F.lit(0)) for m in SOFT404_STRONG),
+        F.lit(0),
+    )
+    weak = sum(
+        (F.when(t.contains(m), F.lit(100)).otherwise(F.lit(0)) for m in SOFT404_WEAK),
+        F.lit(0),
+    )
+    short = F.when(F.size(tokens(text)) < 20, F.lit(200)).otherwise(F.lit(0))
+    return (strong + weak + short).cast("long")

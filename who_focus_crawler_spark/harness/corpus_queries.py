@@ -2093,3 +2093,57 @@ GROUP BY e.query_id
 
 
 QUERIES["d_sim_ann_recall"] = (d_sim_ann_recall, _ann_recall_sql())
+
+
+# --------------------------------------------------------------------------
+# Multimodal resize (corpus/multimodal.py::resize_nearest): the 9×8
+# probe-pixel grid of each payload downsampled to 3×2 by nearest
+# neighbor — pure native index arithmetic; the oracle recomputes the
+# same ⌊r·src/dst⌋ mapping over the same hex-probed pixels.
+
+
+def d_media_resize(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    base = d.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    rz = MM.resize_nearest(
+        MM.dhash_pixels(F.col("payload")), src_w=9, src_h=8, dst_w=3, dst_h=2
+    )
+    out = base.select("media_id", rz.alias("_rz"))
+    return out.select(
+        "media_id",
+        *[
+            F.element_at("_rz", k + 1).cast("int").alias(f"p{k}")
+            for k in range(6)
+        ],
+    )
+
+
+D_MEDIA_RESIZE_SQL = """
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+px AS (
+  SELECT media_id,
+         list_transform(generate_series(0,71), i ->
+           CAST(('0x' || substring(h, CAST((i*(n-1))//71 AS BIGINT)*2 + 1, 2))
+                AS INTEGER)) AS p
+  FROM m
+),
+rz AS (
+  SELECT media_id,
+         list_transform(generate_series(0,5), i ->
+           p[((i//3)*8//2)*9 + ((i%3)*9//3) + 1]) AS q
+  FROM px
+)
+SELECT media_id, CAST(q[1] AS INTEGER) AS p0, CAST(q[2] AS INTEGER) AS p1,
+       CAST(q[3] AS INTEGER) AS p2, CAST(q[4] AS INTEGER) AS p3,
+       CAST(q[5] AS INTEGER) AS p4, CAST(q[6] AS INTEGER) AS p5
+FROM rz
+"""
+
+QUERIES["d_media_resize"] = (d_media_resize, D_MEDIA_RESIZE_SQL)

@@ -2147,3 +2147,65 @@ SELECT host, CAST(shard AS INTEGER) AS shard FROM ranked WHERE r = 1
 """
 
 QUERIES["c_host_shard"] = (c_host_shard, C_HOST_SHARD_SQL)
+
+
+# --------------------------------------------------------------------------
+# Soft-404 detection — corpus/text.py::soft404_score. The synthetic
+# corpus has no error pages, so ~1/17 docs get an error banner grafted
+# on (and ~1/13 a weak 'error' mention) before scoring — both engines
+# transform identically, so detection is non-vacuous AND value-exact.
+
+
+def c_soft404(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.text import soft404_score
+
+    d = t(spark, sf, "documents")
+    page = (
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.lit("Error 404 page not found. "), F.col("text")),
+        )
+        .when(F.col("doc_id") % 13 == 0, F.concat(F.lit("error: "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    s = soft404_score(page)
+    return d.select(
+        "doc_id",
+        s.alias("soft404_points"),
+        (s >= 500).alias("is_soft404"),
+    )
+
+
+C_SOFT404_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN 'Error 404 page not found. ' || text
+              WHEN doc_id % 13 = 0 THEN 'error: ' || text
+              ELSE text END AS page
+  FROM documents
+), lowered AS (
+  SELECT doc_id, lower(page) AS t, page FROM pages
+)
+SELECT doc_id,
+       CAST(
+         (CASE WHEN t LIKE '%page not found%' THEN 500 ELSE 0 END)
+       + (CASE WHEN t LIKE '%404 not found%' THEN 500 ELSE 0 END)
+       + (CASE WHEN t LIKE '%no longer available%' THEN 500 ELSE 0 END)
+       + (CASE WHEN t LIKE '%404%' THEN 100 ELSE 0 END)
+       + (CASE WHEN t LIKE '%not found%' THEN 100 ELSE 0 END)
+       + (CASE WHEN t LIKE '%error%' THEN 100 ELSE 0 END)
+       + (CASE WHEN len(regexp_extract_all(lower(page), '[a-z0-9]+')) < 20
+               THEN 200 ELSE 0 END)
+       AS BIGINT) AS soft404_points,
+       ((CASE WHEN t LIKE '%page not found%' THEN 500 ELSE 0 END)
+       + (CASE WHEN t LIKE '%404 not found%' THEN 500 ELSE 0 END)
+       + (CASE WHEN t LIKE '%no longer available%' THEN 500 ELSE 0 END)
+       + (CASE WHEN t LIKE '%404%' THEN 100 ELSE 0 END)
+       + (CASE WHEN t LIKE '%not found%' THEN 100 ELSE 0 END)
+       + (CASE WHEN t LIKE '%error%' THEN 100 ELSE 0 END)
+       + (CASE WHEN len(regexp_extract_all(lower(page), '[a-z0-9]+')) < 20
+               THEN 200 ELSE 0 END)) >= 500 AS is_soft404
+FROM lowered
+"""
+
+QUERIES["c_soft404"] = (c_soft404, C_SOFT404_SQL)

@@ -22,12 +22,30 @@ from who_focus_crawler_spark.functions.urls import (
 )
 
 
+def has_meta_directive(spans, directive: str):
+    """TRUE iff the span sequence carries a robots-meta span with the
+    given directive (noindex / nofollow) — native `exists` over the
+    array, no explode, no Python. Twin of
+    sources/fixture_web.span_meta_directives."""
+    return F.exists(
+        spans,
+        lambda s: (s["kind"] == F.lit("meta"))
+        & F.coalesce(s["text"].contains(directive), F.lit(False)),
+    )
+
+
 def discover_links(fetched: DataFrame, num_buckets: int) -> DataFrame:
     """fetched docs → one row per (valid) link occurrence, in doc order.
 
     Columns: target_url/url_hash/host/host_bucket, depth (child), seed_id,
     parent_hash, parent_host, parent_seq, offset, batch.
+
+    Pages whose body carries a robots-meta `nofollow` directive emit NO
+    discovery events (the meta-tag companion of RFC 9309) — the check is
+    an array predicate on the already-fetched spans, evaluated before
+    the explode so nofollow pages never cost discovery bandwidth.
     """
+    fetched = fetched.filter(~has_meta_directive(F.col("spans"), "nofollow"))
     links = fetched.select(
         F.col("seq").alias("parent_seq"),
         F.col("batch"),

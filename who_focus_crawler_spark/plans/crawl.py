@@ -353,9 +353,13 @@ def run_batch(
     crawl_order_delta = fetched.select(
         "seq", "batch", "canon_url", "url_hash", "host", "depth", "seed_id"
     )
-    documents_delta = fetched.select(
-        F.col("canon_url").alias("doc_id"), "spans", "batch"
-    )
+    # robots-meta noindex: the page was fetched (it holds its seq in
+    # crawl_order) but its content stays out of the documents corpus
+    from who_focus_crawler_spark.operators.discover import has_meta_directive
+
+    documents_delta = fetched.filter(
+        ~has_meta_directive(F.col("spans"), "noindex")
+    ).select(F.col("canon_url").alias("doc_id"), "spans", "batch")
 
     _mark("plan_rest")
     catalog.commit(

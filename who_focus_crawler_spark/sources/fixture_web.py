@@ -54,6 +54,12 @@ class WebConfig:
     # slot + seq like any HTTP round trip; the target enters discovery
     # like a link). None = no redirects (frozen v1, goldens unchanged)
     redirect_every: int | None = None
+    # Robots META tag (<meta name="robots">): roughly 1/meta_robots_every
+    # content pages carry noindex and/or nofollow directives, emitted as
+    # a leading 'meta' span. noindex = the page is crawled but excluded
+    # from the documents corpus; nofollow = none of its links enter
+    # discovery. None = no meta directives (frozen v1, goldens unchanged)
+    meta_robots_every: int | None = None
 
     def pages_per_host(self) -> list[int]:
         hot = max(1, int(self.n_pages * self.hot_host_frac))
@@ -270,6 +276,33 @@ def redirect_target(canon_url: str, cfg: WebConfig) -> str | None:
     return page_url(i, j2)
 
 
+def meta_robots(canon_url: str, cfg: WebConfig) -> tuple[bool, bool]:
+    """(noindex, nofollow) robots-meta directives of a content page.
+
+    Deterministic: a page carries directives iff h64(url|meta) %
+    meta_robots_every == 0; the variant hash picks noindex, nofollow,
+    or both. Redirect pages never carry directives (their body is the
+    Location header)."""
+    if cfg.meta_robots_every is None:
+        return (False, False)
+    if h64(f"{canon_url}|meta") % cfg.meta_robots_every != 0:
+        return (False, False)
+    v = h64(f"{canon_url}|metakind") % 3
+    return (v != 1, v != 0)  # 0: noindex only, 1: nofollow only, 2: both
+
+
+def span_meta_directives(spans: list[dict]) -> tuple[bool, bool]:
+    """(noindex, nofollow) parsed from a span sequence — the consumer
+    side of `meta_robots`, shared by the golden crawler; the Spark twin
+    is operators/discover.py::has_meta_directive."""
+    noindex = nofollow = False
+    for s in spans:
+        if s["kind"] == "meta" and s["text"]:
+            noindex = noindex or "noindex" in s["text"]
+            nofollow = nofollow or "nofollow" in s["text"]
+    return (noindex, nofollow)
+
+
 def synth_spans(canon_url: str, cfg: WebConfig) -> list[dict]:
     """The page body: ordered spans interleaving text/media/link.
 
@@ -289,6 +322,15 @@ def synth_spans(canon_url: str, cfg: WebConfig) -> list[dict]:
     n_spans = 3 + seed % 10
     spans: list[dict] = []
     offset = 0
+    noindex, nofollow = meta_robots(canon_url, cfg)
+    if noindex or nofollow:
+        directives = ",".join(
+            d for d, on in (("noindex", noindex), ("nofollow", nofollow)) if on
+        )
+        spans.append(
+            {"kind": "meta", "text": directives, "media_ref": None, "offset": 0}
+        )
+        offset += len(directives)
     prev_link: str | None = None
     # which host is this page on (for same-host link bias)?
     try:

@@ -35,6 +35,7 @@ from who_focus_crawler_spark.sources.fixture_web import (
     robots_crawl_delay,
     robots_rules,
     seed_urls,
+    span_meta_directives,
     synth_spans,
 )
 
@@ -155,7 +156,14 @@ def run_golden(cfg: WebConfig, max_batches: int | None = None) -> GoldenResult:
         events: list[tuple[int, int, str, FrontierEntry]] = []
         for pseq, e in fetched:
             spans = synth_spans(e.canon_url, cfg)
-            res.documents[e.canon_url] = spans
+            # robots META directives (span-driven, like the engine):
+            # noindex pages are fetched but stay out of the documents
+            # corpus; nofollow pages emit no discovery events at all
+            noindex, nofollow = span_meta_directives(spans)
+            if not noindex:
+                res.documents[e.canon_url] = spans
+            if nofollow:
+                continue
             for target, off in extract_links(spans, e.canon_url):
                 m(e.host)["discovered"] += 1
                 events.append((pseq, off, target, e))
