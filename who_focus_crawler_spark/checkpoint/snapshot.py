@@ -1011,3 +1011,111 @@ class SnapshotCatalog:
             "files_after": num_files,
             "deletes_applied": len(live_deletes),
         }
+
+    # --------------------------------------------------- incremental scan
+    def incremental_scan(
+        self,
+        spark: SparkSession,
+        name: str,
+        schema: T.StructType,
+        from_snapshot: int,
+        to_snapshot: int | str | None = None,
+    ) -> DataFrame | None:
+        """Iceberg incremental APPEND scan: only the rows appended to
+        ``name`` strictly after ``from_snapshot`` and at or before
+        ``to_snapshot`` (default HEAD) — the feed-the-downstream-job-
+        only-the-new-crawl-output primitive.
+
+        File-sets carry the snapshot id they were committed at in their
+        path (the shim's sequence number), so the delta is a pure
+        manifest filter: no data of the base snapshot is opened, read,
+        or shuffled. Matches Iceberg's own restriction: the range must
+        be append-only — a compaction rewrite in range re-publishes old
+        rows under a new sequence number, and row-level deletes change
+        visibility retroactively, so both REFUSE rather than silently
+        over- or under-report.
+        """
+        to_sid = self._resolve(to_snapshot)
+        if to_sid is None:
+            return None
+        if from_snapshot > to_sid:
+            raise ValueError(
+                f"incremental_scan: from_snapshot {from_snapshot} is after "
+                f"to_snapshot {to_sid}"
+            )
+        manifest = self.manifest(to_sid)
+        files = manifest["tables"].get(name, [])
+        new = [
+            f
+            for f in files
+            if from_snapshot < self._file_sid(f) <= to_sid
+        ]
+        for f in new:
+            if Path(f).name.startswith("compact-"):
+                raise ValueError(
+                    "incremental_scan: range crosses a compaction rewrite "
+                    f"({Path(f).name}) — re-baseline from that snapshot"
+                )
+        if any(
+            from_snapshot < d["sid"] <= to_sid
+            for d in manifest.get("deletes", {}).get(name, [])
+        ):
+            raise ValueError(
+                "incremental_scan: range contains row-level deletes — "
+                "the delta is not append-only"
+            )
+        if not new:
+            return None
+        return spark.read.schema(schema).parquet(*new)
+
+    # ---------------------------------------------------- orphan cleanup
+    def remove_orphan_files(self) -> dict:
+        """Delete data file-sets referenced by NO existing manifest —
+        the debris of a crash between data write and manifest publish
+        (Iceberg's remove_orphan_files maintenance action).
+
+        Referenced = every table file-set and delete file listed by any
+        manifest still on disk (expire_snapshots already bounds that
+        set). Safe by construction for this single-driver shim: a
+        concurrent commit writes data BEFORE its manifest, so anything
+        unreferenced at scan time with a snapshot id ≤ an EXISTING
+        manifest's id can never become referenced later; file-sets with
+        ids beyond every known manifest are left alone (they may belong
+        to an in-flight commit).
+        """
+        import shutil
+
+        referenced: set[str] = set()
+        max_known = -1
+        for mp in sorted(self.root.glob("manifest-*.json")):
+            man = json.loads(mp.read_text())
+            max_known = max(max_known, int(man["snapshot_id"]))
+            for files in man.get("tables", {}).values():
+                referenced.update(str(Path(f)) for f in files)
+            for ds in man.get("deletes", {}).values():
+                referenced.update(str(Path(d["path"])) for d in ds)
+        removed: list[str] = []
+        kept_inflight = 0
+        data_root = self.root / "data"
+        if data_root.exists():
+            for table_dir in sorted(data_root.iterdir()):
+                if not table_dir.is_dir():
+                    continue
+                for file_set in sorted(table_dir.iterdir()):
+                    p = str(file_set)
+                    if p in referenced:
+                        continue
+                    try:
+                        sid = self._file_sid(p)
+                    except (ValueError, IndexError):
+                        sid = None
+                    if sid is not None and sid > max_known:
+                        kept_inflight += 1  # possibly an in-flight commit
+                        continue
+                    shutil.rmtree(file_set)
+                    removed.append(p)
+        return {
+            "removed": len(removed),
+            "kept_inflight": kept_inflight,
+            "paths": removed,
+        }
