@@ -71,3 +71,52 @@ def test_filter_by_dup_coverage(spark):
         .collect()
     }
     assert kept_all == {1, 2, 3, 4}
+
+
+def test_remove_dup_runs_excises_shared_phrase(spark):
+    from who_focus_crawler_spark.corpus.substring import remove_dup_runs
+
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in remove_dup_runs(_corpus(spark), n=3).collect()
+    }
+    # doc1: dup gram starts at pos 1 ("the quick fox") → positions 1-3
+    # removed, "jumps high" survives
+    assert out[1] == (5, 3, "jumps high")
+    # doc2: dup starts at pos 2 and 6 → positions 2-4 and 6-8 removed;
+    # kept = "see", "and", "again"
+    assert out[2] == (9, 6, "see and again")
+    # untouched docs: rebuilt text = whitespace-normalized original
+    assert out[3] == (4, 0, "entirely different words here")
+    # short doc (< n tokens, zero grams) passes through intact
+    assert out[4] == (1, 0, "ab")
+
+
+def test_remove_dup_runs_unique_corpus_unchanged(spark):
+    from who_focus_crawler_spark.corpus.substring import remove_dup_runs
+
+    rows = [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")]
+    out = remove_dup_runs(
+        spark.createDataFrame(rows, ["doc_id", "text"]), n=2
+    ).collect()
+    assert all(r.n_removed == 0 for r in out)
+    assert {r.clean_text for r in out} == {
+        "alpha beta gamma delta",
+        "epsilon zeta eta theta",
+    }
+
+
+def test_remove_dup_runs_overlapping_grams_cover_once(spark):
+    from who_focus_crawler_spark.corpus.substring import remove_dup_runs
+
+    # shared 4-token run "a b c d" → two overlapping dup trigrams in each
+    # doc; covered set is the union of their windows, counted once
+    rows = [(1, "a b c d x"), (2, "y a b c d")]
+    out = {
+        r.doc_id: (r.n_removed, r.clean_text)
+        for r in remove_dup_runs(
+            spark.createDataFrame(rows, ["doc_id", "text"]), n=3
+        ).collect()
+    }
+    assert out[1] == (4, "x")
+    assert out[2] == (4, "y")

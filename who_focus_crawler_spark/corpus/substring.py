@@ -98,6 +98,96 @@ def dup_ngram_coverage(
     )
 
 
+def remove_dup_runs(
+    docs: DataFrame,
+    n: int = 5,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Excise cross-document duplicated runs and rebuild each doc's text.
+
+    Lee et al. (ACL 2022) drop the duplicated *substrings* themselves,
+    not whole documents — boilerplate disappears while the unique prose
+    survives. Positional form of that rule: a token position is removed
+    iff it is covered by at least one n-gram (starting in
+    ``[pos-n+1, pos]``) that occurs in ≥ 2 distinct documents; the
+    surviving tokens are re-joined in order with single spaces.
+
+    Output: ``(doc_id, n_tokens, n_removed, clean_text)`` — integer
+    counts plus the rebuilt text, all engine-portable (frozen tokenizer +
+    md5-60-bit gram hashes), so the DuckDB oracle checks the rebuilt
+    strings byte-for-byte.
+
+    Shapes at 100 TB:
+      - the duplicate-gram test shuffles only ``(gram_hash, doc_id)``
+        pairs (hashed before the exchange — gram text never moves);
+      - covered positions are a slim ``(doc_id, pos)`` anti-join feed;
+      - the rebuild groups each doc's kept tokens once — O(corpus
+        tokens), the floor for any operator that rewrites text;
+      - the token table is derived once and lazily checkpointed — three
+        consumers (grams, totals, rebuild) share one tokenize pass.
+    """
+    base = docs.select(doc_col, text_col).filter(F.col(doc_col).isNotNull())
+    tk = base.select(
+        doc_col, tokens(F.col(text_col)).alias("tk")
+    ).localCheckpoint(eager=False)
+    # 1-based positions to match the SQL twin's generate_series(1, …)
+    toks = tk.select(
+        doc_col, F.posexplode(F.col("tk")).alias("p0", "tok")
+    ).select(doc_col, (F.col("p0") + 1).alias("pos"), "tok")
+    grams = tk.select(
+        doc_col,
+        F.posexplode(positional_ngrams(F.col("tk"), n)).alias("g0", "gram"),
+    ).select(
+        doc_col,
+        (F.col("g0") + 1).alias("pos"),
+        md5_hash60(F.col("gram")).alias("g"),
+    )
+    dup_grams = (
+        grams.select(doc_col, "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    covered = (
+        grams.join(dup_grams, "g", "left_semi")
+        .select(
+            doc_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, [doc_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(doc_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = tk.select(doc_col, F.size("tk").cast("long").alias("n_tokens"))
+    return (
+        totals.join(rebuilt, doc_col, "left")
+        .select(
+            doc_col,
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def filter_by_dup_coverage(
     docs: DataFrame,
     n: int = 5,

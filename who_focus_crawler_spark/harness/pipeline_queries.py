@@ -199,6 +199,62 @@ QUERIES["d_dup_ngrams"] = (d_dup_ngrams, D_DUP_NGRAMS_SQL)
 
 
 # --------------------------------------------------------------------------
+# Duplicated-run REMOVAL (exact-substring dedup, Lee et al. ACL 2022 shape):
+# excise every token covered by a cross-document duplicated n-gram and
+# rebuild the text — the oracle checks the rebuilt strings byte-for-byte.
+
+
+def d_dup_remove(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return SUB.remove_dup_runs(d, n=_DUP_N)
+
+
+D_DUP_REMOVE_SQL = f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+toks AS (
+  SELECT doc_id, i AS pos, tk[i] AS tok
+  FROM tk, LATERAL unnest(generate_series(1, len(tk))) AS u(i)
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         CAST(concat('0x', substring(md5(
+           array_to_string(list_slice(tk, i, i + {_DUP_N - 1}), ' ')
+         ), 1, 15)) AS BIGINT) AS g
+  FROM tk,
+       LATERAL unnest(generate_series(1, greatest(len(tk) - {_DUP_N - 1}, 0))) AS u(i)
+),
+dupg AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+  WHERE df >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, cp FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + {_DUP_N - 1})) AS cp
+    FROM grams WHERE g IN (SELECT g FROM dupg)
+  )
+),
+kept AS (
+  SELECT tt.doc_id, tt.pos, tt.tok FROM toks tt
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c WHERE c.doc_id = tt.doc_id AND c.cp = tt.pos
+  )
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       CAST(len(tk.tk) AS BIGINT) AS n_tokens,
+       CAST(len(tk.tk) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM tk LEFT JOIN agg USING (doc_id)
+"""
+
+QUERIES["d_dup_remove"] = (d_dup_remove, D_DUP_REMOVE_SQL)
+
+
+# --------------------------------------------------------------------------
 # Weighted sampling without replacement (Efraimidis–Espirakis A-ES)
 
 
