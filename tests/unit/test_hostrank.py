@@ -62,3 +62,49 @@ def test_hostrank_matches_python_reference(spark):
             for v in nodes
         }
     assert got == rank
+
+
+def test_opic_matches_python_reference_with_dangling(spark):
+    from who_focus_crawler_spark.operators.hostrank import opic
+
+    # d is a sink: its cash must route through the virtual-page pool
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "d")]
+    iters = 5
+    got = {
+        r.host: (r.cash_units, r.history_units)
+        for r in opic(_edges(spark, pairs), n_iters=iters, scale=SCALE).collect()
+    }
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    deg: dict = {}
+    for s, _ in pairs:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    cash = {v: SCALE // n for v in nodes}
+    hist = dict.fromkeys(nodes, 0)
+    for _ in range(iters):
+        in_sum = dict.fromkeys(nodes, 0)
+        for s, d in pairs:
+            in_sum[d] += cash[s] // deg[s]
+        vpool = sum(cash[v] for v in nodes if v not in deg)
+        new_cash = {v: in_sum[v] + vpool // n for v in nodes}
+        hist = {v: hist[v] + cash[v] for v in nodes}
+        cash = new_cash
+    assert got == {v: (cash[v], hist[v]) for v in nodes}
+    # total mass is conserved up to floor deflation, never created
+    assert sum(c for c, _ in got.values()) <= SCALE
+
+
+def test_opic_parallelism_invariance(spark):
+    from who_focus_crawler_spark.operators.hostrank import opic
+
+    pairs = [(f"n{i % 17}", f"n{(i * 7 + 3) % 17}") for i in range(60)]
+    e = _edges(spark, [(s, d) for s, d in pairs if s != d])
+    one = {
+        r.host: (r.cash_units, r.history_units)
+        for r in opic(e.repartition(1), n_iters=4).collect()
+    }
+    many = {
+        r.host: (r.cash_units, r.history_units)
+        for r in opic(e.repartition(13), n_iters=4).collect()
+    }
+    assert one == many

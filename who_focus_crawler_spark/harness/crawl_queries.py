@@ -2003,6 +2003,90 @@ QUERIES["c_hits"] = (c_hits, _hits_sql())
 
 
 # --------------------------------------------------------------------------
+# OPIC online importance — operators/hostrank.py::opic on the TrustRank
+# graph PLUS a planted sink host "z9" (h→z9 edges, no outlinks) so the
+# dangling-cash / virtual-page redistribution path is non-vacuous. The
+# oracle unrolls the same integer cash propagation as a CTE chain;
+# value equality pins per-edge floor division, the banked history sums,
+# AND the virtual-page pool arithmetic.
+
+_OP_ITERS, _OP_SCALE = 6, 10**9
+
+
+def _opic_edges(spark: SparkSession, sf: str) -> DataFrame:
+    sink = t(spark, sf, "orders").filter(F.col("o_orderkey") % 13 == 0).select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 12).cast("string")).alias("src"),
+        F.lit("z9").alias("dst"),
+    )
+    return _tr_edges(spark, sf).unionByName(sink)
+
+
+def c_opic(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.hostrank import opic
+
+    return opic(_opic_edges(spark, sf), n_iters=_OP_ITERS, scale=_OP_SCALE)
+
+
+def _opic_sql() -> str:
+    step = """, in{i} AS MATERIALIZED (
+  SELECT e.dst AS host, sum(s.cash // d.d) AS in_sum
+  FROM edges e JOIN s{prev} s ON e.src = s.host JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), vp{i} AS (
+  SELECT coalesce(sum(s.cash), 0) AS vp
+  FROM s{prev} s LEFT JOIN deg d ON s.host = d.src WHERE d.src IS NULL
+), s{i} AS MATERIALIZED (
+  SELECT s.host,
+         CAST(coalesce(f.in_sum, 0) + (vp.vp // nn.n) AS BIGINT) AS cash,
+         CAST(s.hist + s.cash AS BIGINT) AS hist
+  FROM s{prev} s
+  LEFT JOIN in{i} f ON s.host = f.host
+  CROSS JOIN vp{i} vp CROSS JOIN nn
+)"""
+    sql = f"""
+WITH raw AS (
+  SELECT concat('h', CAST(o_custkey % 12 AS VARCHAR)) AS src,
+         concat('h', CAST(o_orderkey % 7 AS VARCHAR)) AS dst
+  FROM orders
+  UNION ALL
+  SELECT concat('s', CAST(o_orderkey % 5 AS VARCHAR)),
+         concat('s', CAST((o_orderkey + 1) % 5 AS VARCHAR))
+  FROM orders WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT concat('s', CAST(o_orderkey % 5 AS VARCHAR)),
+         concat('h', CAST(o_orderkey % 7 AS VARCHAR))
+  FROM orders WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT concat('h', CAST(o_custkey % 12 AS VARCHAR)),
+         concat('s', CAST(o_orderkey % 5 AS VARCHAR))
+  FROM orders WHERE o_orderkey % 101 = 0
+  UNION ALL
+  SELECT concat('h', CAST(o_custkey % 12 AS VARCHAR)), 'z9'
+  FROM orders WHERE o_orderkey % 13 = 0
+), edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+), nodes AS MATERIALIZED (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+), deg AS MATERIALIZED (
+  SELECT src, count(*) AS d FROM edges GROUP BY src
+), nn AS (SELECT count(*) AS n FROM nodes),
+s0 AS MATERIALIZED (
+  SELECT host, CAST({_OP_SCALE} // nn.n AS BIGINT) AS cash,
+         CAST(0 AS BIGINT) AS hist
+  FROM nodes CROSS JOIN nn
+)"""
+    for i in range(1, _OP_ITERS + 1):
+        sql += step.format(i=i, prev=i - 1)
+    sql += f"""
+SELECT host, cash AS cash_units, hist AS history_units FROM s{_OP_ITERS}
+"""
+    return sql
+
+
+QUERIES["c_opic"] = (c_opic, _opic_sql())
+
+
+# --------------------------------------------------------------------------
 # Scheduler fairness — operators/diagnostics.py::fairness_gini. Gini of
 # the per-host fetch-count distribution on the same deliberately skewed
 # synthetic frontier as c_hot_hosts (two hot hosts ⇒ a clearly nonzero

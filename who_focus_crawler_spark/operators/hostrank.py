@@ -291,3 +291,95 @@ def _linf_normalize(nodes, raw, scale, out_col):
             .alias(out_col),
         )
     )
+
+
+def opic(
+    edges: DataFrame,
+    n_iters: int = 8,
+    scale: int = 10**9,
+    checkpoint_each: bool = True,
+) -> DataFrame:
+    """OPIC — Adaptive On-Line Page Importance Computation (Abiteboul,
+    Preda, Cobena, WWW 2003) over (src, dst) host edges, in integer
+    cash units → (host, cash_units, history_units).
+
+    The crawler-native importance measure: each host holds *cash*;
+    every round (= every time the scheduler touches it) a host banks
+    its cash into *history* and distributes it equally over its
+    outlinks. Dangling hosts pay into the virtual page, whose pool is
+    redistributed uniformly next round. Importance ≈ history + cash —
+    available ONLINE, after any prefix of the crawl, which is why OPIC
+    (not offline PageRank) is the classic frontier-priority signal.
+
+    All arithmetic is integer floor division in 1/scale units (same
+    rationale as :func:`host_rank`: long sums are order-independent, so
+    results are bit-identical across engines and parallelism, and the
+    DuckDB oracle is a finite CTE chain). Floor deflation only ever
+    loses mass — rankings are unaffected.
+
+    Scale shape per round: one join (cash ⋈ edges on src, pre-divided
+    by out-degree) + one groupBy(dst) sum, O(|edges|) shuffled on host
+    keys; the dangling pool is a scalar aggregate broadcast back into
+    the plan. State is localCheckpointed per round to keep lineage flat
+    over long crawls.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    if checkpoint_each:
+        e = e.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    total = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    state = (
+        nodes.crossJoin(F.broadcast(total))
+        .select(
+            "host",
+            (F.lit(scale) / F.col("_n")).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("hist"),
+            "_n",
+        )
+    )
+    if checkpoint_each:
+        state = state.localCheckpoint(eager=False)
+    dangling = nodes.join(
+        out_deg.select(F.col("src").alias("host")), "host", "left_anti"
+    )
+    for _ in range(n_iters):
+        inflow = (
+            e.join(state.select(F.col("host").alias("src"), "cash"), "src")
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("host"),
+                (F.col("cash") / F.col("out_deg")).cast("long").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        vpool = (
+            state.join(dangling, "host", "left_semi")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0)).alias("_vp"))
+        )
+        state = (
+            state.join(inflow, "host", "left")
+            .crossJoin(F.broadcast(vpool))
+            .select(
+                "host",
+                (
+                    F.coalesce(F.col("in_sum"), F.lit(0))
+                    + (F.col("_vp") / F.col("_n")).cast("long")
+                ).cast("long").alias("cash"),
+                (F.col("hist") + F.col("cash")).cast("long").alias("hist"),
+                "_n",
+            )
+        )
+        if checkpoint_each:
+            state = state.localCheckpoint(eager=False)
+    return state.select(
+        "host",
+        F.col("cash").cast("long").alias("cash_units"),
+        F.col("hist").cast("long").alias("history_units"),
+    )
