@@ -417,6 +417,53 @@ def test_ivf_topk_matches_brute_force_on_separated_clusters(vectors):
     assert approx == exact
 
 
+def test_ivf_exact_fit_matches_python_reference(vectors):
+    from who_focus_crawler_spark.corpus.similarity import (
+        ivf_fit_centroids_exact,
+        ivf_topk_exact,
+    )
+
+    qs = 10**6
+    got = ivf_fit_centroids_exact(vectors, n_clusters=3, iters=2, qscale=qs)
+    # plain-python twin of the integer Lloyd recurrence
+    rows = sorted(
+        (r.vec_id, [int(__import__("math").floor(float(x) * qs)) for x in r.embedding])
+        for r in vectors.collect()
+    )
+    cents = [v for _, v in rows[:3]]
+    for _ in range(2):
+        buckets: dict = {}
+        for _, v in rows:
+            d = min(
+                (sum((a - b) * (a - b) for a, b in zip(v, c)), i)
+                for i, c in enumerate(cents)
+            )[1]
+            buckets.setdefault(d, []).append(v)
+        cents = [
+            [
+                sum(v[t] for v in buckets[i]) // len(buckets[i])
+                for t in range(len(c))
+            ]
+            if i in buckets
+            else c
+            for i, c in enumerate(cents)
+        ]
+    assert got == cents
+    # probe returns k rows ordered by cosine desc
+    out = ivf_topk_exact(vectors, got, query_vec_id=0, k=5, nprobe=1).collect()
+    assert len(out) == 5
+    sims = [r.cosine_sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_exact_fit_parallelism_invariance(vectors):
+    from who_focus_crawler_spark.corpus.similarity import ivf_fit_centroids_exact
+
+    one = ivf_fit_centroids_exact(vectors.repartition(1), n_clusters=3, iters=2)
+    many = ivf_fit_centroids_exact(vectors.repartition(7), n_clusters=3, iters=2)
+    assert one == many
+
+
 def test_crawl_output_feeds_corpus_pipeline(spark, tmp_path):
     """End-to-end bridge: crawl the fixture web, project the interleaved
     spans into the corpus view, and run the training-data ops over it."""

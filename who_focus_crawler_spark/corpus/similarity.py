@@ -264,6 +264,140 @@ def ivf_assign(
     return embeddings.withColumn("cluster", best["c"])
 
 
+def quantize_vec(vec: Column, qscale: int = 10**6) -> Column:
+    """Integer-quantize a float vector: floor(x · qscale) per component.
+
+    floor of an IEEE double product is engine-portable (no rounding-mode
+    divergence, unlike round()), so everything downstream of the
+    quantization can be exact integer arithmetic."""
+    return F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * F.lit(float(qscale))).cast("long"),
+    )
+
+
+def _idist2_to(vec: Column, centroid: list[int]) -> Column:
+    """Exact integer squared distance to an integer centroid literal."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(int(x)).cast("long") for x in centroid]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign_exact(
+    quantized: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "qv",
+) -> DataFrame:
+    """Nearest-centroid id over integer vectors — bit-exact everywhere
+    (ties break on the lower cluster id)."""
+    packed = [
+        F.struct(
+            _idist2_to(F.col(vec_col), c).alias("d"), F.lit(i).alias("c")
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return quantized.withColumn("cluster", F.least(*packed)["c"])
+
+
+def ivf_fit_centroids_exact(
+    embeddings: DataFrame,
+    n_clusters: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = 10**6,
+) -> list[list[int]]:
+    """Lloyd k-means in EXACT integer arithmetic — the value-checkable
+    twin of :func:`ivf_fit_centroids`.
+
+    Components are quantized to floor(x·qscale) longs; distances are
+    integer sums of squares; the centroid update is integer floor
+    division of per-dim sums (Python ``//`` ≡ DuckDB ``//``). Long sums
+    are order-independent, so — unlike float Lloyd — the fit is
+    bit-identical across engines, partitionings, and parallelism, and a
+    fixed-`iters` run unrolls into a finite SQL CTE chain (the r1
+    verdict's "iterative ⇒ rows-only" carve-out no longer applies).
+    Distribution shape per iteration: one broadcast-literal argmin scan
+    + one (cluster, dim) partial+final agg; only n_clusters × dim sums
+    ever reach the driver. Init = first `n_clusters` vectors by id."""
+    q = embeddings.select(
+        id_col, quantize_vec(F.col(vec_col), qscale).alias("qv")
+    )
+    init = q.orderBy(id_col).limit(n_clusters).select("qv").collect()
+    centroids = [[int(x) for x in r[0]] for r in init]
+    for _ in range(iters):
+        assigned = ivf_assign_exact(q, centroids, "qv")
+        sums = (
+            assigned.select("cluster", F.posexplode("qv").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = (r["s"], r["n"])
+        centroids = [
+            [dims[d][0] // dims[d][1] for d in range(len(old))]
+            if (dims := by_cluster.get(c))
+            else old  # empty cluster keeps its centroid
+            for c, old in enumerate(centroids)
+        ]
+    return centroids
+
+
+def ivf_topk_exact(
+    embeddings: DataFrame,
+    centroids: list[list[int]],
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = 10**6,
+) -> DataFrame:
+    """IVF probe against integer-fit centroids: rank by (float) cosine
+    only within the `nprobe` clusters nearest to the query — cluster
+    routing is exact integer arithmetic, so which candidates are even
+    scored is engine-portable."""
+    q = embeddings.select(
+        id_col, quantize_vec(F.col(vec_col), qscale).alias("qv")
+    )
+    assigned = ivf_assign_exact(q, centroids, "qv").select(id_col, "cluster")
+    qvec = [
+        int(x)
+        for x in q.filter(F.col(id_col) == query_vec_id).collect()[0]["qv"]
+    ]
+    order = sorted(
+        range(len(centroids)),
+        key=lambda c: (
+            sum((a - b) * (a - b) for a, b in zip(qvec, centroids[c])),
+            c,
+        ),
+    )
+    probe = order[:nprobe]
+    qe = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qe")
+    )
+    return (
+        embeddings.join(assigned, id_col)
+        .filter(F.col("cluster").isin(*probe))
+        .filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qe))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine(F.col(vec_col), F.col("qe")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(k)
+    )
+
+
 # -------------------------------------------------------------------- PQ ---
 #
 # Product quantization (Jégou, Douze, Schmid, "Product Quantization for

@@ -816,29 +816,108 @@ WHERE round({cos}, 6) >= {_ND_THRESH}
 
 QUERIES["d_sim_neardup"] = (d_sim_neardup, _neardup_sql())
 
-_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
+_IVF_CENTROIDS: dict[str, list[list[int]]] = {}
+_IVF_K, _IVF_ITERS, _IVF_QS = 4, 2, 10**6
 
 
 def d_sim_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN (k-means coarse quantizer, nprobe clusters): iterative —
-    not SQL-expressible, rows-only oracle by design.
+    """IVF ANN, VALUE-exact: the coarse quantizer is Lloyd k-means in
+    integer arithmetic (corpus/similarity.py::ivf_fit_centroids_exact),
+    so the fixed-`iters` fit unrolls into a DuckDB CTE chain and the
+    oracle pins fit + assignment + probe routing + cosine top-k — the
+    r1 "iterative ⇒ rows-only" carve-out removed. The float serving fit
+    (ivf_fit_centroids) stays unit-tested for recall.
 
     Fit once per sf_dir (the offline index build), probe-only after —
     the probe plan contains a single scan, no Lloyd refit (VERDICT r1)."""
     if sf not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf] = S.ivf_fit_centroids(
-            t(spark, sf, "embeddings"), n_clusters=8, iters=5
+        _IVF_CENTROIDS[sf] = S.ivf_fit_centroids_exact(
+            t(spark, sf, "embeddings"),
+            n_clusters=_IVF_K,
+            iters=_IVF_ITERS,
+            qscale=_IVF_QS,
         )
-    return S.ivf_topk(
+    return S.ivf_topk_exact(
         t(spark, sf, "embeddings"),
+        _IVF_CENTROIDS[sf],
         query_vec_id=0,
         k=10,
         nprobe=2,
-        centroids=_IVF_CENTROIDS[sf],
+        qscale=_IVF_QS,
     )
 
 
-QUERIES["d_sim_ann_ivf"] = (d_sim_ann_ivf, None)
+def _ivf_sql() -> str:
+    dist = (
+        "list_sum(list_transform(generate_series(1, len({v})), "
+        "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+    )
+    assign = """, a{i} AS MATERIALIZED (
+  SELECT vec_id, cl FROM (
+    SELECT qq.vec_id, cc.cl,
+           row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+             {d}, cc.cl) AS rn
+    FROM q qq CROSS JOIN c{prev} cc
+  ) WHERE rn = 1
+), s{i} AS (
+  SELECT a.cl, d.i AS dim, sum(qq.qv[d.i]) AS s, count(*) AS n
+  FROM a{i} a JOIN q qq USING (vec_id),
+       LATERAL unnest(generate_series(1, len(qq.qv))) d(i)
+  GROUP BY a.cl, d.i
+), c{i} AS MATERIALIZED (
+  SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY dim) AS cv
+  FROM s{i} GROUP BY cl
+  UNION ALL
+  SELECT cl, cv FROM c{prev} WHERE cl NOT IN (SELECT cl FROM s{i})
+)""".replace("{d}", dist.format(v="qq.qv", c="cc.cv"))
+    sql = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(x::DOUBLE * {float(_IVF_QS)}) AS BIGINT)) AS qv
+  FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl,
+         qv AS cv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {_IVF_K})
+)"""
+    for i in range(1, _IVF_ITERS + 1):
+        sql += assign.format(i=i, prev=i - 1)
+    final_assign = """, af AS MATERIALIZED (
+  SELECT vec_id, cl FROM (
+    SELECT qq.vec_id, cc.cl,
+           row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+             {d}, cc.cl) AS rn
+    FROM q qq CROSS JOIN c{last} cc
+  ) WHERE rn = 1
+), q0 AS (SELECT qv FROM q WHERE vec_id = 0),
+probe AS (
+  SELECT cl FROM (
+    SELECT cc.cl, row_number() OVER (ORDER BY {dq}, cc.cl) AS rn
+    FROM c{last} cc CROSS JOIN q0
+  ) WHERE rn <= 2
+), qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(
+         list_aggregate(list_transform(e.embedding,
+           (x, i) -> x::DOUBLE * qv[i]::DOUBLE), 'sum')
+         / greatest(
+             sqrt(list_aggregate(list_transform(e.embedding,
+               x -> x::DOUBLE * x::DOUBLE), 'sum')) *
+             sqrt(list_aggregate(list_transform(qv,
+               x -> x::DOUBLE * x::DOUBLE), 'sum')), 1e-12),
+         6) AS cosine_sim
+FROM embeddings e JOIN af ON e.vec_id = af.vec_id, qe
+WHERE af.cl IN (SELECT cl FROM probe) AND e.vec_id <> 0
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT 10
+""".replace("{d}", dist.format(v="qq.qv", c="cc.cv")).replace(
+        "{dq}", dist.format(v="q0.qv", c="cc.cv")
+    ).replace("{last}", str(_IVF_ITERS))
+    return sql + final_assign
+
+
+QUERIES["d_sim_ann_ivf"] = (d_sim_ann_ivf, _ivf_sql())
 
 
 # --------------------------------------------------------------------------
