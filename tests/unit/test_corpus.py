@@ -1190,3 +1190,27 @@ def test_resize_nearest_known_values(spark):
                   3.0, 3.0, 4.0, 4.0]
     with _pytest.raises(ValueError):
         resize_nearest(F.col("px"), 2, 2, 0, 1)
+
+
+def test_scene_cuts_known_values(spark):
+    from who_focus_crawler_spark.corpus.multimodal import scene_cuts
+
+    rows = [
+        ("m1", 0, 10), ("m1", 1, 100), ("m1", 2, 105), ("m1", 3, 11),
+        ("m2", 0, 50), ("m2", 1, 55),
+    ]
+    out = {
+        (r.media_id, r.frame_idx): (r.is_cut, r.scene_id)
+        for r in scene_cuts(
+            spark.createDataFrame(rows, ["media_id", "frame_idx", "f"]),
+            threshold=60,
+        ).collect()
+    }
+    # m1: 10→100 (Δ90 cut), 100→105 (no), 105→11 (Δ94 cut)
+    assert out[("m1", 0)] == (False, 0)
+    assert out[("m1", 1)] == (True, 1)
+    assert out[("m1", 2)] == (False, 1)
+    assert out[("m1", 3)] == (True, 2)
+    # m2: never cuts; first frame never a cut even at threshold 0
+    assert out[("m2", 0)] == (False, 0)
+    assert out[("m2", 1)] == (False, 0)

@@ -390,3 +390,39 @@ def dhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("media_a", "media_b", "hamming")
     )
+
+
+def scene_cuts(
+    frames: DataFrame,
+    threshold: int,
+    media_col: str = "media_id",
+    idx_col: str = "frame_idx",
+    feat_col: str = "f",
+) -> DataFrame:
+    """Video scene-cut detection over a sampled-frame feature table:
+    a cut occurs where the integer frame feature jumps by ≥ `threshold`
+    vs the previous frame; `scene_id` segments each media item by the
+    running cut count (frame 0 is never a cut, scene 0).
+
+    Pure per-media window functions — partitioned by media id, so the
+    work distributes across however many media items exist and no
+    global window appears; integer |Δ| compare keeps the decision
+    engine-portable (the decode stub's features are integer-valued).
+    Input is any frames table shaped like :func:`decode_media` output
+    with an integer feature column — at scale that table is written
+    once by the decode pass and scanned here.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(media_col).orderBy(idx_col)
+    prev = F.lag(feat_col).over(w)
+    is_cut = F.when(prev.isNull(), F.lit(False)).otherwise(
+        F.abs(F.col(feat_col) - prev) >= F.lit(threshold)
+    )
+    out = frames.withColumn("is_cut", is_cut)
+    run = Window.partitionBy(media_col).orderBy(idx_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return out.withColumn(
+        "scene_id", F.sum(F.col("is_cut").cast("long")).over(run)
+    )

@@ -524,8 +524,64 @@ FROM ch
 """
 
 
+# --------------------------------------------------------------------------
+# Scene-cut detection over the fake-decoded frame features (integer byte
+# statistics — engine-portable): cut where |Δf1| ≥ threshold between
+# consecutive sampled frames; scene_id = running cut count per media.
+
+_SCENE_THRESHOLD = 60
+
+
+def d_media_scenes(spark: SparkSession, sf: str) -> DataFrame:
+    media = MM.attach_media(t(spark, sf, "documents"))
+    frames = MM.decode_media(media, frames_per_item=3, fake=True).select(
+        "media_id",
+        "frame_idx",
+        F.element_at("feature", 2).cast("long").alias("f1"),
+    )
+    return MM.scene_cuts(frames, _SCENE_THRESHOLD, feat_col="f1")
+
+
+D_MEDIA_SCENES_SQL = f"""
+WITH m AS (
+  SELECT concat('m', CAST(doc_id AS VARCHAR)) AS media_id, text,
+         greatest(octet_length(CAST(text AS BLOB)) // 3, 1) AS step
+  FROM documents
+), fr AS (
+  SELECT media_id,
+         CAST(unnest(generate_series(0, 2)) AS INTEGER) AS frame_idx,
+         text, step
+  FROM m
+), ch AS (
+  SELECT media_id, frame_idx,
+         substring(text, frame_idx * step + 1, step) AS chunk
+  FROM fr
+), f AS (
+  SELECT media_id, frame_idx,
+         CAST(CASE WHEN length(chunk) = 0 THEN 0
+              ELSE list_aggregate(list_transform(
+                     generate_series(1, length(chunk)),
+                     j -> ascii(substring(chunk, j, 1))), 'sum') % 251
+         END AS BIGINT) AS f1
+  FROM ch
+), cut AS (
+  SELECT media_id, frame_idx, f1,
+         CASE WHEN lag(f1) OVER w IS NULL THEN FALSE
+              ELSE abs(f1 - lag(f1) OVER w) >= {_SCENE_THRESHOLD} END AS is_cut
+  FROM f
+  WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+)
+SELECT media_id, frame_idx, f1, is_cut,
+       CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER (
+         PARTITION BY media_id ORDER BY frame_idx
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+FROM cut
+"""
+
+
 QUERIES = {
     "d_dedup_exact": (d_dedup_exact, D_DEDUP_EXACT_SQL),
+    "d_media_scenes": (d_media_scenes, D_MEDIA_SCENES_SQL),
     "d_dedup_head": (d_dedup_head, D_DEDUP_HEAD_SQL),
     "d_ngram_jaccard": (d_ngram_jaccard, D_NGRAM_JACCARD_SQL),
     "d_dedup_minhash": (d_dedup_minhash, D_DEDUP_MINHASH_SQL),
