@@ -28,6 +28,7 @@ def run_corpus_pipeline(
     max_repetition: float = 0.5,
     lang: str = "en",
     max_dup_permille: int | None = None,
+    remove_dup_runs_n: int | None = None,
     split_weights: dict[str, float] | None = None,
     mixture_weights: dict[str, float] | None = None,
     token_budget: int | None = None,
@@ -47,6 +48,11 @@ def run_corpus_pipeline(
     Optional stages beyond the base dedup→redact→gate pipeline:
     - ``max_dup_permille``: drop docs whose cross-doc duplicated n-gram
       share exceeds the per-mille threshold (corpus/substring.py);
+    - ``remove_dup_runs_n``: excise cross-doc duplicated n-gram runs
+      from the surviving text instead of (or before) dropping whole
+      docs — Lee et al. ACL 2022 exact-substring dedup
+      (corpus/substring.py::remove_dup_runs); the rewrite happens
+      before the quality gates so they judge the cleaned text;
     - ``split_weights``: label survivors with a deterministic
       train/val/test split column (corpus/sampling.py);
     - ``mixture_weights`` + ``token_budget``: per-source token-budget
@@ -120,6 +126,17 @@ def run_corpus_pipeline(
 
         kept = filter_by_dup_coverage(
             kept, max_dup_permille=max_dup_permille
+        )
+    if remove_dup_runs_n is not None:
+        from who_focus_crawler_spark.corpus.substring import remove_dup_runs
+
+        cleaned = remove_dup_runs(kept, n=remove_dup_runs_n).select(
+            "doc_id", F.col("clean_text")
+        )
+        kept = (
+            kept.drop("text")
+            .join(cleaned, "doc_id")
+            .withColumnRenamed("clean_text", "text")
         )
     rep = repetition_stats(F.col("text"))
     carry = ["source"] if "source" in kept.columns else []
@@ -255,6 +272,11 @@ def main() -> None:
         help="drop docs above this duplicated-n-gram share (0-1000)",
     )
     ap.add_argument(
+        "--remove-dup-runs", type=int, default=None, metavar="N",
+        help="excise cross-doc duplicated N-gram runs from surviving "
+             "text (exact-substring dedup, Lee et al. ACL 2022)",
+    )
+    ap.add_argument(
         "--split", default=None,
         help="deterministic split weights, e.g. train=0.9,val=0.05,test=0.05",
     )
@@ -321,6 +343,7 @@ def main() -> None:
         max_repetition=args.max_repetition,
         lang=args.lang,
         max_dup_permille=args.max_dup_permille,
+        remove_dup_runs_n=args.remove_dup_runs,
         split_weights=_parse_weights(args.split) if args.split else None,
         c4=args.c4,
         c4_min_lines=args.c4_min_lines,

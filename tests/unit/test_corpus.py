@@ -1214,3 +1214,34 @@ def test_scene_cuts_known_values(spark):
     # m2: never cuts; first frame never a cut even at threshold 0
     assert out[("m2", 0)] == (False, 0)
     assert out[("m2", 1)] == (False, 0)
+
+
+def test_corpus_pipeline_remove_dup_runs_stage(spark, tmp_path):
+    """--remove-dup-runs rewrites surviving text: the shared boilerplate
+    run disappears from every kept doc while unique prose survives."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from corpus import run_corpus_pipeline
+
+    boiler = "subscribe to our newsletter for updates today"
+    # per-doc-unique content words separated by SINGLE shared stopwords:
+    # shared runs stay < n, so no body trigram is ever cross-doc dup
+    rows = [
+        (
+            i,
+            f"alpha{i} the bravo{i} and charlie{i} with delta{i} "
+            f"from echo{i} that fox{i} was golf{i} {boiler}",
+        )
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = str(tmp_path / "kept")
+    stats = run_corpus_pipeline(
+        docs, output=out, remove_dup_runs_n=3, min_quality=0
+    )
+    kept = spark.read.parquet(out)
+    assert stats["n_kept"] == kept.count() > 0
+    texts = [r.text for r in kept.collect()]
+    assert all(boiler not in t for t in texts)
+    assert all("the bravo" in t for t in texts)
