@@ -107,3 +107,42 @@ def test_positional_postings_and_phrase_search(spark):
 
     with _pytest.raises(ValueError):
         phrase_search(docs, "   ")
+
+
+def test_min_window_span_known_values(spark):
+    from who_focus_crawler_spark.corpus.index import min_window_span
+
+    rows = [
+        # terms at pos: a=0, b=3, c=5 → window [0,5]=6; later a=7 → [3,7]=5
+        (1, "alpha x y beta z gamma q alpha"),
+        # all adjacent → window 3
+        (2, "x alpha beta gamma y"),
+        # missing gamma → no row
+        (3, "alpha beta alpha beta"),
+        # two candidates same width → earliest start wins
+        (4, "alpha beta gamma x alpha beta gamma"),
+    ]
+    out = {
+        r.doc_id: (r.window, r.win_start, r.win_end)
+        for r in min_window_span(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            ["alpha", "beta", "gamma"],
+        ).collect()
+    }
+    assert out[1] == (5, 3, 7)
+    assert out[2] == (3, 1, 3)
+    assert 3 not in out
+    assert out[4] == (3, 0, 2)
+
+
+def test_min_window_span_single_term(spark):
+    from who_focus_crawler_spark.corpus.index import min_window_span
+
+    rows = [(1, "x alpha y alpha"), (2, "no match here")]
+    out = {
+        r.doc_id: (r.window, r.win_start)
+        for r in min_window_span(
+            spark.createDataFrame(rows, ["doc_id", "text"]), ["alpha"]
+        ).collect()
+    }
+    assert out == {1: (1, 1)}

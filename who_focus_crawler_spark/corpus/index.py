@@ -222,3 +222,69 @@ def phrase_search(
         .filter(F.col("n_hits") > 0)
         .select(doc_col, "n_hits")
     )
+
+
+def min_window_span(
+    docs: DataFrame,
+    terms: list[str],
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity retrieval: per doc containing ALL query terms, the
+    smallest token window covering one occurrence of each (Clarke,
+    Cormack & Tudhope, "Relevance ranking for one to three term
+    queries", IP&M 2000) → (doc_id, window, win_start, win_end).
+
+    Plane-sweep as window functions, not an all-tuples product: postings
+    for the query terms only (the isin filter pushes into the token
+    explode, so non-query terms never shuffle) are sorted per doc; at
+    every occurrence the latest position of each term so far is a
+    running conditional max, and the candidate window is
+    [least(latest…), current]. The per-doc minimum (ties → earliest
+    start) is a partial+final aggregate. Cost: O(occurrences of the
+    query terms) shuffled by doc — never O(∏ per-term frequencies) —
+    and the per-doc window state is k running columns, independent of
+    doc length. Ties inside the sweep are impossible: token positions
+    are distinct within a doc.
+    """
+    from functools import reduce
+    from operator import and_
+
+    from pyspark.sql import Window
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    occ = docs.select(
+        doc_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "term")
+    ).filter(F.col("term").isin([t.lower() for t in terms]))
+    w = Window.partitionBy(doc_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lasts = [
+        F.max(F.when(F.col("term") == t.lower(), F.col("pos"))).over(w).alias(
+            f"_m{i}"
+        )
+        for i, t in enumerate(terms)
+    ]
+    cand = occ.select(doc_col, "pos", *lasts)
+    all_seen = reduce(
+        and_, [F.col(f"_m{i}").isNotNull() for i in range(len(terms))]
+    )
+    start = F.least(*[F.col(f"_m{i}") for i in range(len(terms))]) if len(
+        terms
+    ) > 1 else F.col("_m0")
+    scored = cand.filter(all_seen).select(
+        doc_col,
+        (F.col("pos") - start + 1).cast("long").alias("window"),
+        start.cast("long").alias("win_start"),
+        F.col("pos").cast("long").alias("win_end"),
+    )
+    best = scored.groupBy(doc_col).agg(
+        F.min(F.struct("window", "win_start", "win_end")).alias("_b")
+    )
+    return best.select(
+        doc_col,
+        F.col("_b.window").alias("window"),
+        F.col("_b.win_start").alias("win_start"),
+        F.col("_b.win_end").alias("win_end"),
+    )

@@ -790,3 +790,58 @@ D_INDEX_PHRASE_SQL = (
 )
 
 QUERIES["d_index_phrase"] = (d_index_phrase, D_INDEX_PHRASE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Proximity retrieval: smallest token window covering all query terms
+# (Clarke et al. 2000), plane-sweep window functions — value-exact.
+
+_PROX_TERMS = ["table", "scan", "window"]
+
+
+def d_index_proximity(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus import index as IX
+
+    return IX.min_window_span(t(spark, sf, "documents"), _PROX_TERMS)
+
+
+def _proximity_sql() -> str:
+    ts = ", ".join(f"'{x}'" for x in _PROX_TERMS)
+    ms = ", ".join(f"m{i}" for i in range(len(_PROX_TERMS)))
+    conds = " AND ".join(
+        f"m{i} IS NOT NULL" for i in range(len(_PROX_TERMS))
+    )
+    lasts = "\n".join(
+        f"         max(CASE WHEN term = '{x}' THEN pos END) OVER w AS m{i},"
+        for i, x in enumerate(_PROX_TERMS)
+    )
+    return f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+occ AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS term
+  FROM tk, LATERAL unnest(generate_series(1, len(tk))) AS u(i)
+  WHERE tk[i] IN ({ts})
+),
+cand AS (
+  SELECT doc_id, pos,
+{lasts}
+         pos AS _p
+  FROM occ
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+),
+sc AS (
+  SELECT doc_id,
+         CAST(pos - least({ms}) + 1 AS BIGINT) AS win,
+         CAST(least({ms}) AS BIGINT) AS ws,
+         CAST(pos AS BIGINT) AS we
+  FROM cand WHERE {conds}
+)
+SELECT doc_id, win AS "window", ws AS win_start, we AS win_end
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY win, ws, we) AS rn
+  FROM sc
+) WHERE rn = 1
+"""
+
+
+QUERIES["d_index_proximity"] = (d_index_proximity, _proximity_sql())
