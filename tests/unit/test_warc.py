@@ -87,3 +87,26 @@ def test_truncated_payload_raises(spark, tmp_path):
     (path / "part-00000.warc").write_bytes(good[:-6])  # cut payload tail
     with pytest.raises(Exception, match="truncated"):
         read_warc(spark, str(path)).collect()
+
+
+def test_revisit_records_reference_first_capture(spark):
+    from who_focus_crawler_spark.sources.warc import revisit_records
+
+    rows = [
+        ("http://a/1", 1, "dA"),
+        ("http://a/2", 2, "dB"),
+        ("http://b/1", 3, "dA"),  # same payload as seq 1 → revisit
+        ("http://a/1", 4, "dA"),  # recrawl of a/1 → revisit of seq 1
+        ("http://c/9", 5, "dC"),
+    ]
+    out = {
+        r.seq: (r.warc_type, r.refers_to_uri, r.refers_to_seq)
+        for r in revisit_records(
+            spark.createDataFrame(rows, ["uri", "seq", "digest"])
+        ).collect()
+    }
+    assert out[1] == ("response", None, None)
+    assert out[2] == ("response", None, None)
+    assert out[3] == ("revisit", "http://a/1", 1)
+    assert out[4] == ("revisit", "http://a/1", 1)
+    assert out[5] == ("response", None, None)

@@ -1287,6 +1287,60 @@ QUERIES["r_warc_roundtrip"] = (r_warc_roundtrip, R_WARC_ROUNDTRIP_SQL)
 
 
 # --------------------------------------------------------------------------
+# WARC revisit records (WARC/1.1 §6.7, Heritrix identical-payload-digest
+# dedup): first capture of each digest stays a response; later identical
+# payloads become revisit records referencing the original. Digest
+# collisions are planted (l_partkey % 500) so both record types and the
+# refers_to resolution are non-vacuous.
+
+
+def r_warc_revisit(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.sources.warc import revisit_records
+
+    li = t(spark, sf, "lineitem")
+    cap = li.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("l_suppkey") % 40).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("l_partkey").cast("string"),
+        ).alias("uri"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("seq"),
+        F.md5((F.col("l_partkey") % 500).cast("string")).alias("digest"),
+    )
+    return revisit_records(cap)
+
+
+R_WARC_REVISIT_SQL = """
+WITH cap AS (
+  SELECT concat('http://h', CAST(l_suppkey % 40 AS VARCHAR),
+                '.example.org/p/', CAST(l_partkey AS VARCHAR)) AS uri,
+         CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS seq,
+         md5(CAST(l_partkey % 500 AS VARCHAR)) AS digest
+  FROM lineitem
+), f AS (
+  SELECT digest, seq AS fseq, uri AS furi FROM (
+    SELECT digest, seq, uri,
+           row_number() OVER (PARTITION BY digest ORDER BY seq, uri) AS rn
+    FROM cap
+  ) WHERE rn = 1
+)
+SELECT c.uri, c.seq, c.digest,
+       CASE WHEN c.seq = f.fseq AND c.uri = f.furi
+            THEN 'response' ELSE 'revisit' END AS warc_type,
+       CASE WHEN c.seq = f.fseq AND c.uri = f.furi
+            THEN NULL ELSE f.furi END AS refers_to_uri,
+       CAST(CASE WHEN c.seq = f.fseq AND c.uri = f.furi
+            THEN NULL ELSE f.fseq END AS BIGINT) AS refers_to_seq
+FROM cap c JOIN f USING (digest)
+"""
+
+QUERIES["r_warc_revisit"] = (r_warc_revisit, R_WARC_REVISIT_SQL)
+
+
+# --------------------------------------------------------------------------
 # WARC via the Python Data Source API (sources/warc_datasource.py):
 # spark.read.format("warc") with the warc_type equality filter pushed
 # INTO the record parser. Same analytic oracle discipline as

@@ -180,3 +180,46 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return files.mapInPandas(run, WARC_RECORD)
+
+
+def revisit_records(
+    captures: DataFrame,
+    uri_col: str = "uri",
+    seq_col: str = "seq",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Archival payload dedup (WARC/1.1 §6.7 revisit records, the
+    Heritrix identical-payload-digest policy): the FIRST capture of each
+    payload digest — ordered by (seq, uri) — stays a full ``response``
+    record; every later capture with the same digest is written as a
+    ``revisit`` record carrying only a reference to the original
+    (refers_to_uri, refers_to_seq), not the payload bytes.
+
+    At archive scale this is the storage win for recrawls (unchanged
+    pages re-fetched every cycle store ~40 bytes instead of the body).
+    One shuffle keyed on the digest: a partial+final min-struct picks
+    each digest's canonical first capture, broadcast-joined back when
+    the digest dimension is small or shuffle-joined otherwise — never a
+    window over the full capture log.
+    """
+    first = captures.groupBy(digest_col).agg(
+        F.min(F.struct(F.col(seq_col), F.col(uri_col))).alias("_f")
+    )
+    joined = captures.join(first, digest_col)
+    is_first = (F.col(seq_col) == F.col("_f." + seq_col)) & (
+        F.col(uri_col) == F.col("_f." + uri_col)
+    )
+    return joined.select(
+        uri_col,
+        seq_col,
+        digest_col,
+        F.when(is_first, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("warc_type"),
+        F.when(is_first, F.lit(None).cast("string"))
+        .otherwise(F.col("_f." + uri_col))
+        .alias("refers_to_uri"),
+        F.when(is_first, F.lit(None).cast("long"))
+        .otherwise(F.col("_f." + seq_col).cast("long"))
+        .alias("refers_to_seq"),
+    )
