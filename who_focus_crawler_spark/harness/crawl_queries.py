@@ -2087,6 +2087,54 @@ QUERIES["c_opic"] = (c_opic, _opic_sql())
 
 
 # --------------------------------------------------------------------------
+# Crawl-tier assignment — operators/tiers.py::assign_crawl_tiers. Equal-
+# population revisit bands over an integer authority × change-rate score;
+# the exact global rank inside runs on the two-phase distributed
+# sequencer, and the oracle ranks with a plain window — value equality
+# pins the distributed rank, the band arithmetic, and the geometric
+# revisit intervals.
+
+
+def c_crawl_tiers(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.tiers import assign_crawl_tiers
+
+    o = t(spark, sf, "orders")
+    hs = o.groupBy(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias(
+            "host"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("rank_units"),
+        (F.min("o_orderkey") % 997).cast("long").alias("change_permille"),
+    )
+    return assign_crawl_tiers(hs, n_tiers=4, base_interval=1)
+
+
+C_CRAWL_TIERS_SQL = """
+WITH hs AS (
+  SELECT concat('h', CAST(o_custkey % 50 AS VARCHAR)) AS host,
+         CAST(count(*) AS BIGINT) AS rank_units,
+         CAST(min(o_orderkey) % 997 AS BIGINT) AS change_permille
+  FROM orders GROUP BY 1
+), rk AS (
+  SELECT host,
+         CAST(rank_units * (change_permille + 1) AS BIGINT) AS tier_score,
+         row_number() OVER (
+           ORDER BY rank_units * (change_permille + 1) DESC, host) AS rk,
+         count(*) OVER () AS n
+  FROM hs
+)
+SELECT host, tier_score,
+       CAST(((rk - 1) * 4) // n AS INTEGER) AS tier,
+       CAST(1 << CAST(((rk - 1) * 4) // n AS INTEGER) AS BIGINT)
+         AS revisit_batches
+FROM rk
+"""
+
+QUERIES["c_crawl_tiers"] = (c_crawl_tiers, C_CRAWL_TIERS_SQL)
+
+
+# --------------------------------------------------------------------------
 # Scheduler fairness — operators/diagnostics.py::fairness_gini. Gini of
 # the per-host fetch-count distribution on the same deliberately skewed
 # synthetic frontier as c_hot_hosts (two hot hosts ⇒ a clearly nonzero
