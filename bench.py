@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "d_media_phash",
     "d_epoch_shuffle",
     "d_text_gopher",
+    # session-6 ops
+    "d_dup_remove",
+    "c_opic",
+    "d_index_proximity",
 ]
 
 

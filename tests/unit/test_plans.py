@@ -256,3 +256,35 @@ def test_two_phase_topk_has_no_window(spark):
     plan = _plan(knn_join(q, corpus, k=5))
     assert "Window" not in plan
     assert "BroadcastExchange" in plan  # query side broadcasts
+
+
+def test_crawl_tiers_no_single_task_global_window(spark):
+    """assign_crawl_tiers ranks the whole host population — the rank must
+    run on the two-phase distributed sequencer (range partition + local
+    sort + offsets), never a partitionless Window over every host."""
+    from who_focus_crawler_spark.operators.tiers import assign_crawl_tiers
+
+    hs = spark.range(200).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        (F.col("id") % 37 + 1).cast("long").alias("rank_units"),
+        (F.col("id") % 11).cast("long").alias("change_permille"),
+    )
+    plan = _plan(assign_crawl_tiers(hs, n_tiers=4))
+    # the only Window allowed is the per-partition local rank (partitioned
+    # by the sequencer's internal pid column), plus the tiny offsets
+    # window over ~num_partitions count rows
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_seq_pid" in line, line
+
+
+def test_min_window_span_partitions_by_doc(spark):
+    """Proximity sweep windows are per-doc — no global exchange-to-one."""
+    from who_focus_crawler_spark.corpus.index import min_window_span
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma alpha").alias("text"),
+    )
+    plan = _plan(min_window_span(docs, ["alpha", "beta"]))
+    assert "SinglePartition" not in plan
