@@ -1245,3 +1245,37 @@ def test_corpus_pipeline_remove_dup_runs_stage(spark, tmp_path):
     texts = [r.text for r in kept.collect()]
     assert all(boiler not in t for t in texts)
     assert all("the bravo" in t for t in texts)
+
+
+def test_harvest_rate_known_curve(spark):
+    from who_focus_crawler_spark.operators.diagnostics import harvest_rate
+
+    rows = (
+        [(0, 1)] * 3 + [(0, 0)] * 1  # batch 0: 3/4 relevant
+        + [(1, 0)] * 4               # batch 1: 0/4
+        + [(2, 1)] * 2               # batch 2: 2/2
+    )
+    out = {
+        r.batch: (
+            r.n_fetched, r.n_relevant, r.cum_fetched, r.cum_relevant,
+            r.harvest_permille, r.cum_harvest_permille,
+        )
+        for r in harvest_rate(
+            spark.createDataFrame(rows, ["batch", "relevant"])
+        ).collect()
+    }
+    assert out[0] == (4, 3, 4, 3, 750, 750)
+    assert out[1] == (4, 0, 8, 3, 0, 375)
+    assert out[2] == (2, 2, 10, 5, 1000, 500)
+
+
+def test_matryoshka_recall_full_prefix_is_exact(spark, vectors):
+    from who_focus_crawler_spark.corpus.similarity import matryoshka_recall
+
+    # prefix = full dimensionality ⇒ identical rankings ⇒ recall 1.0
+    out = matryoshka_recall(vectors, n_queries=3, k=5, prefix_dims=4).collect()
+    assert len(out) == 3
+    assert all(r.recall == 1.0 and r.n_hit == 5 for r in out)
+    # a 1-dim prefix is a valid (if weak) ranking: recall in [0, 1]
+    weak = matryoshka_recall(vectors, n_queries=3, k=5, prefix_dims=1).collect()
+    assert all(0.0 <= r.recall <= 1.0 for r in weak)

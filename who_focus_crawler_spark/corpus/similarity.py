@@ -856,3 +856,68 @@ def ann_recall(
             ),
         )
     )
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    prefix_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of PREFIX-TRUNCATED cosine ranking against the full-dim
+    exact top-k — the Matryoshka representation evaluation (Kusupati et
+    al., NeurIPS 2022) → (query_id, n_exact, n_hit, recall).
+
+    The scale question this answers: how much ANN quality survives if
+    the index stores only the first `prefix_dims` components (a
+    dims/prefix_dims × memory and bandwidth cut — the cheap knob before
+    PQ)? Same harness shape as :func:`ann_recall`: both rankings
+    resolve through the two-phase sorted-slice merge (no per-query
+    global window), the truncated side reads `slice(vec, 1, d)` so the
+    scan itself stays one pass, and the recall join touches only
+    k-sized sets per query. Scores rounded to 6, ties on vec_id —
+    engine-portable."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.slice(F.col(vec_col), 1, prefix_dims).alias("tvec"),
+    )
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("_qv"),
+        F.col("tvec").alias("_tqv"),
+    )
+    joined = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    exact = two_phase_topk(
+        joined.withColumn(
+            "cosine_sim", F.round(cosine(F.col("_qv"), F.col("vec")), 6)
+        ),
+        k,
+    )
+    trunc = two_phase_topk(
+        joined.withColumn(
+            "cosine_sim", F.round(cosine(F.col("_tqv"), F.col("tvec")), 6)
+        ),
+        k,
+    ).select("query_id", "vec_id", F.lit(1).alias("_hit"))
+    return (
+        exact.join(trunc, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.lit(float(k)), 6).alias(
+                "recall"
+            ),
+        )
+    )

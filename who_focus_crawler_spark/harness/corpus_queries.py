@@ -2231,6 +2231,66 @@ QUERIES["d_sim_ann_recall"] = (d_sim_ann_recall, _ann_recall_sql())
 
 
 # --------------------------------------------------------------------------
+# Matryoshka truncation recall (Kusupati et al. 2022): how much top-k
+# quality survives ranking by the first 16 of 64 embedding components —
+# the memory/bandwidth knob BEFORE product quantization. Same two-phase
+# top-k + recall-join shape as d_sim_ann_recall; value-exact.
+
+_MRL_DIMS = 16
+
+
+def d_sim_matryoshka(spark: SparkSession, sf: str) -> DataFrame:
+    return S.matryoshka_recall(
+        t(spark, sf, "embeddings"), n_queries=8, k=10, prefix_dims=_MRL_DIMS
+    )
+
+
+_MRL_TCOS = (
+    "round(list_aggregate(list_transform(list_slice(q.qv, 1, {d}),"
+    " (x, i) -> x::DOUBLE * s.embedding[i]::DOUBLE), 'sum')"
+    " / greatest("
+    "sqrt(list_aggregate(list_transform(list_slice(q.qv, 1, {d}),"
+    " x -> x::DOUBLE * x::DOUBLE), 'sum')) *"
+    " sqrt(list_aggregate(list_transform(list_slice(s.embedding, 1, {d}),"
+    " x -> x::DOUBLE * x::DOUBLE), 'sum')), 1e-12), 6)"
+).format(d=_MRL_DIMS)
+
+
+def _matryoshka_sql() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, s.vec_id,
+         {_RECALL_COS} AS cos_full,
+         {_MRL_TCOS} AS cos_trunc
+  FROM embeddings s, q WHERE s.vec_id <> q.query_id
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_full DESC, vec_id) AS r
+    FROM scored) WHERE r <= 10
+), tr AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_trunc DESC, vec_id) AS r
+    FROM scored) WHERE r <= 10
+)
+SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       round(count(a.vec_id)::DOUBLE / 10, 6) AS recall
+FROM exact e LEFT JOIN tr a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+"""
+
+
+QUERIES["d_sim_matryoshka"] = (d_sim_matryoshka, _matryoshka_sql())
+
+
+# --------------------------------------------------------------------------
 # Multimodal resize (corpus/multimodal.py::resize_nearest): the 9×8
 # probe-pixel grid of each payload downsampled to 3×2 by nearest
 # neighbor — pure native index arithmetic; the oracle recomputes the

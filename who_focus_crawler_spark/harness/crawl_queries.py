@@ -2135,6 +2135,55 @@ QUERIES["c_crawl_tiers"] = (c_crawl_tiers, C_CRAWL_TIERS_SQL)
 
 
 # --------------------------------------------------------------------------
+# Focused-crawl harvest rate — operators/diagnostics.py::harvest_rate.
+# The canonical focused-crawl evaluation curve (Chakrabarti et al. 1999):
+# per-batch and cumulative share of fetched pages that are on-topic.
+# Relevance reuses the frozen integer keyword score (scoring.py), batch =
+# doc_id % 20 — both engines see identical labels, so the whole curve is
+# value-pinned.
+
+
+def c_harvest_rate(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.diagnostics import harvest_rate
+    from who_focus_crawler_spark.operators.scoring import relevance_score
+
+    d = t(spark, sf, "documents")
+    fetched = d.select(
+        (F.col("doc_id") % 20).cast("int").alias("batch"),
+        (relevance_score(F.col("text")) >= 3).cast("int").alias("relevant"),
+    )
+    return harvest_rate(fetched)
+
+
+C_HARVEST_RATE_SQL = """
+WITH f AS (
+  SELECT CAST(doc_id % 20 AS INTEGER) AS batch,
+         CASE WHEN len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+              x -> x IN ('query','data','stream','table'))) >= 3
+              THEN 1 ELSE 0 END AS relevant
+  FROM documents
+), per AS (
+  SELECT batch, CAST(count(*) AS BIGINT) AS n_fetched,
+         CAST(sum(relevant) AS BIGINT) AS n_relevant
+  FROM f GROUP BY batch
+), cum AS (
+  SELECT batch, n_fetched, n_relevant,
+         CAST(sum(n_fetched) OVER w AS BIGINT) AS cum_fetched,
+         CAST(sum(n_relevant) OVER w AS BIGINT) AS cum_relevant
+  FROM per
+  WINDOW w AS (ORDER BY batch ROWS UNBOUNDED PRECEDING)
+)
+SELECT batch, n_fetched, n_relevant, cum_fetched, cum_relevant,
+       CAST((n_relevant * 1000) // n_fetched AS BIGINT) AS harvest_permille,
+       CAST((cum_relevant * 1000) // cum_fetched AS BIGINT)
+         AS cum_harvest_permille
+FROM cum
+"""
+
+QUERIES["c_harvest_rate"] = (c_harvest_rate, C_HARVEST_RATE_SQL)
+
+
+# --------------------------------------------------------------------------
 # Scheduler fairness — operators/diagnostics.py::fairness_gini. Gini of
 # the per-host fetch-count distribution on the same deliberately skewed
 # synthetic frontier as c_hot_hosts (two hot hosts ⇒ a clearly nonzero

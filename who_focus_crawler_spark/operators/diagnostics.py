@@ -113,3 +113,48 @@ def fairness_gini(df: DataFrame, key: Column) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def harvest_rate(
+    fetched: DataFrame,
+    batch_col: str = "batch",
+    relevant_col: str = "relevant",
+) -> DataFrame:
+    """The focused-crawl quality curve (Chakrabarti, van den Berg & Dom,
+    WWW 1999): per fetch batch, the share of fetched pages that are
+    on-topic, plus the cumulative curve the crawl is judged by →
+    (batch, n_fetched, n_relevant, cum_fetched, cum_relevant,
+    harvest_permille, cum_harvest_permille).
+
+    One partial+final agg collapses the fetch log to one row per batch;
+    the running sums then run over THAT tiny per-batch frame (thousands
+    of rows for any real crawl), never per-row — the same
+    aggregate-first discipline as quality_percentile/fairness_gini.
+    Rates are integer permille (floor), engine-portable.
+    """
+    from pyspark.sql import Window
+
+    per = fetched.groupBy(batch_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetched"),
+        F.sum(F.col(relevant_col).cast("long")).cast("long").alias("n_relevant"),
+    )
+    w = Window.orderBy(batch_col).rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        batch_col,
+        "n_fetched",
+        "n_relevant",
+        F.sum("n_fetched").over(w).cast("long").alias("cum_fetched"),
+        F.sum("n_relevant").over(w).cast("long").alias("cum_relevant"),
+    ).select(
+        batch_col,
+        "n_fetched",
+        "n_relevant",
+        "cum_fetched",
+        "cum_relevant",
+        ((F.col("n_relevant") * 1000) / F.col("n_fetched"))
+        .cast("long")
+        .alias("harvest_permille"),
+        ((F.col("cum_relevant") * 1000) / F.col("cum_fetched"))
+        .cast("long")
+        .alias("cum_harvest_permille"),
+    )
