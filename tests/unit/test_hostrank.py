@@ -108,3 +108,24 @@ def test_opic_parallelism_invariance(spark):
         for r in opic(e.repartition(13), n_iters=4).collect()
     }
     assert one == many
+
+
+def test_link_reciprocity_known_graph(spark):
+    from who_focus_crawler_spark.operators.hostrank import link_reciprocity
+
+    pairs = [
+        ("a", "b"), ("b", "a"),          # mutual
+        ("a", "c"),                       # one-way
+        ("c", "d"), ("d", "c"), ("c", "e"),  # c: 1 of 2 reciprocal
+        ("a", "a"),                       # self-loop dropped
+        ("a", "b"),                       # duplicate edge dropped
+    ]
+    got = {
+        r.host: (r.n_out, r.n_reciprocal, r.reciprocity_permille)
+        for r in link_reciprocity(_edges(spark, pairs)).collect()
+    }
+    assert got["a"] == (2, 1, 500)
+    assert got["b"] == (1, 1, 1000)
+    assert got["c"] == (2, 1, 500)
+    assert got["d"] == (1, 1, 1000)
+    assert "e" not in got  # no outlinks → no row

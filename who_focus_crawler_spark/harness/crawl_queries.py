@@ -2184,6 +2184,56 @@ QUERIES["c_harvest_rate"] = (c_harvest_rate, C_HARVEST_RATE_SQL)
 
 
 # --------------------------------------------------------------------------
+# Link reciprocity — operators/hostrank.py::link_reciprocity on the
+# TrustRank graph: the spam ring s0→s1→…→s4→s0 is one-directional
+# (reciprocity 0), while the legit h-host mesh has genuinely mutual
+# pairs — both tails non-vacuous.
+
+
+def c_link_reciprocity(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.hostrank import link_reciprocity
+
+    return link_reciprocity(_tr_edges(spark, sf))
+
+
+C_LINK_RECIPROCITY_SQL = """
+WITH raw AS (
+  SELECT concat('h', CAST(o_custkey % 12 AS VARCHAR)) AS src,
+         concat('h', CAST(o_orderkey % 7 AS VARCHAR)) AS dst
+  FROM orders
+  UNION ALL
+  SELECT concat('s', CAST(o_orderkey % 5 AS VARCHAR)),
+         concat('s', CAST((o_orderkey + 1) % 5 AS VARCHAR))
+  FROM orders WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT concat('s', CAST(o_orderkey % 5 AS VARCHAR)),
+         concat('h', CAST(o_orderkey % 7 AS VARCHAR))
+  FROM orders WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT concat('h', CAST(o_custkey % 12 AS VARCHAR)),
+         concat('s', CAST(o_orderkey % 5 AS VARCHAR))
+  FROM orders WHERE o_orderkey % 101 = 0
+), e AS (
+  SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+), recip AS (
+  SELECT a.src, count(*) AS n_reciprocal
+  FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+  GROUP BY a.src
+), deg AS (
+  SELECT src, count(*) AS n_out FROM e GROUP BY src
+)
+SELECT d.src AS host,
+       CAST(d.n_out AS BIGINT) AS n_out,
+       CAST(coalesce(r.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+       CAST((coalesce(r.n_reciprocal, 0) * 1000) // d.n_out AS BIGINT)
+         AS reciprocity_permille
+FROM deg d LEFT JOIN recip r ON d.src = r.src
+"""
+
+QUERIES["c_link_reciprocity"] = (c_link_reciprocity, C_LINK_RECIPROCITY_SQL)
+
+
+# --------------------------------------------------------------------------
 # Scheduler fairness — operators/diagnostics.py::fairness_gini. Gini of
 # the per-host fetch-count distribution on the same deliberately skewed
 # synthetic frontier as c_hot_hosts (two hot hosts ⇒ a clearly nonzero
