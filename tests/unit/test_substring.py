@@ -120,3 +120,25 @@ def test_remove_dup_runs_overlapping_grams_cover_once(spark):
     }
     assert out[1] == (4, "x")
     assert out[2] == (4, "y")
+
+
+def test_dedup_lines_within_doc(spark):
+    from who_focus_crawler_spark.corpus.text import dedup_lines
+
+    rows = [
+        (1, "home\nabout us\nhome\ncontact\nhome"),
+        (2, "unique one\nunique two"),
+        (3, "solo"),
+        (4, "x\n\ny\n\nx"),  # empty lines dedup like any other line
+    ]
+    out = {
+        r.doc_id: (r.n_lines, r.n_dup_lines, r.clean_text)
+        for r in dedup_lines(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1] == (5, 2, "home\nabout us\ncontact")
+    assert out[2] == (2, 0, "unique one\nunique two")
+    assert out[3] == (1, 0, "solo")
+    # both the repeated empty line and the repeated "x" dedup
+    assert out[4] == (5, 2, "x\n\ny")

@@ -464,3 +464,54 @@ def soft404_score(text: Column) -> Column:
     )
     short = F.when(F.size(tokens(text)) < 20, F.lit(200)).otherwise(F.lit(0))
     return (strong + weak + short).cast("long")
+
+
+def dedup_lines(
+    docs: "DataFrame",
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Intra-document line dedup — (doc_id, n_lines, n_dup_lines,
+    clean_text): drop every repeat of a line WITHIN the same document
+    (first occurrence wins, original order preserved), rebuild the text
+    with single newlines.
+
+    The within-doc counterpart of the cross-doc substring removal
+    (corpus/substring.py): scraped pages repeat nav/footer lines many
+    times inside one document, which n-gram repetition stats flag but
+    don't fix. Deduplicating lines is also the first step of C4's
+    three-sentence-span dedup (Raffel et al. 2020 §2.2).
+
+    All native: split → posexplode → min-index per (doc, line) partial+
+    final agg → ordered rebuild. Shuffles are keyed by doc (+ line for
+    the first-occurrence agg) — no cross-doc exchange at all, so the
+    operator scales embarrassingly with the corpus.
+    """
+    base = docs.select(doc_col, text_col).filter(F.col(doc_col).isNotNull())
+    lines = base.select(
+        doc_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    firsts = lines.groupBy(doc_col, "line").agg(F.min("idx").alias("idx"))
+    rebuilt = firsts.groupBy(doc_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("idx"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    totals = base.select(
+        doc_col,
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return totals.join(rebuilt, doc_col).select(
+        doc_col,
+        "n_lines",
+        (F.col("n_lines") - F.col("n_kept")).cast("long").alias("n_dup_lines"),
+        "clean_text",
+    )

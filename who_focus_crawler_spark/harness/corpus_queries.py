@@ -2291,6 +2291,77 @@ QUERIES["d_sim_matryoshka"] = (d_sim_matryoshka, _matryoshka_sql())
 
 
 # --------------------------------------------------------------------------
+# Intra-document line dedup (corpus/text.py::dedup_lines): repeated
+# nav/footer lines inside ONE document are dropped (first occurrence
+# wins, order preserved) and the text rebuilt. The synth plants in-doc
+# duplicates two ways (doc_id % 3: repeat of line 0; doc_id % 4: a
+# doubled boilerplate footer) so removal and pass-through are both
+# non-vacuous; the oracle compares the rebuilt strings.
+
+
+def d_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.text import dedup_lines
+
+    d = t(spark, sf, "documents")
+    toks21 = F.slice(X.tokens(F.col("text")), 1, 21)
+    l3 = F.transform(
+        F.sequence(F.lit(0), F.lit(2)),
+        lambda i: F.array_join(F.slice(toks21, i * 7 + 1, 7), " "),
+    )
+    lines = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(l3, F.slice(l3, 1, 1))
+    ).otherwise(l3)
+    lines = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            lines,
+            F.array(F.lit("all rights reserved"), F.lit("all rights reserved")),
+        ),
+    ).otherwise(lines)
+    st = F.array_join(lines, "\n")
+    return dedup_lines(d.select("doc_id", st.alias("text")))
+
+
+D_DEDUP_LINES_SQL = f"""
+WITH base AS (
+  -- coalesce: DuckDB's array_to_string([]) is NULL (Spark's array_join
+  -- is ''), and NULL elements would be silently skipped by the outer
+  -- array_to_string — short docs would lose their empty lines
+  SELECT doc_id, list_transform(generate_series(0, 2), i ->
+      coalesce(array_to_string(list_slice(tk, i*7 + 1, i*7 + 7), ' '), ''))
+    AS l
+  FROM (SELECT doc_id, list_slice({SQL_TOKS}, 1, 21) AS tk FROM documents)
+), lx AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+    THEN list_concat(l, list_slice(l, 1, 1)) ELSE l END AS l FROM base
+), ly AS (
+  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+    THEN list_concat(l, ['all rights reserved', 'all rights reserved'])
+    ELSE l END AS l FROM lx
+), st AS (SELECT doc_id, array_to_string(l, chr(10)) AS stext FROM ly),
+ln AS (
+  SELECT doc_id, i - 1 AS idx, ls[i] AS line
+  FROM (SELECT doc_id, str_split(stext, chr(10)) AS ls FROM st),
+       LATERAL unnest(generate_series(1, len(ls))) u(i)
+), firsts AS (
+  SELECT doc_id, line, min(idx) AS idx FROM ln GROUP BY doc_id, line
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY idx) AS clean_text
+  FROM firsts GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(len(str_split(s.stext, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(str_split(s.stext, chr(10))) - a.n_kept AS BIGINT)
+         AS n_dup_lines,
+       a.clean_text
+FROM st s JOIN agg a USING (doc_id)
+"""
+
+QUERIES["d_dedup_lines"] = (d_dedup_lines, D_DEDUP_LINES_SQL)
+
+
+# --------------------------------------------------------------------------
 # Multimodal resize (corpus/multimodal.py::resize_nearest): the 9×8
 # probe-pixel grid of each payload downsampled to 3×2 by nearest
 # neighbor — pure native index arithmetic; the oracle recomputes the
