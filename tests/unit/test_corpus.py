@@ -1279,3 +1279,32 @@ def test_matryoshka_recall_full_prefix_is_exact(spark, vectors):
     # a 1-dim prefix is a valid (if weak) ranking: recall in [0, 1]
     weak = matryoshka_recall(vectors, n_queries=3, k=5, prefix_dims=1).collect()
     assert all(0.0 <= r.recall <= 1.0 for r in weak)
+
+
+def test_media_caption_pairs_nearest_text(spark):
+    from pyspark.sql import Row
+    from who_focus_crawler_spark.corpus.interleaved import media_caption_pairs
+
+    def s(kind, text=None, ref=None, off=0):
+        return Row(kind=kind, text=text, media_ref=ref, offset=off)
+
+    rows = [
+        Row(doc_id="d1", spans=[
+            s("media", ref="m0", off=0),          # no text before
+            s("text", text="intro", off=10),
+            s("link", ref="l1", off=20),
+            s("media", ref="m1", off=30),
+            s("text", text="outro", off=40),
+            s("media", ref="m2", off=50),         # no text after
+        ]),
+        Row(doc_id="d2", spans=[s("text", text="only", off=0)]),
+    ]
+    out = {
+        r.media_ref: (r.offset, r.caption_before, r.caption_after)
+        for r in media_caption_pairs(spark.createDataFrame(rows)).collect()
+    }
+    assert out == {
+        "m0": (0, None, "intro"),
+        "m1": (30, "intro", "outro"),
+        "m2": (50, "outro", None),
+    }

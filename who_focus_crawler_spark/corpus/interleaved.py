@@ -63,3 +63,51 @@ def media_table(documents: DataFrame, spans_col: str = "spans") -> DataFrame:
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
     )
+
+
+def media_caption_pairs(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Caption-candidate mining over the interleaved corpus: for every
+    media span, the nearest PRECEDING and FOLLOWING text spans in
+    document order → (doc_id, media_ref, offset, caption_before,
+    caption_after).
+
+    This is how an image/caption training set falls out of the
+    `BASELINE.json` input shape — spans interleave text and media in
+    authoring order, so the adjacent text spans are the best local
+    caption evidence (alt-text/figure-caption heuristic used by
+    LAION-style pair mining, Schuhmann et al. 2022).
+
+    Pure per-doc window functions over the exploded span sequence:
+    running last/first text span with IGNORE NULLS, partitioned by
+    doc — no cross-doc shuffle, parallel in the number of documents.
+    """
+    from pyspark.sql import Window
+
+    sp = docs.select(doc_col, F.posexplode(spans_col).alias("idx", "s"))
+    w = Window.partitionBy(doc_col).orderBy("idx")
+    prev_t = F.last(
+        F.when(F.col("s.kind") == "text", F.col("s.text")), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    next_t = F.first(
+        F.when(F.col("s.kind") == "text", F.col("s.text")), ignorenulls=True
+    ).over(w.rowsBetween(1, Window.unboundedFollowing))
+    return (
+        sp.select(
+            doc_col,
+            "s",
+            prev_t.alias("caption_before"),
+            next_t.alias("caption_after"),
+        )
+        .filter(F.col("s.kind") == "media")
+        .select(
+            doc_col,
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").cast("int").alias("offset"),
+            "caption_before",
+            "caption_after",
+        )
+    )

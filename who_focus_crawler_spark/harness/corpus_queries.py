@@ -666,6 +666,72 @@ FROM spans
 QUERIES["d_spans_stats"] = (d_spans_stats, D_SPANS_STATS_SQL)
 
 
+# --------------------------------------------------------------------------
+# Media-caption pair mining over the interleaved span shape
+# (corpus/interleaved.py::media_caption_pairs): each media span paired
+# with its nearest preceding/following text spans. Same deterministic
+# span synth as d_spans_stats, extended with text/media_ref payloads.
+
+
+def d_media_captions(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.interleaved import media_caption_pairs
+
+    d = t(spark, sf, "documents")
+    toks9 = F.slice(X.tokens(F.col("text")), 1, 9)
+    spans = F.transform(
+        toks9,
+        lambda tok, i: F.struct(
+            F.when((i + 1) % 3 == 0, F.lit("link"))
+            .when((i + 1) % 2 == 0, F.lit("media"))
+            .otherwise(F.lit("text"))
+            .alias("kind"),
+            F.when((i + 1) % 3 != 0, F.when((i + 1) % 2 != 0, tok)).alias("text"),
+            F.when(
+                ((i + 1) % 3 == 0) | ((i + 1) % 2 == 0),
+                F.concat(F.lit("m://"), tok),
+            ).alias("media_ref"),
+            (i * 7).cast("int").alias("offset"),
+        ),
+    )
+    return media_caption_pairs(d.select("doc_id", spans.alias("spans")))
+
+
+D_MEDIA_CAPTIONS_SQL = f"""
+WITH spans AS (
+  SELECT doc_id,
+         list_transform(list_slice({SQL_TOKS}, 1, 9), (tok, i) ->
+           struct_pack(
+             kind := CASE WHEN i % 3 = 0 THEN 'link'
+                          WHEN i % 2 = 0 THEN 'media'
+                          ELSE 'text' END,
+             txt := CASE WHEN i % 3 <> 0 AND i % 2 <> 0 THEN tok END,
+             media_ref := CASE WHEN i % 3 = 0 OR i % 2 = 0
+                               THEN 'm://' || tok END,
+             off := (i - 1) * 7)) AS sp
+  FROM documents
+), e AS (
+  SELECT doc_id, i AS idx, sp[i] AS s
+  FROM spans, LATERAL unnest(generate_series(1, len(sp))) u(i)
+), wn AS (
+  SELECT doc_id, s,
+         last_value(CASE WHEN s.kind = 'text' THEN s.txt END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS caption_before,
+         first_value(CASE WHEN s.kind = 'text' THEN s.txt END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY idx
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS caption_after
+  FROM e
+)
+SELECT doc_id, s.media_ref AS media_ref, CAST(s.off AS INTEGER) AS "offset",
+       caption_before, caption_after
+FROM wn WHERE s.kind = 'media'
+"""
+
+QUERIES["d_media_captions"] = (d_media_captions, D_MEDIA_CAPTIONS_SQL)
+
+
 def d_text_pii(spark: SparkSession, sf: str) -> DataFrame:
     """PII scrub: deterministic synthetic PII is appended to each doc
     (emails/phone/IP keyed off doc_id — the corpus itself has none), then
