@@ -29,6 +29,7 @@ def run_corpus_pipeline(
     lang: str = "en",
     max_dup_permille: int | None = None,
     remove_dup_runs_n: int | None = None,
+    dedup_lines_flag: bool = False,
     split_weights: dict[str, float] | None = None,
     mixture_weights: dict[str, float] | None = None,
     token_budget: int | None = None,
@@ -48,6 +49,9 @@ def run_corpus_pipeline(
     Optional stages beyond the base dedup→redact→gate pipeline:
     - ``max_dup_permille``: drop docs whose cross-doc duplicated n-gram
       share exceeds the per-mille threshold (corpus/substring.py);
+    - ``dedup_lines_flag``: drop repeated lines WITHIN each doc (first
+      occurrence wins — corpus/text.py::dedup_lines) before any other
+      text stage;
     - ``remove_dup_runs_n``: excise cross-doc duplicated n-gram runs
       from the surviving text instead of (or before) dropping whole
       docs — Lee et al. ACL 2022 exact-substring dedup
@@ -86,6 +90,19 @@ def run_corpus_pipeline(
     if dsir_top_k is not None and dsir_target is None:
         raise ValueError("dsir_top_k requires dsir_target")
     n_in = docs.count()
+    if dedup_lines_flag:
+        # intra-doc line dedup REWRITES text → runs before content-hash
+        # stages, same reasoning as C4
+        from who_focus_crawler_spark.corpus.text import dedup_lines
+
+        cleaned_lines = dedup_lines(docs).select(
+            "doc_id", F.col("clean_text")
+        )
+        docs = (
+            docs.drop("text")
+            .join(cleaned_lines, "doc_id")
+            .withColumnRenamed("clean_text", "text")
+        )
     if c4:
         # C4 line cleaning REWRITES text, so it runs before any
         # content-hash stage (a dedup hash of uncleaned text would not
@@ -272,6 +289,10 @@ def main() -> None:
         help="drop docs above this duplicated-n-gram share (0-1000)",
     )
     ap.add_argument(
+        "--dedup-lines", action="store_true",
+        help="drop repeated lines within each doc (first occurrence wins)",
+    )
+    ap.add_argument(
         "--remove-dup-runs", type=int, default=None, metavar="N",
         help="excise cross-doc duplicated N-gram runs from surviving "
              "text (exact-substring dedup, Lee et al. ACL 2022)",
@@ -344,6 +365,7 @@ def main() -> None:
         lang=args.lang,
         max_dup_permille=args.max_dup_permille,
         remove_dup_runs_n=args.remove_dup_runs,
+        dedup_lines_flag=args.dedup_lines,
         split_weights=_parse_weights(args.split) if args.split else None,
         c4=args.c4,
         c4_min_lines=args.c4_min_lines,

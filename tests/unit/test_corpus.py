@@ -1308,3 +1308,33 @@ def test_media_caption_pairs_nearest_text(spark):
         "m1": (30, "intro", "outro"),
         "m2": (50, "outro", None),
     }
+
+
+def test_corpus_pipeline_dedup_lines_stage(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from corpus import run_corpus_pipeline
+
+    rows = [
+        (
+            i,
+            f"the story {i} is about a thing of kind {i * 3} that is good\n"
+            f"all rights reserved\n"
+            f"more unique prose {i} follows in the body of the page\n"
+            f"all rights reserved",
+        )
+        for i in range(12)
+    ]
+    out = str(tmp_path / "kept")
+    stats = run_corpus_pipeline(
+        spark.createDataFrame(rows, ["doc_id", "text"]),
+        output=out,
+        dedup_lines_flag=True,
+        min_quality=0,
+    )
+    kept = spark.read.parquet(out)
+    assert stats["n_kept"] == kept.count() > 0
+    for r in kept.collect():
+        # the repeated footer survives exactly once per doc
+        assert r.text.count("all rights reserved") == 1
