@@ -129,3 +129,30 @@ def test_link_reciprocity_known_graph(spark):
     assert got["c"] == (2, 1, 500)
     assert got["d"] == (1, 1, 1000)
     assert "e" not in got  # no outlinks → no row
+
+
+def test_opic_weighted_splits_by_multiplicity(spark):
+    from who_focus_crawler_spark.operators.hostrank import opic
+
+    # a links to b 3× and to c 1× — weighted cash favors b 3:1;
+    # unweighted (distinct) would split evenly
+    rows = [("a", "b", 3), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)]
+    e = spark.createDataFrame(rows, ["src", "dst", "w"])
+    got = {
+        r.host: (r.cash_units, r.history_units)
+        for r in opic(e, n_iters=3, scale=10**9, weight_col="w").collect()
+    }
+    nodes = ["a", "b", "c"]
+    w = {("a", "b"): 3, ("a", "c"): 1, ("b", "a"): 1, ("c", "a"): 1}
+    W = {"a": 4, "b": 1, "c": 1}
+    n, scale = 3, 10**9
+    cash = {v: scale // n for v in nodes}
+    hist = dict.fromkeys(nodes, 0)
+    for _ in range(3):
+        in_sum = dict.fromkeys(nodes, 0)
+        for (s, d), wt in w.items():
+            in_sum[d] += cash[s] * wt // W[s]
+        hist = {v: hist[v] + cash[v] for v in nodes}
+        cash = {v: in_sum[v] for v in nodes}  # no dangling nodes here
+    assert got == {v: (cash[v], hist[v]) for v in nodes}
+    assert got["b"][1] > got["c"][1]  # history favors the 3x-linked host

@@ -298,6 +298,7 @@ def opic(
     n_iters: int = 8,
     scale: int = 10**9,
     checkpoint_each: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """OPIC — Adaptive On-Line Page Importance Computation (Abiteboul,
     Preda, Cobena, WWW 2003) over (src, dst) host edges, in integer
@@ -317,13 +318,30 @@ def opic(
     DuckDB oracle is a finite CTE chain). Floor deflation only ever
     loses mass — rankings are unaffected.
 
+    ``weight_col``: optional per-edge weight (e.g. page-level link
+    multiplicity). Cash then splits proportionally —
+    floor(cash·w / Σw(src)) per edge, computed in DECIMAL(38,0) so the
+    product can't overflow a long at web-scale multiplicities. Without
+    it, edges are distinct-uniform (each outlink gets cash // out_deg;
+    identical to the weighted form with w ≡ 1). Uniform splitting on a
+    DISTINCT host graph erases multiplicity structure — near-complete
+    host graphs look symmetric and every symmetric host ties — so crawl
+    prioritization should pass observed link counts.
+
     Scale shape per round: one join (cash ⋈ edges on src, pre-divided
-    by out-degree) + one groupBy(dst) sum, O(|edges|) shuffled on host
+    by out-weight) + one groupBy(dst) sum, O(|edges|) shuffled on host
     keys; the dangling pool is a scalar aggregate broadcast back into
     the plan. State is localCheckpointed per round to keep lineage flat
     over long crawls.
     """
-    e = edges.select("src", "dst").distinct()
+    if weight_col is None:
+        e = edges.select("src", "dst").distinct().withColumn(
+            "w", F.lit(1).cast("long")
+        )
+    else:
+        e = edges.groupBy("src", "dst").agg(
+            F.sum(F.col(weight_col)).cast("long").alias("w")
+        )
     nodes = (
         e.select(F.col("src").alias("host"))
         .unionByName(e.select(F.col("dst").alias("host")))
@@ -332,7 +350,7 @@ def opic(
     if checkpoint_each:
         e = e.localCheckpoint(eager=False)
         nodes = nodes.localCheckpoint(eager=False)
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    out_deg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     total = nodes.agg(F.count(F.lit(1)).alias("_n"))
     state = (
         nodes.crossJoin(F.broadcast(total))
@@ -348,14 +366,16 @@ def opic(
     dangling = nodes.join(
         out_deg.select(F.col("src").alias("host")), "host", "left_anti"
     )
+    # floor(cash·w / W) in DECIMAL(38,0): the quotient's true value is
+    # not an integer in general, so subtract the mod first — then the
+    # decimal divide is exact (same device as _linf_normalize)
+    _num = F.col("cash").cast("decimal(38,0)") * F.col("w")
+    _contrib = ((_num - _num % F.col("out_w")) / F.col("out_w")).cast("long")
     for _ in range(n_iters):
         inflow = (
             e.join(state.select(F.col("host").alias("src"), "cash"), "src")
             .join(out_deg, "src")
-            .select(
-                F.col("dst").alias("host"),
-                (F.col("cash") / F.col("out_deg")).cast("long").alias("c"),
-            )
+            .select(F.col("dst").alias("host"), _contrib.alias("c"))
             .groupBy("host")
             .agg(F.sum("c").alias("in_sum"))
         )

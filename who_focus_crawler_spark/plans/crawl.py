@@ -63,6 +63,18 @@ class CrawlConfig:
     # sitemap priority) alongside the seeds. Off by default — goldens
     # crawl by link discovery only.
     use_sitemaps: bool = False
+    # OPIC-adaptive prioritization (operators/hostrank.py::opic): each
+    # batch, host importance is computed ONLINE from the link edges the
+    # crawl itself has observed (frontier parent → target, parents
+    # resolved through url_seen) and added to selection priority as a
+    # sub-unit bonus — BFS depth order is preserved, ties within a depth
+    # re-rank toward high-cash hosts (the Abiteboul 2003 crawl policy).
+    # The bonus exists only in the per-batch selection view; stored
+    # frontier priorities stay -depth, so the boost never compounds and
+    # resume recomputes it from persisted state (determinism intact).
+    # Off by default — goldens crawl in frozen BFS order.
+    opic_priority: bool = False
+    opic_iters: int = 3
 
     @property
     def batches(self) -> int:
@@ -173,6 +185,65 @@ def bootstrap(spark: SparkSession, cfg: CrawlConfig) -> SnapshotCatalog:
 
 _TIMING = os.environ.get("WFC_DEBUG_TIMING", "") == "1"
 
+_OPIC_SCALE = 10**9
+
+
+def _opic_boosted_view(
+    frontier: DataFrame, url_seen: DataFrame, n_iters: int
+) -> DataFrame:
+    """Selection-time view of the frontier with OPIC host importance
+    folded into priority (CrawlConfig.opic_priority).
+
+    Edges = (parent's host → target host) over the CURRENT frontier's
+    lineage, parents resolved through url_seen — both are persisted
+    state tables, so a resumed run recomputes the identical bonus. The
+    bonus is (cash + history) / (2·scale + 1) ∈ [0, 1): integer OPIC
+    units divided by a constant, i.e. the same double on every
+    partitioning — it reorders hosts only WITHIN a BFS depth level
+    (priority = -depth + bonus) and never leaks into stored state.
+    Cost shape: the edge derivation joins frontier lineage against
+    url_seen on url_hash (the frontier's own partitioning key family)
+    and OPIC runs n_iters edge-join+agg rounds on the host graph —
+    per-batch overhead proportional to the observed link graph, the
+    price of online adaptivity (Abiteboul et al., WWW 2003)."""
+    from who_focus_crawler_spark.functions.urls import url_host
+    from who_focus_crawler_spark.operators.hostrank import opic
+
+    parents = url_seen.select(
+        F.col("url_hash").alias("parent_hash"),
+        url_host(F.col("canon_url")).alias("src"),
+    )
+    edges = (
+        frontier.filter(F.col("parent_hash").isNotNull())
+        .select("parent_hash", F.col("host").alias("dst"))
+        .join(parents, "parent_hash")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    # weighted: observed multiplicity is the signal — a DISTINCT host
+    # graph is near-complete and symmetric, which would tie every
+    # non-hot host and reduce the policy to plain BFS
+    scores = opic(edges, n_iters=n_iters, scale=_OPIC_SCALE, weight_col="w")
+    # cash ≤ scale (conserved up to floor deflation) and history banks at
+    # most `scale` per round ⇒ cash + history < (n_iters + 1)·scale, so
+    # this divisor keeps the bonus strictly inside [0, 1) — it can
+    # re-rank hosts within one BFS depth level but never across levels
+    bonus = scores.select(
+        "host",
+        (
+            (F.col("cash_units") + F.col("history_units"))
+            / F.lit(float((n_iters + 1) * _OPIC_SCALE + 1))
+        ).alias("_opic_bonus"),
+    )
+    return (
+        frontier.join(bonus, "host", "left")
+        .withColumn(
+            "priority",
+            F.col("priority") + F.coalesce(F.col("_opic_bonus"), F.lit(0.0)),
+        )
+        .drop("_opic_bonus")
+    )
+
 
 def run_batch(
     spark: SparkSession, cfg: CrawlConfig, catalog: SnapshotCatalog
@@ -211,8 +282,13 @@ def run_batch(
         host_state = _empty(spark, schemas.HOST_STATE)
 
     # C6 + C8 + C7 — select once (small: ≤ hosts × k rows), then decide
+    frontier_sel = (
+        _opic_boosted_view(frontier, url_seen, cfg.opic_iters)
+        if cfg.opic_priority
+        else frontier
+    )
     sel = select_candidates(
-        frontier, cfg.web.select_k, salt=cfg.salt
+        frontier_sel, cfg.web.select_k, salt=cfg.salt
     ).localCheckpoint(eager=True)
     robots_cache = refresh_robots_cache(
         sel, robots_cache, cfg.web, batch
