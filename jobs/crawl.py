@@ -43,6 +43,11 @@ def main() -> None:
         "--sitemaps", action="store_true",
         help="seed the frontier from the seed hosts' sitemap.xml",
     )
+    ap.add_argument(
+        "--opic", action="store_true",
+        help="OPIC-adaptive prioritization: re-rank hosts within a BFS "
+             "depth level by online importance from the observed link graph",
+    )
     args = ap.parse_args()
     if args.no_bloom and args.filter_kind != "bloom":
         ap.error(
@@ -66,6 +71,7 @@ def main() -> None:
         max_batches=args.batches,
         trap_threshold=args.trap_threshold,
         use_sitemaps=args.sitemaps,
+        opic_priority=args.opic,
     )
     catalog = run_crawl(spark, cfg, resume=args.resume)
     st = catalog.state()
