@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from who_focus_crawler_spark.corpus.dedup import shingles
+from who_focus_crawler_spark.corpus.dedup import _spread, shingles
 from who_focus_crawler_spark.corpus.text import tokens
 
 
@@ -42,8 +42,18 @@ def ordered_sets(
     """(doc_id, tk, n): distinct shingle set ordered by global document
     frequency ascending (ties by shingle string) — the AllPairs
     canonical order every prefix derives from."""
-    sets = docs.select(
-        F.col(id_col).alias("doc_id"),
+    # _spread before the shingle build: higher-order array expressions
+    # (transform/slice inside positional_ngrams) run interpreted per
+    # element, so this map is CPU-bound, and a small corpus parquet is
+    # one input partition — serializing it on a single core (measured:
+    # steady-state 19 s → 8 s for the whole join at sf0.1 once spread).
+    # Conditional: a warehouse-scale scan already has ≥ cores splits
+    # and passes through untouched. A column-only repartition would NOT
+    # work here — AQE coalesces it back to ~1 partition on few-MB input.
+    sets = _spread(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(
+        "doc_id",
         shingles(tokens(F.col(text_col)), shingle_k).alias("tk"),
     )
     ex = sets.select("doc_id", F.explode("tk").alias("tok"))
@@ -89,7 +99,25 @@ def jaccard_similarity_join(
         + 1
     )
     ex = ordered.select(
-        "doc_id", "n", F.explode(F.slice("tk", 1, pref_len.cast("int"))).alias("tok")
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("tk", 1, pref_len.cast("int"))).alias(
+            "pos", "tok"
+        ),
+    )
+    # PPJoin positional filter (Xiao, Wang, Lin & Yu, WWW 2008): at the
+    # pair's FIRST shared prefix token the total overlap is at most
+    # 1 + min(remaining suffix lengths), and Jaccard >= tau needs
+    # overlap >= ceil(tau·(n_a+n_b)/(1+tau)); a pair whose first match
+    # can't reach that is pruned before the distinct. Sound because the
+    # first shared token has no earlier matches (matched-so-far = 1
+    # exactly), complete because every valid pair passes there.
+    _required = F.ceil(
+        (F.lit(tau_permille) * (F.col("a.n") + F.col("b.n")))
+        / F.lit(1000 + tau_permille)
+    )
+    _upper = F.lit(1) + F.least(
+        F.col("a.n") - (F.col("a.pos") + 1), F.col("b.n") - (F.col("b.pos") + 1)
     )
     cand = (
         ex.alias("a")
@@ -100,7 +128,8 @@ def jaccard_similarity_join(
             # length filter: tau <= |a|/|b| <= 1/tau is necessary for
             # Jaccard >= tau — prune before verification
             & (F.col("b.n") * 1000 >= F.lit(tau_permille) * F.col("a.n"))
-            & (F.col("a.n") * 1000 >= F.lit(tau_permille) * F.col("b.n")),
+            & (F.col("a.n") * 1000 >= F.lit(tau_permille) * F.col("b.n"))
+            & (_upper >= _required),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from who_focus_crawler_spark.corpus.dedup import _spread
 from who_focus_crawler_spark.corpus.text import (  # noqa: F401 — re-export
     md5_hash60,
     positional_ngrams,
@@ -49,7 +50,10 @@ def dup_ngram_coverage(
     in at least 2 distinct docs. Integer outputs only — engine-portable
     for value-exact oracle comparison; compute ratios downstream.
     """
-    base = docs.select(doc_col, text_col)
+    # _spread: the positional n-gram build is an interpreted higher-order
+    # map — serialize-on-one-core pathology on single-file inputs, same
+    # fix as setjoin.ordered_sets (conditional; no-op at warehouse scale)
+    base = _spread(docs.select(doc_col, text_col))
     # Explicit not-null on the doc key: the outer joins below infer
     # IsNotNull(doc_id) into two of the three per_gram consumers but not
     # the third, which would break structural plan equality and defeat
@@ -127,7 +131,9 @@ def remove_dup_runs(
       - the token table is derived once and lazily checkpointed — three
         consumers (grams, totals, rebuild) share one tokenize pass.
     """
-    base = docs.select(doc_col, text_col).filter(F.col(doc_col).isNotNull())
+    base = _spread(
+        docs.select(doc_col, text_col).filter(F.col(doc_col).isNotNull())
+    )
     tk = base.select(
         doc_col, tokens(F.col(text_col)).alias("tk")
     ).localCheckpoint(eager=False)
