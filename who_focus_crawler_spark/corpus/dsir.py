@@ -53,7 +53,12 @@ def gram_buckets(text, n_buckets: int):
 
 
 def _doc_buckets(docs: DataFrame, n_buckets: int, id_col: str, text_col: str) -> DataFrame:
-    return docs.select(
+    # _spread: per-gram md5 inside an interpreted transform is the CPU
+    # hot spot — single-file inputs would serialize it on one core
+    # (conditional; no-op at warehouse scale; see dedup._spread)
+    from who_focus_crawler_spark.corpus.dedup import _spread
+
+    return _spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(gram_buckets(F.col(text_col), n_buckets)).alias("bucket")
     )
 
