@@ -1338,3 +1338,36 @@ def test_corpus_pipeline_dedup_lines_stage(spark, tmp_path):
     for r in kept.collect():
         # the repeated footer survives exactly once per doc
         assert r.text.count("all rights reserved") == 1
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from who_focus_crawler_spark.corpus.text import char_entropy_milli
+
+    rows = [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, "ab" * 50)]
+    out = {
+        r.doc_id: r.e
+        for r in spark.createDataFrame(rows, ["doc_id", "text"])
+        .select("doc_id", char_entropy_milli(F.col("text")).alias("e"))
+        .collect()
+    }
+    assert out[1] == 0          # degenerate: one symbol
+    assert out[2] == 1000       # two equiprobable symbols = 1 bit
+    assert out[3] == 2000       # four equiprobable = 2 bits
+    assert out[4] == 0          # empty
+    assert out[5] == 1000       # length-invariant for the same distribution
+    # english-ish prose sits strictly between the degenerate tails
+    prose = "the quick brown fox jumps over the lazy dog"
+    e = (
+        spark.createDataFrame([(1, prose)], ["doc_id", "text"])
+        .select(char_entropy_milli(F.col("text")).alias("e"))
+        .first()
+        .e
+    )
+    counts: dict = {}
+    for c in prose:
+        counts[c] = counts.get(c, 0) + 1
+    n = len(prose)
+    want = -sum((k / n) * math.log2(k / n) for k in counts.values())
+    assert e == math.floor(want * 1000)

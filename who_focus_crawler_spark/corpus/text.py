@@ -515,3 +515,36 @@ def dedup_lines(
         (F.col("n_lines") - F.col("n_kept")).cast("long").alias("n_dup_lines"),
         "clean_text",
     )
+
+
+def char_entropy_milli(text: Column) -> Column:
+    """Shannon entropy of the character distribution in millibits
+    (floor(H·1000) as long — floor, not round: round's half-way rule
+    differs between engines): near-zero for degenerate repetition,
+    ~4200 for English prose, pushing the ~log2(alphabet) ceiling for
+    random/encoded blobs — the classic junk detector that catches
+    base64/hex dumps and minified blobs that token-level stats miss.
+
+    One per-row expression: split to characters, sort the DISTINCT
+    alphabet (sorted so the float summation order — and therefore the
+    final double — is identical on every engine), count each symbol
+    with a vectorized filter, fold -Σ p·log2(p). O(alphabet × length)
+    per row, interpreted — spread the scan (corpus/dedup.py::_spread)
+    before calling this over a single-file corpus."""
+    chars = F.filter(F.split(text, ""), lambda c: F.length(c) > 0)
+    n = F.size(chars)
+    alphabet = F.array_sort(F.array_distinct(chars))
+    h = F.aggregate(
+        alphabet,
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (
+            F.size(F.filter(chars, lambda x: x == c)).cast("double") / n
+        )
+        * F.log2(
+            F.size(F.filter(chars, lambda x: x == c)).cast("double") / n
+        ),
+    )
+    return F.when(n > 0, F.floor(h * 1000).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )

@@ -2428,6 +2428,59 @@ QUERIES["d_dedup_lines"] = (d_dedup_lines, D_DEDUP_LINES_SQL)
 
 
 # --------------------------------------------------------------------------
+# Character-entropy junk detector (corpus/text.py::char_entropy_milli):
+# millibit Shannon entropy of each doc's character distribution. A
+# planted base64-ish blob (hex of md5, high entropy) and a degenerate
+# repetition (low entropy) are grafted onto ~1/13 and ~1/17 of docs so
+# both tails are non-vacuous.
+
+
+def d_text_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.dedup import _spread
+    from who_focus_crawler_spark.corpus.text import char_entropy_milli
+
+    d = _spread(t(spark, sf, "documents").select("doc_id", "text"))
+    synth = (
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.md5(F.col("text"))),
+        )
+        .when(F.col("doc_id") % 17 == 0, F.lit("aaaaaaaaaaaaaaaaaaaab"))
+        .otherwise(F.col("text"))
+    )
+    return d.select(
+        "doc_id", char_entropy_milli(synth).alias("entropy_milli")
+    )
+
+
+D_TEXT_ENTROPY_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' ' || md5(text)
+              WHEN doc_id % 17 = 0 THEN 'aaaaaaaaaaaaaaaaaaaab'
+              ELSE text END AS stext
+  FROM documents
+), ch AS (
+  SELECT doc_id,
+         list_filter(str_split(stext, ''), c -> len(c) > 0) AS chars
+  FROM s
+)
+SELECT doc_id,
+       CASE WHEN len(chars) > 0 THEN
+         CAST(floor(1000 * list_aggregate(list_transform(
+           list_sort(list_distinct(chars)), c ->
+             -(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+               / len(chars))
+             * log2(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+               / len(chars))), 'sum')) AS BIGINT)
+       ELSE 0 END AS entropy_milli
+FROM ch
+"""
+
+QUERIES["d_text_entropy"] = (d_text_entropy, D_TEXT_ENTROPY_SQL)
+
+
+# --------------------------------------------------------------------------
 # Multimodal resize (corpus/multimodal.py::resize_nearest): the 9×8
 # probe-pixel grid of each payload downsampled to 3×2 by nearest
 # neighbor — pure native index arithmetic; the oracle recomputes the
