@@ -63,3 +63,23 @@ def test_single_tier_degenerates_to_constant(spark):
     out = assign_crawl_tiers(_stats(spark), n_tiers=1, base_interval=5)
     assert {r.tier for r in out.collect()} == {0}
     assert {r.revisit_batches for r in out.collect()} == {5}
+
+
+def test_due_for_revisit_semantics(spark):
+    from who_focus_crawler_spark.operators.tiers import due_for_revisit
+
+    tiers = spark.createDataFrame(
+        [("a", 0, 2), ("b", 1, 4), ("c", 2, 8), ("d", 0, 2)],
+        ["host", "tier", "revisit_batches"],
+    )
+    lf = spark.createDataFrame(
+        [("a", 10), ("b", 9), ("c", 1)], ["host", "last_batch"]
+    )
+    out = {
+        r.host: (r.due, r.overdue)
+        for r in due_for_revisit(tiers, lf, current_batch=12).collect()
+    }
+    assert out["a"] == (True, 0)     # 12-10=2 >= 2, exactly at deadline
+    assert out["b"] == (False, -1)   # 12-9=3 < 4
+    assert out["c"] == (True, 3)     # 12-1=11 >= 8
+    assert out["d"][0] is True       # never fetched → due immediately

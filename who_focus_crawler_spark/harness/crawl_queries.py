@@ -2234,6 +2234,79 @@ QUERIES["c_link_reciprocity"] = (c_link_reciprocity, C_LINK_RECIPROCITY_SQL)
 
 
 # --------------------------------------------------------------------------
+# Tier-driven revisit due-set — operators/tiers.py::due_for_revisit
+# composed over assign_crawl_tiers: hosts whose geometric revisit
+# interval has elapsed by a synthetic "current batch". Some hosts have
+# no fetch history (custkey % 50 >= 44 never appears in the last-fetch
+# log) ⇒ the never-crawled backlog path is non-vacuous.
+
+_RD_NOW = 120
+
+
+def c_refresh_due(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.tiers import (
+        assign_crawl_tiers,
+        due_for_revisit,
+    )
+
+    o = t(spark, sf, "orders")
+    hs = o.groupBy(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias(
+            "host"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("rank_units"),
+        (F.min("o_orderkey") % 997).cast("long").alias("change_permille"),
+    )
+    tiers = assign_crawl_tiers(hs, n_tiers=4, base_interval=8)
+    lf = (
+        o.filter(F.col("o_custkey") % 50 < 44)
+        .groupBy(
+            F.concat(
+                F.lit("h"), (F.col("o_custkey") % 50).cast("string")
+            ).alias("host")
+        )
+        .agg((F.max("o_orderkey") % 100).cast("long").alias("last_batch"))
+    )
+    return due_for_revisit(tiers, lf, current_batch=_RD_NOW)
+
+
+C_REFRESH_DUE_SQL = f"""
+WITH hs AS (
+  SELECT concat('h', CAST(o_custkey % 50 AS VARCHAR)) AS host,
+         CAST(count(*) AS BIGINT) AS rank_units,
+         CAST(min(o_orderkey) % 997 AS BIGINT) AS change_permille
+  FROM orders GROUP BY 1
+), rk AS (
+  SELECT host,
+         CAST(rank_units * (change_permille + 1) AS BIGINT) AS tier_score,
+         row_number() OVER (
+           ORDER BY rank_units * (change_permille + 1) DESC, host) AS rk,
+         count(*) OVER () AS n
+  FROM hs
+), tiers AS (
+  SELECT host, tier_score,
+         CAST(((rk - 1) * 4) // n AS INTEGER) AS tier,
+         CAST(8 << CAST(((rk - 1) * 4) // n AS INTEGER) AS BIGINT)
+           AS revisit_batches
+  FROM rk
+), lf AS (
+  SELECT concat('h', CAST(o_custkey % 50 AS VARCHAR)) AS host,
+         CAST(max(o_orderkey) % 100 AS BIGINT) AS last_batch
+  FROM orders WHERE o_custkey % 50 < 44 GROUP BY 1
+)
+SELECT t.host, t.tier, t.revisit_batches, lf.last_batch,
+       CAST({_RD_NOW} - coalesce(lf.last_batch, -2147483648)
+            - t.revisit_batches AS BIGINT) AS overdue,
+       ({_RD_NOW} - coalesce(lf.last_batch, -2147483648))
+         >= t.revisit_batches AS due
+FROM tiers t LEFT JOIN lf ON t.host = lf.host
+"""
+
+QUERIES["c_refresh_due"] = (c_refresh_due, C_REFRESH_DUE_SQL)
+
+
+# --------------------------------------------------------------------------
 # Scheduler fairness — operators/diagnostics.py::fairness_gini. Gini of
 # the per-host fetch-count distribution on the same deliberately skewed
 # synthetic frontier as c_hot_hosts (two hot hosts ⇒ a clearly nonzero

@@ -74,3 +74,33 @@ def assign_crawl_tiers(
             F.expr(f"CAST(shiftleft(CAST({base_interval} AS BIGINT), tier) AS BIGINT)"),
         )
     )
+
+
+def due_for_revisit(
+    tiers: DataFrame,
+    last_fetch: DataFrame,
+    current_batch: int,
+    host_col: str = "host",
+) -> DataFrame:
+    """Close the tier loop operationally: which hosts' revisit interval
+    has elapsed → (host, tier, revisit_batches, last_batch, overdue,
+    due). ``overdue`` = batches past the deadline (≥ 0 when due) — the
+    natural recrawl-priority tiebreaker. Hosts with no fetch history are
+    due immediately (never-crawled backlog).
+
+    One broadcast-or-shuffle join on host + a projection; composes
+    :func:`assign_crawl_tiers` output with any (host, last_batch) fetch
+    log aggregate."""
+    lf = last_fetch.select(host_col, F.col("last_batch").cast("long"))
+    j = tiers.join(lf, host_col, "left")
+    gap = F.lit(current_batch) - F.coalesce(
+        F.col("last_batch"), F.lit(-(1 << 31))
+    )
+    return j.select(
+        host_col,
+        "tier",
+        "revisit_batches",
+        F.col("last_batch"),
+        (gap - F.col("revisit_batches")).cast("long").alias("overdue"),
+        (gap >= F.col("revisit_batches")).alias("due"),
+    )
