@@ -61,3 +61,48 @@ def test_select_recrawl_topk_per_host(spark):
     # min_score filters: nothing qualifies when no URL is stale yet
     fresh = recrawl_priority(_hist(spark), current_batch=3)
     assert select_recrawl(fresh, k_per_host=5).count() == 0
+
+
+def test_conditional_fetch_plan_states(spark):
+    from who_focus_crawler_spark.operators.recrawl import conditional_fetch_plan
+
+    # (canon_url, host, batch, content_hash, etag, last_modified, content_length)
+    rows = [
+        # stable page with etag → expect 304, save last length
+        ("u_stable", "h", 1, "A", "W/A", None, 100),
+        ("u_stable", "h", 2, "A", "W/A", None, 120),
+        # changing page with etag → revalidate but no 304 expected
+        ("u_churn", "h", 1, "A", "W/A", None, 50),
+        ("u_churn", "h", 2, "B", "W/B", None, 60),
+        # stable page with only Last-Modified
+        ("u_lm", "h", 1, "C", None, 1700000000, 70),
+        ("u_lm", "h", 2, "C", None, 1700000100, 80),
+        # stable page with no validator → full GET, nothing saved
+        ("u_none", "h", 1, "D", None, None, 90),
+        ("u_none", "h", 2, "D", None, None, 95),
+        # single fetch with etag → revalidate, but no stability evidence
+        ("u_once", "h", 1, "E", "W/E", None, 40),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "canon_url string, host string, batch long, content_hash string, "
+        "etag string, last_modified long, content_length long",
+    )
+    got = {r.canon_url: r for r in conditional_fetch_plan(df).collect()}
+    assert len(got) == 5
+    s = got["u_stable"]
+    assert (s.validator, s.revalidate, s.expect_304, s.saved_bytes) == (
+        "etag", True, True, 120,
+    )
+    c = got["u_churn"]
+    assert (c.validator, c.expect_304, c.saved_bytes) == ("etag", False, 0)
+    lm = got["u_lm"]
+    assert (lm.validator, lm.expect_304, lm.saved_bytes) == (
+        "last_modified", True, 80,
+    )
+    n = got["u_none"]
+    assert (n.validator, n.revalidate, n.expect_304, n.saved_bytes) == (
+        "none", False, False, 0,
+    )
+    o = got["u_once"]
+    assert (o.validator, o.revalidate, o.expect_304) == ("etag", True, False)

@@ -2513,3 +2513,162 @@ FROM lowered
 """
 
 QUERIES["c_soft404"] = (c_soft404, C_SOFT404_SQL)
+
+
+# --------------------------------------------------------------------------
+# Per-IP politeness budget (operators/ipbudget.py): hosts sharing one
+# resolved IP (virtual hosting) share a third admission budget stacked
+# over host politeness. The oracle reproduces the md5-bucketed synthetic
+# resolver and both ranking tiers with window functions.
+
+
+def c_ip_politeness(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.ipbudget import (
+        apply_ip_budget,
+        synthetic_ips,
+    )
+    from who_focus_crawler_spark.operators.politeness import apply_politeness
+
+    o = t(spark, sf, "orders")
+    host = F.concat(
+        F.lit("h"), (F.col("o_orderkey") % 24).cast("string"),
+        F.lit(".example.org"),
+    )
+    cand = o.select(
+        host.alias("host"),
+        F.col("o_totalprice").alias("priority"),
+        (F.col("o_orderkey") % 4).cast("int").alias("depth"),
+        F.concat(
+            F.lit("http://"), host, F.lit("/p/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("canon_url"),
+        F.lit(True).alias("robots_ok"),
+    )
+    dns = synthetic_ips(cand.select("host").distinct(), pool=5)
+    out = apply_ip_budget(apply_politeness(cand, 4), dns, ip_k=6)
+    return out.filter(F.col("admitted")).select("canon_url", "host", "ip")
+
+
+C_IP_POLITENESS_SQL = """
+WITH cand AS (
+  SELECT concat('h', CAST(o_orderkey % 24 AS VARCHAR), '.example.org') AS host,
+         o_totalprice AS priority,
+         CAST(o_orderkey % 4 AS INT) AS depth,
+         concat('http://h', CAST(o_orderkey % 24 AS VARCHAR),
+                '.example.org/p/', CAST(o_orderkey AS VARCHAR)) AS canon_url
+  FROM orders
+),
+resolved AS (
+  SELECT *,
+         concat('10.0.0.', CAST(
+           CAST(concat('0x', substring(md5(host), 1, 8)) AS BIGINT) % 5
+           AS VARCHAR)) AS ip
+  FROM cand
+),
+pol AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+             ORDER BY priority DESC, depth, canon_url) AS rn_pol
+  FROM resolved
+),
+ipb AS (
+  SELECT *, row_number() OVER (PARTITION BY ip
+             ORDER BY priority DESC, depth, canon_url) AS rn_ip
+  FROM pol WHERE rn_pol <= 4
+)
+SELECT canon_url, host, ip FROM ipb WHERE rn_ip <= 6
+"""
+
+QUERIES["c_ip_politeness"] = (c_ip_politeness, C_IP_POLITENESS_SQL)
+
+
+# --------------------------------------------------------------------------
+# HTTP revalidation planning (operators/recrawl.py::conditional_fetch_plan):
+# per-URL validator choice + expected-304 + saved bytes from the fetch
+# history. History synthesized from lineitem: url_id % 3 == 0 pages
+# change every fetch, validators present per url_id branch (etag on
+# even ids, Last-Modified on %4 < 3, neither on %4 == 3).
+
+
+def c_conditional_fetch(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.recrawl import conditional_fetch_plan
+
+    li = t(spark, sf, "lineitem")
+    url_id = F.col("l_orderkey") % 500
+    batch = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    chash = F.md5(
+        F.concat(
+            url_id.cast("string"),
+            F.lit(":"),
+            F.when((url_id % 3) == 0, batch).otherwise(F.lit(0)).cast("string"),
+        )
+    )
+    hist = li.select(
+        F.concat(
+            F.lit("http://h"), (url_id % 7).cast("string"),
+            F.lit(".example.org/doc/"), url_id.cast("string"),
+        ).alias("canon_url"),
+        F.concat(
+            F.lit("h"), (url_id % 7).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        batch.alias("batch"),
+        chash.alias("content_hash"),
+        F.when((url_id % 2) == 0, F.concat(F.lit("W/"), chash)).alias("etag"),
+        F.when((url_id % 4) < 3, F.lit(1700000000) + batch)
+        .cast("long")
+        .alias("last_modified"),
+        ((F.col("l_orderkey") % 1000) + 10 * F.col("l_linenumber"))
+        .cast("long")
+        .alias("content_length"),
+    )
+    return conditional_fetch_plan(hist)
+
+
+C_CONDITIONAL_FETCH_SQL = """
+WITH hist AS (
+  SELECT concat('http://h', CAST((l_orderkey % 500) % 7 AS VARCHAR),
+                '.example.org/doc/', CAST(l_orderkey % 500 AS VARCHAR))
+           AS canon_url,
+         concat('h', CAST((l_orderkey % 500) % 7 AS VARCHAR),
+                '.example.org') AS host,
+         l_orderkey * 8 + l_linenumber AS batch,
+         md5(concat(CAST(l_orderkey % 500 AS VARCHAR), ':',
+             CAST(CASE WHEN (l_orderkey % 500) % 3 = 0
+                       THEN l_orderkey * 8 + l_linenumber ELSE 0 END
+                  AS VARCHAR))) AS content_hash,
+         CASE WHEN (l_orderkey % 500) % 2 = 0
+              THEN concat('W/', md5(concat(CAST(l_orderkey % 500 AS VARCHAR),
+                   ':', CAST(CASE WHEN (l_orderkey % 500) % 3 = 0
+                             THEN l_orderkey * 8 + l_linenumber ELSE 0 END
+                        AS VARCHAR))))
+         END AS etag,
+         CASE WHEN (l_orderkey % 500) % 4 < 3
+              THEN 1700000000 + l_orderkey * 8 + l_linenumber END
+           AS last_modified,
+         (l_orderkey % 1000) + 10 * l_linenumber AS content_length
+  FROM lineitem
+),
+ordered AS (
+  SELECT *,
+         lag(content_hash) OVER (PARTITION BY canon_url
+             ORDER BY batch, content_hash) AS prev_hash,
+         row_number() OVER (PARTITION BY canon_url
+             ORDER BY batch, content_hash) AS fetch_no,
+         count(*) OVER (PARTITION BY canon_url) AS n
+  FROM hist
+)
+SELECT canon_url, host,
+       CASE WHEN etag IS NOT NULL THEN 'etag'
+            WHEN last_modified IS NOT NULL THEN 'last_modified'
+            ELSE 'none' END AS validator,
+       (etag IS NOT NULL OR last_modified IS NOT NULL) AS revalidate,
+       ((etag IS NOT NULL OR last_modified IS NOT NULL)
+        AND fetch_no >= 2
+        AND content_hash IS NOT DISTINCT FROM prev_hash) AS expect_304,
+       CAST(CASE WHEN ((etag IS NOT NULL OR last_modified IS NOT NULL)
+                       AND fetch_no >= 2
+                       AND content_hash IS NOT DISTINCT FROM prev_hash)
+                 THEN content_length ELSE 0 END AS BIGINT) AS saved_bytes
+FROM ordered WHERE fetch_no = n
+"""
+
+QUERIES["c_conditional_fetch"] = (c_conditional_fetch, C_CONDITIONAL_FETCH_SQL)

@@ -122,3 +122,79 @@ def select_recrawl(
         .filter(F.col("_rk") <= k_per_host)
         .drop("_rk")
     )
+
+
+def conditional_fetch_plan(history: DataFrame) -> DataFrame:
+    """HTTP revalidation planning over the fetch history (RFC 9110 §13).
+
+    A recrawl of a page whose server exposes a validator should be a
+    conditional GET (``If-None-Match`` on the ETag, else
+    ``If-Modified-Since``): an unchanged page answers 304 with no body,
+    so the expected revisit cost collapses to headers. This operator
+    turns the fetch history into a per-URL revisit plan: which validator
+    to send, whether a 304 is the expected outcome, and the bytes that
+    outcome saves — the bandwidth term a revisit scheduler weighs
+    against ``recrawl_priority``'s staleness term.
+
+    ``history`` columns: canon_url, host, batch, content_hash,
+    etag (nullable), last_modified (nullable), content_length (long).
+    Frozen semantics (oracle-checked by ``c_conditional_fetch``):
+
+    - the plan is driven by the LAST fetch per URL, ordered by
+      (batch, content_hash) — same tie-break as ``recrawl_priority``;
+    - validator: 'etag' if the last fetch carried one, else
+      'last_modified' if it did, else 'none' (full GET, nothing to
+      revalidate against);
+    - expect_304 iff a validator exists AND the URL has been fetched at
+      least twice AND the last fetch's content hash null-safely equals
+      the previous fetch's (most recent observation = stable);
+    - saved_bytes = last content_length when expect_304, else 0.
+
+    Scale shape: ONE shuffle of the history on canon_url feeds both the
+    ordering window and nothing else — the per-URL partitions are tiny
+    (fetch counts), no skew key exists, and the output is one row per
+    URL.
+    """
+    # ONE window ordering for everything: a second (descending) window
+    # operator would rank tie rows independently of this one, making the
+    # result nondeterministic when the history carries exact duplicate
+    # fetch rows. The last fetch is fetch_no == count over the same
+    # partition instead.
+    w = Window.partitionBy("canon_url").orderBy("batch", "content_hash")
+    wp = Window.partitionBy("canon_url")
+    marked = (
+        history.select(
+            "canon_url",
+            "host",
+            F.col("batch").cast("long").alias("batch"),
+            "content_hash",
+            "etag",
+            "last_modified",
+            F.col("content_length").cast("long").alias("content_length"),
+        )
+        .withColumn("_prev_hash", F.lag("content_hash").over(w))
+        .withColumn("_fetch_no", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wp))
+    )
+    last = marked.filter(F.col("_fetch_no") == F.col("_n"))
+    validator = (
+        F.when(F.col("etag").isNotNull(), F.lit("etag"))
+        .when(F.col("last_modified").isNotNull(), F.lit("last_modified"))
+        .otherwise(F.lit("none"))
+    )
+    expect_304 = (
+        (validator != F.lit("none"))
+        & (F.col("_fetch_no") >= 2)
+        & F.col("content_hash").eqNullSafe(F.col("_prev_hash"))
+    )
+    return last.select(
+        "canon_url",
+        "host",
+        validator.alias("validator"),
+        (validator != F.lit("none")).alias("revalidate"),
+        expect_304.alias("expect_304"),
+        F.when(expect_304, F.col("content_length"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("saved_bytes"),
+    )
