@@ -2672,3 +2672,73 @@ FROM ordered WHERE fetch_no = n
 """
 
 QUERIES["c_conditional_fetch"] = (c_conditional_fetch, C_CONDITIONAL_FETCH_SQL)
+
+
+# --------------------------------------------------------------------------
+# Canonical URL election (operators/canonical.py): five URL aliases per
+# content hash, exercising every tier of the frozen preference order
+# (scheme, param count, path depth, length, lexicographic).
+
+
+def c_canonical_election(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.canonical import elect_canonical
+
+    o = t(spark, sf, "orders")
+    cid = (F.col("o_orderkey") % 300).cast("string")
+    v = (F.col("o_orderkey") / 300).cast("long") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://example.org/p/"), cid))
+        .when(v == 1, F.concat(F.lit("http://example.org/p/"), cid))
+        .when(v == 2, F.concat(
+            F.lit("https://example.org/p/"), cid, F.lit("?ref=home&utm=x")))
+        .when(v == 3, F.concat(F.lit("https://example.org/arc/p/"), cid))
+        .otherwise(F.concat(F.lit("https://mirror-example.org/p/"), cid))
+    )
+    pages = o.select(
+        url.alias("canon_url"),
+        F.md5(F.concat(F.lit("content:"), cid)).alias("content_hash"),
+    ).distinct()
+    return elect_canonical(pages)
+
+
+C_CANONICAL_ELECTION_SQL = """
+WITH pages AS (
+  SELECT DISTINCT
+    CASE (o_orderkey // 300) % 5
+      WHEN 0 THEN concat('https://example.org/p/',
+                         CAST(o_orderkey % 300 AS VARCHAR))
+      WHEN 1 THEN concat('http://example.org/p/',
+                         CAST(o_orderkey % 300 AS VARCHAR))
+      WHEN 2 THEN concat('https://example.org/p/',
+                         CAST(o_orderkey % 300 AS VARCHAR), '?ref=home&utm=x')
+      WHEN 3 THEN concat('https://example.org/arc/p/',
+                         CAST(o_orderkey % 300 AS VARCHAR))
+      ELSE concat('https://mirror-example.org/p/',
+                  CAST(o_orderkey % 300 AS VARCHAR))
+    END AS canon_url,
+    md5(concat('content:', CAST(o_orderkey % 300 AS VARCHAR))) AS content_hash
+  FROM orders
+),
+keyed AS (
+  SELECT canon_url, content_hash,
+         CASE WHEN canon_url LIKE 'https://%' THEN 0 ELSE 1 END AS https_rank,
+         CASE WHEN instr(canon_url, '?') > 0
+              THEN len(string_split(split_part(canon_url, '?', 2), '&'))
+              ELSE 0 END AS n_params,
+         len(canon_url) - len(replace(canon_url, '/', '')) AS n_slashes
+  FROM pages
+),
+ranked AS (
+  SELECT canon_url, content_hash,
+         row_number() OVER w AS rn,
+         first_value(canon_url) OVER w AS canonical_url
+  FROM keyed
+  WINDOW w AS (PARTITION BY content_hash
+               ORDER BY https_rank, n_params, n_slashes,
+                        len(canon_url), canon_url)
+)
+SELECT canon_url, content_hash, canonical_url, rn = 1 AS is_canonical
+FROM ranked
+"""
+
+QUERIES["c_canonical_election"] = (c_canonical_election, C_CANONICAL_ELECTION_SQL)
