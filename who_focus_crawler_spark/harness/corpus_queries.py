@@ -2532,3 +2532,34 @@ FROM rz
 """
 
 QUERIES["d_media_resize"] = (d_media_resize, D_MEDIA_RESIZE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Exact heavy hitters (corpus/heavy.py): two-pass Misra-Gries — bounded
+# O(k) memory per task, candidates broadcast, exact rescan. The oracle
+# is the plain GROUP BY answer the two-pass route must reproduce
+# exactly (threshold count*(k+1) > n).
+
+_HH_K = 30
+
+
+def d_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.heavy import heavy_hitters
+
+    d = t(spark, sf, "documents")
+    items = d.select(F.explode(X.tokens(F.col("text"))).alias("item"))
+    return heavy_hitters(items, k=_HH_K)
+
+
+D_HEAVY_HITTERS_SQL = f"""
+WITH tok AS (
+  SELECT unnest({SQL_TOKS}) AS item FROM documents
+),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT item, count(*) AS n_occurrences
+FROM tok, tot
+GROUP BY item, n
+HAVING count(*) * {_HH_K + 1} > n
+"""
+
+QUERIES["d_heavy_hitters"] = (d_heavy_hitters, D_HEAVY_HITTERS_SQL)
