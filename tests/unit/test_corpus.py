@@ -1371,3 +1371,66 @@ def test_char_entropy_known_values(spark):
     n = len(prose)
     want = -sum((k / n) * math.log2(k / n) for k in counts.values())
     assert e == math.floor(want * 1000)
+
+
+def test_readability_known_values(spark):
+    from who_focus_crawler_spark.corpus.text import readability_stats
+
+    rows = [
+        ("simple", "The cat sat. The dog ran."),
+        ("dense", "Incomprehensibility characterizes bureaucratization."),
+        ("empty", ""),
+        ("nopunct", "three little words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    st = readability_stats(F.col("text"))
+    got = {
+        r.doc_id: (r.w, r.s, r.y, r.fre)
+        for r in df.select(
+            "doc_id",
+            st["n_words"].alias("w"),
+            st["n_sentences"].alias("s"),
+            st["n_syllables"].alias("y"),
+            st["fre_milli"].alias("fre"),
+        ).collect()
+    }
+
+    def ref(text):
+        import re
+
+        w = len(re.findall(r"[a-z0-9]+", text.lower()))
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        y = len(re.findall(r"[aeiouy]+", text.lower()))
+        fre = 206835 - (1015 * w) // s - (84600 * y) // w if w else None
+        return (w, s, y, fre)
+
+    for doc_id, text in rows:
+        assert got[doc_id] == ref(text), doc_id
+    # monosyllabic short sentences read easier than polysyllabic prose
+    assert got["simple"][3] > got["dense"][3]
+    assert got["empty"][3] is None
+
+
+def test_topic_tagging_argmax_and_ties(spark):
+    from who_focus_crawler_spark.corpus.text import predict_topic, tokens
+
+    rows = [
+        ("h", "the vaccine protects the patient from the virus"),
+        ("d", "join the table on the hash column"),
+        ("w", "crawl the page and parse the url link"),
+        ("none", "completely unrelated prose about gardens"),
+        # tie: one health term, one web term → alphabetically-first
+        # topic among maxima... health < web
+        ("tie", "the vaccine url"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.topic
+        for r in df.select(
+            "doc_id", predict_topic(tokens(F.col("text"))).alias("topic")
+        ).collect()
+    }
+    assert got == {
+        "h": "health", "d": "data", "w": "web", "none": "other",
+        "tie": "health",
+    }

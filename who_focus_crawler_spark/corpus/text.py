@@ -548,3 +548,97 @@ def char_entropy_milli(text: Column) -> Column:
     return F.when(n > 0, F.floor(h * 1000).cast("long")).otherwise(
         F.lit(0).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch reading ease, integer milli-points)
+
+SYLLABLE_RE = "[aeiouy]+"  # vowel groups ~ syllables (frozen heuristic)
+SENTENCE_RE = "[.!?]+"  # terminator runs ~ sentence breaks
+
+
+def readability_stats(text: Column) -> dict[str, Column]:
+    """Flesch reading ease in exact integer milli-points.
+
+    FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    with syllables ≈ vowel-group count (the standard no-dictionary
+    heuristic) and sentences ≈ terminator runs, both floored at 1 so
+    fragments still score. Millis + floor division keep the value
+    bit-identical across engines (the same reasoning as
+    ``quality_score``); the classic 0–100 band maps to 0–100,000.
+    Empty/wordless docs score NULL (nothing to read).
+    """
+    n_words = F.size(tokens(text))
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(SENTENCE_RE), F.lit(0))),
+        F.lit(1),
+    )
+    n_syllables = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(SYLLABLE_RE), F.lit(0))
+    )
+    w = n_words.cast("long")
+    s = n_sentences.cast("long")
+    y = n_syllables.cast("long")
+
+    def _idiv(a: Column, b: Column) -> Column:
+        # exact integer division in long arithmetic (a, b >= 0): the
+        # subtraction makes the numerator exactly divisible, so the
+        # double division is exact — no float-rounding parity risk
+        return ((a - a % b) / b).cast("long")
+
+    fre = (
+        F.lit(206835)
+        - _idiv(F.lit(1015) * w, s)
+        - _idiv(F.lit(84600) * y, w)
+    )
+    return {
+        "n_words": w,
+        "n_sentences": s,
+        "n_syllables": y,
+        "fre_milli": F.when(w > 0, fre.cast("long")),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Lexicon topic tagging (focused-crawl relevance categories)
+
+# Frozen mini-taxonomy. Real deployments broadcast a curated lexicon
+# table; the mechanics (token-membership counts + deterministic argmax)
+# are what this freezes.
+TOPIC_LEXICON: dict[str, tuple[str, ...]] = {
+    "health": ("health", "disease", "vaccine", "patient", "clinic",
+               "virus", "epidemic", "medicine"),
+    "data": ("data", "query", "table", "row", "column", "join",
+             "hash", "index"),
+    "web": ("http", "url", "link", "page", "site", "crawl",
+            "host", "robots"),
+}
+
+
+def topic_scores(toks: Column) -> dict[str, Column]:
+    """Occurrence count of each topic's lexicon terms (multiplicity
+    kept — a page that says 'vaccine' ten times is more about health
+    than one that says it once). Native array filter, no shuffle."""
+    out = {}
+    for topic, terms in TOPIC_LEXICON.items():
+        lex = F.array(*[F.lit(t) for t in terms])
+        out[topic] = F.size(
+            F.filter(toks, lambda tok: F.array_contains(lex, tok))
+        ).cast("long")
+    return out
+
+
+def predict_topic(toks: Column) -> Column:
+    """Argmax topic with deterministic tie-break (score desc, topic
+    asc); 'other' when no lexicon term occurs at all."""
+    scores = topic_scores(toks)
+    pairs = F.array(
+        *[
+            F.struct(
+                (-scores[topic]).alias("neg"), F.lit(topic).alias("topic")
+            )
+            for topic in sorted(TOPIC_LEXICON)
+        ]
+    )
+    best = F.array_min(pairs)
+    return F.when(-best["neg"] > 0, best["topic"]).otherwise(F.lit("other"))

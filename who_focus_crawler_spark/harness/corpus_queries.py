@@ -2563,3 +2563,102 @@ HAVING count(*) * {_HH_K + 1} > n
 """
 
 QUERIES["d_heavy_hitters"] = (d_heavy_hitters, D_HEAVY_HITTERS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Readability (Flesch reading ease in integer milli-points)
+
+
+def d_text_readability(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    st = X.readability_stats(F.col("text"))
+    return d.select(
+        "doc_id",
+        st["n_words"].alias("n_words"),
+        st["n_sentences"].alias("n_sentences"),
+        st["n_syllables"].alias("n_syllables"),
+        st["fre_milli"].alias("fre_milli"),
+    )
+
+
+D_TEXT_READABILITY_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         len({SQL_TOKS}) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sn,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+  FROM documents
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(sn AS BIGINT) AS n_sentences,
+       CAST(y AS BIGINT) AS n_syllables,
+       CAST(CASE WHEN w > 0
+                 THEN 206835 - (1015 * w) // sn - (84600 * y) // w
+            END AS BIGINT) AS fre_milli
+FROM s
+"""
+
+QUERIES["d_text_readability"] = (d_text_readability, D_TEXT_READABILITY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Lexicon topic tagging: per-topic occurrence counts + deterministic
+# argmax label, rolled up per (source, topic).
+
+
+def d_text_topics(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    toks = X.tokens(F.col("text"))
+    sc = X.topic_scores(toks)
+    return (
+        d.select(
+            "source",
+            X.predict_topic(toks).alias("topic"),
+            sc["health"].alias("health_hits"),
+            sc["data"].alias("data_hits"),
+            sc["web"].alias("web_hits"),
+        )
+        .groupBy("source", "topic")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("health_hits").alias("health_hits"),
+            F.sum("data_hits").alias("data_hits"),
+            F.sum("web_hits").alias("web_hits"),
+        )
+    )
+
+
+def _topics_sql() -> str:
+    from who_focus_crawler_spark.corpus.text import TOPIC_LEXICON
+
+    def hits(topic: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in TOPIC_LEXICON[topic])
+        return (
+            f"len(list_filter({SQL_TOKS}, "
+            f"x -> list_contains([{lst}], x)))"
+        )
+
+    return f"""
+WITH scored AS (
+  SELECT source,
+         {hits('health')} AS h,
+         {hits('data')} AS d,
+         {hits('web')} AS w
+  FROM documents
+),
+labeled AS (
+  SELECT source, h, d, w,
+         CASE WHEN d = 0 AND h = 0 AND w = 0 THEN 'other'
+              WHEN d >= h AND d >= w THEN 'data'
+              WHEN h >= w THEN 'health'
+              ELSE 'web' END AS topic
+  FROM scored
+)
+SELECT source, topic, count(*) AS n_docs,
+       CAST(sum(h) AS BIGINT) AS health_hits,
+       CAST(sum(d) AS BIGINT) AS data_hits,
+       CAST(sum(w) AS BIGINT) AS web_hits
+FROM labeled GROUP BY source, topic
+"""
+
+
+QUERIES["d_text_topics"] = (d_text_topics, _topics_sql())
