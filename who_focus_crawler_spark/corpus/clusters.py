@@ -66,8 +66,15 @@ def near_dup_clusters(
         .withColumn("label", F.col("node"))
     )
     if n_iters is not None:
+        # Lineage truncation matters here too: without it round i's plan
+        # inlines the edge derivation (often an expensive pair join) i
+        # times and Catalyst optimization time dwarfs the data at small
+        # scale. Values are unchanged — only the plan is pinned.
+        edges = edges.localCheckpoint(eager=False)
         for _ in range(n_iters):
-            labels = _propagate_once(labels, edges)
+            labels = _propagate_once(labels, edges).localCheckpoint(
+                eager=False
+            )
     else:
         edges = edges.localCheckpoint(eager=False)
         labels = labels.localCheckpoint(eager=False)

@@ -48,6 +48,7 @@ def semdedup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Within-cluster semantic-duplicate pairs.
 
@@ -55,10 +56,12 @@ def semdedup_pairs(
     round(cosine, 6) >= threshold. Pairs are generated ONLY inside a
     cluster — a cross-cluster near-dup is invisible by design (the
     paper's accepted trade for the n²→n²/k cut; raise k's resolution or
-    lower epsilon rather than widening the join).
+    lower epsilon rather than widening the join). ``assigned`` forwards
+    a precomputed cluster assignment (see ``within_cluster_pairs``).
     """
     return within_cluster_pairs(
-        embeddings, centroids, id_col=id_col, vec_col=vec_col
+        embeddings, centroids, id_col=id_col, vec_col=vec_col,
+        assigned=assigned,
     ).filter(F.col("cosine_sim") >= threshold)
 
 
@@ -82,9 +85,17 @@ def semdedup(
     k = exactly k lazy rounds, reproducible as a SQL CTE chain for the
     value-exact oracle.
     """
-    asg = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    # One evaluation of the k×dim centroid-distance tree, shared by the
+    # pair join (both sides) and the final labeling — without the
+    # checkpoint the 4-round propagation lineage re-inlines it ~8×,
+    # which at small scale costs more in Catalyst optimization time
+    # than the data does (measured 7-9 s → ~2 s at sf0.01).
+    asg = ivf_assign(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
     pairs = semdedup_pairs(
-        embeddings, centroids, threshold, id_col=id_col, vec_col=vec_col
+        embeddings, centroids, threshold, id_col=id_col, vec_col=vec_col,
+        assigned=asg,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     labels = near_dup_clusters(pairs, n_iters=n_iters).select(
         F.col("doc_id").alias("vec_id"),

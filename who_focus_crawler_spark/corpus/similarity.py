@@ -660,6 +660,7 @@ def within_cluster_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: int = 8,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Undirected within-cluster pairs with exact cosine:
     (vec_a, vec_b, cluster, cosine_sim), vec_a < vec_b — the shared
@@ -675,8 +676,17 @@ def within_cluster_pairs(
     exactly once. Norms are computed per ROW before the join (one
     aggregate per vector instead of two per pair — same doubles), so a
     pair costs one dot-product fold.
+
+    ``assigned``: a precomputed ``ivf_assign`` result (must carry
+    ``cluster``) so a caller that also needs the assignment for itself
+    (SemDeDup's final labeling) evaluates the k×dim centroid-distance
+    expression tree ONCE instead of once per consumer.
     """
-    asg = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    asg = (
+        assigned
+        if assigned is not None
+        else ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    )
     nrm = F.aggregate(
         F.col(vec_col),
         F.lit(0.0),
