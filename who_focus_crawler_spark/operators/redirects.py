@@ -119,8 +119,13 @@ def resolve_redirect_chains(
     e = edges.select("src_url", "dst_url").distinct()
     ptrs = _init_pointers(e)
     if n_rounds is not None:
+        # Each round references ptrs TWICE (self-join), so a lazy plan
+        # doubles per round — 2^k inlined copies of the base by round k,
+        # and Catalyst optimization dwarfs the data. Truncate lineage
+        # per round; values are unchanged, only the plan is pinned.
+        ptrs = ptrs.localCheckpoint(eager=False)
         for _ in range(n_rounds):
-            ptrs = _double_once(ptrs, max_hops)
+            ptrs = _double_once(ptrs, max_hops).localCheckpoint(eager=False)
     else:
         if e.groupBy("src_url").count().filter(F.col("count") > 1).limit(1).count():
             raise ValueError(
