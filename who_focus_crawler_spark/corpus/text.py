@@ -230,6 +230,75 @@ def fingerprint(toks: Column, k: int = 4) -> Column:
     return F.array_min(F.transform(grams, lambda g: F.md5(g)))
 
 
+def winnow_fingerprints(toks: Column, k: int = 4, w: int = 5) -> Column:
+    """Positional winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003): hash every k-token gram, slide a window of ``w`` consecutive
+    gram hashes, and select each window's minimum — ties broken by the
+    RIGHTMOST position (the paper's rule) — recording each selected
+    (position, hash) once. Guarantee: any two documents sharing a token
+    run of length >= w + k - 1 share at least one fingerprint, while
+    only ~2/(w+1) of grams are kept — a local, position-aware near-dup
+    / plagiarism signal that the single global-min ``fingerprint`` (and
+    MinHash, which is order-blind) cannot give.
+
+    All native array expressions (whole-stage codegen, zero shuffle —
+    embarrassingly parallel at 100 TB). The rightmost-min tie-break is
+    encoded into one sortable key per gram: 15-hex md5 prefix ||
+    zero-padded (999999 - pos), so ``array_min`` over a window slice
+    picks (min hash, max pos) in one comparison — the identical
+    construction is engine-portable to the DuckDB oracle twin.
+
+    Returns array<struct<pos:int, gram_hash:string>> sorted by pos;
+    documents with fewer than ``k`` tokens yield []. With fewer grams
+    than ``w`` the single (shorter) window still selects one
+    fingerprint — frozen edge semantics shared with the oracle.
+    """
+    grams = positional_ngrams(toks, k)
+    keys = F.transform(
+        grams,
+        lambda g, i: F.concat(
+            F.substring(F.md5(g), 1, 15),
+            F.lpad((F.lit(999998) - i).cast("string"), 6, "0"),
+        ),
+    )
+
+    def _windows(ks: Column) -> Column:
+        m = F.size(ks)
+        # sequence() descends when start > stop — gate on m >= 1
+        return F.when(
+            m >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(m - F.lit(w - 1), F.lit(1))
+                    ),
+                    lambda i: F.array_min(F.slice(ks, i, w)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # Bind `keys` to a lambda variable so the md5-per-gram map runs ONCE
+    # per document: referencing the raw expression from inside the
+    # window transform would re-inline it into every slice — O(m²) md5
+    # evaluations per doc (measured ~100× slower at sf0.1). transform
+    # over a 1-element wrapper array is the Column-level let-binding.
+    selected = F.element_at(
+        F.transform(F.array(keys), lambda ks: _windows(ks)), 1
+    )
+    return F.array_sort(
+        F.transform(
+            selected,
+            lambda s: F.struct(
+                (F.lit(999999) - F.substring(s, 16, 6).cast("int")).alias(
+                    "pos"
+                ),
+                F.substring(s, 1, 15).alias("gram_hash"),
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Unicode normalization — the one text stage that genuinely needs Python
 # (Spark has no built-in NFC/NFD; ICU lives JVM-side but isn't exposed

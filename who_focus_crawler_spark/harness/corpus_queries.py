@@ -1875,6 +1875,58 @@ QUERIES["d_bpe_tokens"] = (d_bpe_tokens, None)
 
 
 # --------------------------------------------------------------------------
+# Positional winnowing (Schleimer et al. SIGMOD 2003, corpus/text.py::
+# winnow_fingerprints): per-window rightmost-min selection over k-gram
+# hashes — the local document-fingerprinting algorithm (guaranteed hit
+# for any shared run >= w+k-1 tokens). The sortable key construction
+# (md5-15-hex || zero-padded inverted position) is reproduced verbatim
+# in DuckDB, so selections are value-exact, not just counts.
+
+_WN_K, _WN_W = 4, 5
+
+
+def d_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.dedup import _spread
+
+    d = _spread(t(spark, sf, "documents").select("doc_id", "text"))
+    fp = d.select(
+        "doc_id",
+        F.explode(
+            X.winnow_fingerprints(X.tokens(F.col("text")), k=_WN_K, w=_WN_W)
+        ).alias("fp"),
+    )
+    return fp.select("doc_id", F.col("fp.pos").alias("pos"), "fp.gram_hash")
+
+
+D_WINNOWING_SQL = f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+ks AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(tk) - {_WN_K - 1}, 0)),
+           i -> substr(md5(array_to_string(
+                  list_slice(tk, i, i + {_WN_K - 1}), ' ')), 1, 15)
+                || lpad(CAST(999999 - i AS VARCHAR), 6, '0')) AS keys
+  FROM tk
+),
+sel AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(keys) - {_WN_W - 1}, 1)),
+           i -> list_aggregate(
+                  list_slice(keys, i, i + {_WN_W - 1}), 'min')))) AS key
+  FROM ks WHERE len(keys) >= 1
+)
+SELECT doc_id,
+       CAST(999999 - CAST(substr(key, 16, 6) AS INT) AS INT) AS pos,
+       substr(key, 1, 15) AS gram_hash
+FROM sel
+"""
+
+QUERIES["d_winnowing"] = (d_winnowing, D_WINNOWING_SQL)
+
+
+# --------------------------------------------------------------------------
 # Perceptual image near-dup (dHash, corpus/multimodal.py): the media
 # table is documents' payload blobs plus a planted last-byte-edited
 # variant for every 5th doc, so sub-threshold pairs exist by
