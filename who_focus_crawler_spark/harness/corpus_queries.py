@@ -1854,16 +1854,23 @@ LIMIT 50
 QUERIES["d_text_collocations"] = (d_text_collocations, D_TEXT_COLLOCATIONS_SQL)
 
 
+_BPE_MERGES, _BPE_MIN_COUNT = 20, 2
+
+
 def d_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """BPE tokenizer (corpus/bpe.py): train 20 merges on the corpus
     word-frequency vocab, segment every document, report per-doc
-    subword counts. Iterative (driver merge loop) — not SQL-expressible,
-    rows-only like IVF; exact train/apply semantics are pinned against
-    an independent reference in tests/unit/test_bpe.py."""
+    subword counts. The training loop is iterative (driver argmax per
+    merge) but fully deterministic, so the DuckDB twin replays all 20
+    rounds as an unrolled CTE chain — value-exact, not rows-only; exact
+    train/apply semantics are additionally pinned against an independent
+    reference in tests/unit/test_bpe.py."""
     from who_focus_crawler_spark.corpus.bpe import bpe_apply, bpe_train, word_vocab
 
     d = t(spark, sf, "documents")
-    merges = bpe_train(word_vocab(d), num_merges=20, min_count=2)
+    merges = bpe_train(
+        word_vocab(d), num_merges=_BPE_MERGES, min_count=_BPE_MIN_COUNT
+    )
     return bpe_apply(d, merges).select(
         "doc_id",
         "n_subwords",
@@ -1871,7 +1878,86 @@ def d_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-QUERIES["d_bpe_tokens"] = (d_bpe_tokens, None)
+def _bpe_sql(num_merges: int = _BPE_MERGES, min_count: int = _BPE_MIN_COUNT) -> str:
+    """Unrolled-CTE replay of BPE training + apply.
+
+    Round r: count adjacent symbol pairs over vocab v{r-1} weighted by
+    word frequency, argmax (count desc, pair asc — Spark's exact tie
+    order), rewrite every word by merging left-to-right non-overlapping
+    occurrences. The sequential left-to-right scan is relationalized
+    with the run-parity trick: a position is merged iff it is a
+    candidate (syms[i]=a, syms[i+1]=b) at an ODD offset within its
+    maximal run of consecutive candidates (runs only exceed length 1
+    when a=b, e.g. 'aaa' + (a,a) -> 'aa','a'), and the position after a
+    merged one is consumed. Early stop (top pair below min_count) is
+    mirrored by the merge round becoming a no-op: the argmax CTE is
+    empty, candidates coalesce to FALSE, the vocab passes through
+    unchanged. Apply = the final vocab state itself (training rewrites
+    ARE the greedy replay of the merge list), joined back onto the
+    per-doc token stream."""
+    parts = [
+        f"WITH d AS MATERIALIZED (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),",
+        """v0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS n,
+         list_transform(generate_series(1, len(word)),
+                        i -> substr(word, i, 1)) AS syms
+  FROM (SELECT unnest(tk) AS word FROM d) GROUP BY word
+)""",
+    ]
+    for r in range(1, num_merges + 1):
+        pv = f"v{r - 1}"
+        parts.append(
+            f""",
+p{r} AS MATERIALIZED (
+  SELECT syms[pos] AS a, syms[pos + 1] AS b, sum(n) AS c
+  FROM (SELECT n, syms, unnest(generate_series(1, len(syms) - 1)) AS pos
+        FROM {pv} WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+),
+m{r} AS MATERIALIZED (SELECT a, b FROM p{r} WHERE c >= {min_count}
+         ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+e{r} AS (
+  SELECT word, n, pos, syms[pos] AS sym,
+         coalesce(pos < len(syms)
+                  AND syms[pos] = (SELECT a FROM m{r})
+                  AND syms[pos + 1] = (SELECT b FROM m{r}), FALSE) AS cand
+  FROM (SELECT word, n, syms, unnest(generate_series(1, len(syms))) AS pos
+        FROM {pv})
+),
+x{r} AS (
+  SELECT word, n, pos, sym,
+         cand AND (pos - coalesce(max(CASE WHEN NOT cand THEN pos END)
+             OVER (PARTITION BY word ORDER BY pos), 0)) % 2 = 1 AS taken
+  FROM e{r}
+),
+v{r} AS MATERIALIZED (
+  SELECT word, n,
+         list(CASE WHEN taken THEN sym || (SELECT b FROM m{r})
+              ELSE sym END ORDER BY pos) AS syms
+  FROM (SELECT *, coalesce(lag(taken) OVER (PARTITION BY word ORDER BY pos),
+                           FALSE) AS prev_taken FROM x{r})
+  WHERE NOT prev_taken
+  GROUP BY word, n
+)"""
+        )
+    parts.append(
+        f""",
+tk2 AS (
+  SELECT doc_id, unnest(tk) AS word,
+         unnest(generate_series(1, len(tk))) AS pos
+  FROM d
+)
+SELECT t.doc_id,
+       CAST(len(flatten(list(s.syms ORDER BY t.pos))) AS BIGINT) AS n_subwords,
+       md5(array_to_string(flatten(list(s.syms ORDER BY t.pos)), ' '))
+         AS subwords_md5
+FROM tk2 t JOIN v{num_merges} s USING (word)
+GROUP BY t.doc_id"""
+    )
+    return "".join(parts)
+
+
+QUERIES["d_bpe_tokens"] = (d_bpe_tokens, _bpe_sql())
 
 
 # --------------------------------------------------------------------------
