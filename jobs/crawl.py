@@ -48,6 +48,11 @@ def main() -> None:
         help="OPIC-adaptive prioritization: re-rank hosts within a BFS "
              "depth level by online importance from the observed link graph",
     )
+    ap.add_argument(
+        "--aging-boost-milli", type=int, default=None,
+        help="starvation-free frontier aging: selection priority grows by "
+             "this/1000 per batch a row has waited (view-only, never stored)",
+    )
     args = ap.parse_args()
     if args.no_bloom and args.filter_kind != "bloom":
         ap.error(
@@ -72,6 +77,7 @@ def main() -> None:
         trap_threshold=args.trap_threshold,
         use_sitemaps=args.sitemaps,
         opic_priority=args.opic,
+        aging_boost_milli=args.aging_boost_milli,
     )
     catalog = run_crawl(spark, cfg, resume=args.resume)
     st = catalog.state()

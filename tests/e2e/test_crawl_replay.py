@@ -582,3 +582,45 @@ def test_opic_priority_crawl_deterministic_and_nonvacuous(spark, tmp_path_factor
     order_d, seen_d = run(False, "d")
     assert [u for _, u in order_a] != [u for _, u in order_d]  # non-vacuous
     assert seen_a == seen_b == seen_d  # exhaustive crawl: same coverage
+
+
+def test_aging_crawl_deterministic_and_nonvacuous(spark, tmp_path_factory):
+    """CrawlConfig.aging_boost_milli: the starvation-free aging view lets
+    long-waiting deep URLs overtake fresh shallow arrivals. Must be
+    (a) run-to-run deterministic, (b) actually different from frozen
+    BFS order (the boost crosses depth levels on politeness-capped
+    hosts), and (c) coverage-preserving — the web is exhausted either
+    way, so the final URL-seen set is identical. Default goldens are
+    untouched (aging_boost_milli=None elsewhere)."""
+    from dataclasses import replace
+
+    # a politeness-capped hot host (many pages per batch admitted 2 at
+    # a time) guarantees rows that wait multiple batches — the aging
+    # signal is real, not synthetic
+    web = replace(UNIT_WEB, n_hosts=6, n_pages=180, seed_hosts=(0,), max_batches=40)
+
+    def run(boost, tag):
+        cfg = CrawlConfig(
+            web=web,
+            checkpoint_dir=str(tmp_path_factory.mktemp(f"crawl_age_{tag}")),
+            num_buckets=8,
+            aging_boost_milli=boost,
+        )
+        cat = run_crawl(spark, cfg)
+        rows = (
+            cat.read_table(spark, "crawl_order", schemas.CRAWL_ORDER)
+            .orderBy("seq")
+            .collect()
+        )
+        seen = {
+            r.canon_url
+            for r in cat.read_table(spark, "url_seen", schemas.URL_SEEN).collect()
+        }
+        return [(r.seq, r.canon_url) for r in rows], seen
+
+    order_a, seen_a = run(1500, "a")
+    order_b, seen_b = run(1500, "b")
+    assert order_a == order_b  # deterministic under aging
+    order_d, seen_d = run(None, "d")
+    assert [u for _, u in order_a] != [u for _, u in order_d]  # non-vacuous
+    assert seen_a == seen_b == seen_d  # exhaustive crawl: same coverage

@@ -2742,3 +2742,69 @@ FROM ranked
 """
 
 QUERIES["c_canonical_election"] = (c_canonical_election, C_CANONICAL_ELECTION_SQL)
+
+# --------------------------------------------------------------------------
+# C6+aging — starvation-free selection view (operators/frontier.py::
+# age_boosted_view): priority aged by batches waited, then the standard
+# host-bucketed top-k. Frontier synthesized from orders: depth from the
+# order key, discovered_in_batch from custkey, so deep long-waiting rows
+# genuinely overtake fresh shallow ones in the aged ranking (non-vacuous
+# both ways: some hosts' top-3 differ from the unaged order, some don't).
+# All arithmetic stays exact in binary doubles (waited*250/1000 = k/4).
+
+
+def c_frontier_aging(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.frontier import (
+        age_boosted_view,
+        select_candidates,
+    )
+
+    frontier = _messy_urls(spark, sf).select(
+        F.concat(
+            F.lit("h"), (F.col("o_custkey") % 12).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("o_custkey") % 12).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("canon_url"),
+        (-(F.col("o_orderkey") % 5)).cast("double").alias("priority"),
+        (F.col("o_orderkey") % 5).cast("int").alias("depth"),
+        (F.col("o_custkey") % 7).cast("int").alias("discovered_in_batch"),
+    )
+    aged = age_boosted_view(frontier, current_batch=8, boost_milli=250)
+    return select_candidates(aged, 3).select(
+        "host", "canon_url", F.col("priority").alias("aged_priority"), "depth"
+    )
+
+
+C_FRONTIER_AGING_SQL = """
+WITH frontier AS (
+  SELECT concat('h', CAST(o_custkey % 12 AS VARCHAR), '.example.org') AS host,
+         concat('https://h', CAST(o_custkey % 12 AS VARCHAR),
+                '.example.org/p/', CAST(o_orderkey AS VARCHAR)) AS canon_url,
+         CAST(-(o_orderkey % 5) AS DOUBLE) AS priority,
+         CAST(o_orderkey % 5 AS INTEGER) AS depth,
+         CAST(o_custkey % 7 AS INTEGER) AS discovered_in_batch
+  FROM orders
+),
+aged AS (
+  SELECT host, canon_url,
+         priority + greatest(7 - discovered_in_batch, 0) * 250 / 1000.0
+           AS aged_priority,
+         depth
+  FROM frontier
+),
+ranked AS (
+  SELECT host, canon_url, aged_priority, depth,
+         row_number() OVER (
+           PARTITION BY host
+           ORDER BY aged_priority DESC, depth ASC, canon_url ASC
+         ) AS rn
+  FROM aged
+)
+SELECT host, canon_url, aged_priority, depth FROM ranked WHERE rn <= 3
+"""
+
+QUERIES["c_frontier_aging"] = (c_frontier_aging, C_FRONTIER_AGING_SQL)

@@ -69,6 +69,43 @@ def select_candidates(
     )
 
 
+def age_boosted_view(
+    frontier: DataFrame, current_batch: int, boost_milli: int
+) -> DataFrame:
+    """Starvation-free selection view: priority aged by wait time.
+
+    Pure priority ordering can starve a URL forever — on a busy host
+    the per-batch politeness cap admits only the top few, and a stream
+    of fresher higher-priority discoveries keeps pushing old rows down
+    (the classic frontier-aging problem; Mercator's per-host FIFOs are
+    starvation-free by construction, priority crawlers re-add the
+    guarantee with an age boost). Selection-time view only, same
+    contract as the OPIC view (plans/crawl.py): stored priorities stay
+    -depth, the boost never compounds, and a resumed run recomputes the
+    identical view from persisted columns — determinism intact.
+
+    effective_priority = priority
+                       + waited_batches * boost_milli / 1000.0
+    waited_batches = max(current_batch - 1 - discovered_in_batch, 0)
+    (a row discovered in batch b is first selectable in batch b+1 —
+    that baseline attempt is wait 0).
+
+    Unlike OPIC's sub-unit bonus this deliberately CAN cross BFS depth
+    levels — that is the point: with boost_milli >= 1000/d, a URL d
+    levels deeper overtakes a fresh shallow arrival after waiting d/
+    (boost_milli/1000) extra batches, bounding every row's queue time.
+    boost_milli is integer and waited is integer, so the boost is the
+    same double on every partitioning and run.
+    """
+    waited = F.greatest(
+        F.lit(current_batch - 1) - F.col("discovered_in_batch"), F.lit(0)
+    )
+    return frontier.withColumn(
+        "priority",
+        F.col("priority") + waited * F.lit(boost_milli) / F.lit(1000.0),
+    )
+
+
 def merge_frontier(
     frontier: DataFrame, consumed_keys: DataFrame, new_rows: DataFrame
 ) -> DataFrame:

@@ -35,6 +35,7 @@ from who_focus_crawler_spark.operators.dedup import (
 from who_focus_crawler_spark.operators.discover import discover_links
 from who_focus_crawler_spark.operators.fetch import fetch_and_extract
 from who_focus_crawler_spark.operators.frontier import (
+    age_boosted_view,
     bootstrap_frontier,
     merge_frontier,
     select_candidates,
@@ -75,6 +76,14 @@ class CrawlConfig:
     # Off by default — goldens crawl in frozen BFS order.
     opic_priority: bool = False
     opic_iters: int = 3
+    # Starvation-free frontier aging (operators/frontier.py::
+    # age_boosted_view): each batch a waiting row's selection priority
+    # grows by boost_milli/1000, so no URL waits forever behind fresher
+    # higher-priority arrivals on a politeness-capped host. Selection-
+    # view only (stored priorities stay -depth; resume recomputes the
+    # identical view). None (default) = frozen BFS order, goldens
+    # untouched. Composes with opic_priority (aging applies on top).
+    aging_boost_milli: int | None = None
 
     @property
     def batches(self) -> int:
@@ -287,6 +296,10 @@ def run_batch(
         if cfg.opic_priority
         else frontier
     )
+    if cfg.aging_boost_milli is not None:
+        frontier_sel = age_boosted_view(
+            frontier_sel, batch, cfg.aging_boost_milli
+        )
     sel = select_candidates(
         frontier_sel, cfg.web.select_k, salt=cfg.salt
     ).localCheckpoint(eager=True)
