@@ -1,0 +1,53 @@
+"""Charset sniffing (functions/encodings.py) — WHATWG-abridged precedence:
+BOM > meta declaration > utf-8 default, with the UTF-16/32 LE prefix
+ambiguity resolved longest-first."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from who_focus_crawler_spark.functions.encodings import sniff_charset
+
+CASES = [
+    # (label, payload bytes, expected)
+    ("bom-utf8", b"\xef\xbb\xbf<html>hello", "utf-8"),
+    ("bom-utf16le", b"\xff\xfe<\x00h\x00", "utf-16le"),
+    ("bom-utf16be", b"\xfe\xff\x00<\x00h", "utf-16be"),
+    ("bom-utf32le", b"\xff\xfe\x00\x00<\x00\x00\x00", "utf-32le"),
+    ("bom-utf32be", b"\x00\x00\xfe\xff\x00\x00\x00<", "utf-32be"),
+    ("meta-quoted", b'<head><meta charset="Windows-1252"></head>', "windows-1252"),
+    ("meta-unquoted", b"<head><meta charset=utf-8></head>", "utf-8"),
+    ("meta-httpequiv",
+     b'<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">',
+     "iso-8859-1"),
+    ("meta-uppercase", b"<META CHARSET='KOI8-R'>", "koi8-r"),
+    # BOM wins over a conflicting meta declaration
+    ("bom-beats-meta", b'\xef\xbb\xbf<meta charset="utf-16le">', "utf-8"),
+    ("none", b"<html><body>plain ascii, no declaration</body></html>", "utf-8"),
+    # high-bit bytes with no BOM/meta must not break the latin-1 decode
+    ("binary-junk", b"\x89PNG\r\n\x1a\n\x00\x00", "utf-8"),
+]
+
+
+def test_sniff_known_vectors(spark):
+    df = spark.createDataFrame(
+        [(n, bytearray(b)) for n, b, _ in CASES], "name string, raw binary"
+    )
+    got = {
+        r.name: r.charset
+        for r in df.select("name", sniff_charset(F.col("raw")).alias("charset")).collect()
+    }
+    assert got == {n: want for n, _, want in CASES}
+
+
+def test_meta_beyond_head_bound_is_ignored(spark):
+    payload = b"<html>" + b" " * 2000 + b'<meta charset="shift_jis">'
+    df = spark.createDataFrame([(bytearray(payload),)], "raw binary")
+    assert (
+        df.select(sniff_charset(F.col("raw"), head_bytes=1024).alias("c"))
+        .collect()[0].c == "utf-8"
+    )
+    assert (
+        df.select(sniff_charset(F.col("raw"), head_bytes=4096).alias("c"))
+        .collect()[0].c == "shift_jis"
+    )

@@ -2808,3 +2808,132 @@ SELECT host, canon_url, aged_priority, depth FROM ranked WHERE rn <= 3
 """
 
 QUERIES["c_frontier_aging"] = (c_frontier_aging, C_FRONTIER_AGING_SQL)
+
+# --------------------------------------------------------------------------
+# Bandit host scheduling (operators/bandit.py): integer UCB1 scores over
+# per-host (pulls, reward) stats synthesized from orders, plus one
+# never-pulled host so the optimism sentinel path is non-vacuous. All
+# arithmetic integer (div / decimal-digit log / floored IEEE sqrt) so
+# the score table is value-exact across engines.
+
+
+def c_bandit_ucb(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.bandit import ucb_host_scores
+
+    stats = (
+        _messy_urls(spark, sf)
+        .groupBy(
+            F.concat(
+                F.lit("h"),
+                (F.col("o_custkey") % 12).cast("string"),
+                F.lit(".example.org"),
+            ).alias("host")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("pulls"),
+            F.sum(F.col("o_orderkey") % 1000).cast("long").alias("reward_milli_sum"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("h-new.example.org", 0, 0)],
+                "host string, pulls long, reward_milli_sum long",
+            )
+        )
+    )
+    return ucb_host_scores(stats)
+
+
+C_BANDIT_UCB_SQL = """
+WITH stats AS (
+  SELECT concat('h', CAST(o_custkey % 12 AS VARCHAR), '.example.org') AS host,
+         CAST(count(*) AS BIGINT) AS pulls,
+         CAST(sum(o_orderkey % 1000) AS BIGINT) AS reward_milli_sum
+  FROM orders GROUP BY 1
+  UNION ALL
+  SELECT 'h-new.example.org', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+),
+tot AS (SELECT CAST(sum(pulls) AS BIGINT) AS t FROM stats),
+scored AS (
+  SELECT host, pulls,
+         CAST(CASE WHEN pulls > 0 THEN reward_milli_sum // pulls
+                   ELSE 0 END AS BIGINT) AS mean_milli,
+         CAST(CASE WHEN pulls > 0 THEN
+                (1414 * CAST(floor(sqrt(CAST(
+                   (1000000 * (len(CAST(t AS VARCHAR)) - 1)) // pulls
+                 AS DOUBLE))) AS BIGINT)) // 1000
+              ELSE 10000000 END AS BIGINT) AS bonus_milli
+  FROM stats, tot
+)
+SELECT host, pulls, mean_milli, bonus_milli,
+       CAST(mean_milli + bonus_milli AS BIGINT) AS score_milli
+FROM scored
+"""
+
+QUERIES["c_bandit_ucb"] = (c_bandit_ucb, C_BANDIT_UCB_SQL)
+
+# --------------------------------------------------------------------------
+# Charset sniffing (functions/encodings.py): synthesize byte payloads
+# from documents — five BOM classes, two meta-declaration styles, one
+# undeclared — and sniff. The DuckDB twin states the INTENDED semantics
+# independently (BOM class by construction, meta by the same regexp on
+# the pre-encoding string), so the byte-level detector is checked
+# against ground truth, not against a re-implementation of itself.
+
+
+def c_charset_sniff(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.functions.encodings import sniff_charset
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    k = (F.col("doc_id") % 8).cast("int")
+    meta = (
+        F.when(k == 5, F.lit('<META CHARSET="Windows-1252">'))
+        .when(
+            k == 6,
+            F.lit(
+                '<meta http-equiv="Content-Type" '
+                'content="text/html; charset=iso-8859-1">'
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    head_html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body>"),
+        F.substring("text", 1, 64),
+    )
+    bom = (
+        F.when(k == 0, F.unhex(F.lit("EFBBBF")))
+        .when(k == 1, F.unhex(F.lit("FFFE")))
+        .when(k == 2, F.unhex(F.lit("FEFF")))
+        .when(k == 3, F.unhex(F.lit("FFFE0000")))
+        .when(k == 4, F.unhex(F.lit("0000FEFF")))
+        .otherwise(F.unhex(F.lit("")))
+    )
+    payload = F.concat(bom, F.encode(head_html, "UTF-8"))
+    return d.select(
+        "doc_id", sniff_charset(payload).alias("charset")
+    )
+
+
+C_CHARSET_SNIFF_SQL = """
+SELECT doc_id,
+       CASE doc_id % 8
+         WHEN 0 THEN 'utf-8'
+         WHEN 1 THEN 'utf-16le'
+         WHEN 2 THEN 'utf-16be'
+         WHEN 3 THEN 'utf-32le'
+         WHEN 4 THEN 'utf-32be'
+         WHEN 5 THEN lower(regexp_extract(
+           '<html><head><META CHARSET="Windows-1252"></head><body>'
+             || substr(text, 1, 64),
+           '(?i)charset\\s*=\\s*["'']?([A-Za-z0-9_-]+)', 1))
+         WHEN 6 THEN lower(regexp_extract(
+           '<html><head><meta http-equiv="Content-Type" '
+             || 'content="text/html; charset=iso-8859-1"></head><body>'
+             || substr(text, 1, 64),
+           '(?i)charset\\s*=\\s*["'']?([A-Za-z0-9_-]+)', 1))
+         ELSE 'utf-8'
+       END AS charset
+FROM documents
+"""
+
+QUERIES["c_charset_sniff"] = (c_charset_sniff, C_CHARSET_SNIFF_SQL)
