@@ -613,6 +613,39 @@ class SnapshotCatalog:
         )
         return sid
 
+    def rollback_to(self, snapshot_id: int | str) -> int:
+        """Iceberg-style `rollback_to_snapshot`: move HEAD back to an
+        ancestor snapshot atomically (one HEAD swap — readers never see
+        an intermediate state).
+
+        The abandoned descendants stay on disk and remain
+        time-travel-readable by explicit snapshot id until
+        `expire_snapshots` ages them out; pin one with `set_ref` to keep
+        it. Their ids are never reused by well-behaved writers
+        (`next_snapshot_id` scans every manifest on disk, reachable or
+        not), so a resumed crawl continues from the rolled-back state
+        under fresh ids — and, by C9 determinism, re-produces the exact
+        schedule the abandoned snapshots held.
+
+        Refuses a target that is not an ancestor of the current HEAD
+        (rolling "forward" or onto a diverged branch tip is not a
+        rollback — use `fast_forward_main` for publishes).
+        """
+        sid = self._resolve(snapshot_id)
+        if sid is None or not self._manifest_path(sid).exists():
+            raise ValueError(f"rollback_to: no snapshot {snapshot_id!r}")
+        h = self.head()
+        if h is None:
+            raise ValueError("rollback_to: catalog has no HEAD")
+        if sid == h:
+            return sid
+        if not self._is_ancestor(sid, h):
+            raise ValueError(
+                f"rollback_to: snapshot {sid} is not an ancestor of HEAD ({h})"
+            )
+        self._swap_head(sid)
+        return sid
+
     def _is_ancestor(self, ancestor: int, tip: int) -> bool:
         cur: int | None = tip
         while cur is not None:
