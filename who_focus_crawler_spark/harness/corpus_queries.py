@@ -2800,3 +2800,75 @@ FROM labeled GROUP BY source, topic
 
 
 QUERIES["d_text_topics"] = (d_text_topics, _topics_sql())
+
+# --------------------------------------------------------------------------
+# T5 span corruption (corpus/t5.py — Raffel et al. 2020 §3.1.4):
+# md5-derived span draws, gaps-and-islands merge, sentinel numbering,
+# and full input/target reconstruction — byte-compared per document.
+
+_T5_H = (
+    "CAST(concat('0x', substring(md5('t5:{tag}|' || doc_id || '|' || pos),"
+    " 1, 15)) AS BIGINT)"
+)
+
+
+def d_t5_spans(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.t5 import span_corruption
+
+    return span_corruption(t(spark, sf, "documents"))
+
+
+D_T5_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS tk FROM documents
+), ex AS (
+  SELECT doc_id, len(tk) AS n, u.pos AS pos, u.tok AS tok FROM (
+    SELECT doc_id, tk,
+           unnest(list_transform(generate_series(1, len(tk)), i ->
+             struct_pack(pos := CAST(i AS BIGINT), tok := tk[i]))) AS u
+    FROM toks)
+), starts AS (
+  SELECT doc_id, pos, n, ({_T5_H.format(tag='len')} % 5) + 1 AS slen
+  FROM ex WHERE {_T5_H.format(tag='start')} % 1000 < 60
+), covered AS (
+  SELECT DISTINCT doc_id, cpos FROM (
+    SELECT doc_id,
+           unnest(generate_series(pos, least(pos + slen - 1, n))) AS cpos
+    FROM starts)
+), isl AS (
+  SELECT doc_id, cpos,
+         cpos - row_number() OVER (PARTITION BY doc_id ORDER BY cpos) AS grp
+  FROM covered
+), spans AS (
+  SELECT doc_id, min(cpos) AS spos, max(cpos) AS epos,
+         row_number() OVER (PARTITION BY doc_id ORDER BY min(cpos)) - 1 AS sid
+  FROM isl GROUP BY doc_id, grp
+), per_span AS (
+  SELECT s.doc_id, s.sid,
+         '<extra_id_' || s.sid || '> ' ||
+           string_agg(e.tok, ' ' ORDER BY e.pos) AS piece
+  FROM spans s
+  JOIN ex e ON e.doc_id = s.doc_id AND e.pos BETWEEN s.spos AND s.epos
+  GROUP BY s.doc_id, s.sid
+), targets AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY sid) AS targets_text,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM per_span GROUP BY doc_id
+), inputs AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS input_text FROM (
+    SELECT e.doc_id, e.pos, e.tok FROM ex e
+      ANTI JOIN covered c ON c.doc_id = e.doc_id AND c.cpos = e.pos
+    UNION ALL
+    SELECT doc_id, spos AS pos, '<extra_id_' || sid || '>' AS tok FROM spans
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(i.input_text, '') AS input_text,
+       coalesce(t.targets_text, '') AS targets_text,
+       coalesce(t.n_spans, 0) AS n_spans
+FROM documents d
+LEFT JOIN inputs i USING (doc_id)
+LEFT JOIN targets t USING (doc_id)
+"""
+
+QUERIES["d_t5_spans"] = (d_t5_spans, D_T5_SQL)
