@@ -43,6 +43,7 @@ def run_corpus_pipeline(
     c4: bool = False,
     c4_min_lines: int = 3,
     gopher: bool = False,
+    unescape: bool = False,
 ) -> dict:
     """docs(doc_id, text[, source]) → kept corpus + stats.
 
@@ -90,6 +91,12 @@ def run_corpus_pipeline(
     if dsir_top_k is not None and dsir_target is None:
         raise ValueError("dsir_top_k requires dsir_target")
     n_in = docs.count()
+    if unescape:
+        # entity decoding REWRITES text, so it runs first of all —
+        # every downstream hash/gate must see the decoded bytes
+        from who_focus_crawler_spark.corpus.entities import unescape_html
+
+        docs = docs.withColumn("text", unescape_html(F.col("text")))
     if dedup_lines_flag:
         # intra-doc line dedup REWRITES text → runs before content-hash
         # stages, same reasoning as C4
@@ -293,6 +300,10 @@ def main() -> None:
         help="drop repeated lines within each doc (first occurrence wins)",
     )
     ap.add_argument(
+        "--unescape", action="store_true",
+        help="decode HTML entities before any other text stage",
+    )
+    ap.add_argument(
         "--remove-dup-runs", type=int, default=None, metavar="N",
         help="excise cross-doc duplicated N-gram runs from surviving "
              "text (exact-substring dedup, Lee et al. ACL 2022)",
@@ -366,6 +377,7 @@ def main() -> None:
         max_dup_permille=args.max_dup_permille,
         remove_dup_runs_n=args.remove_dup_runs,
         dedup_lines_flag=args.dedup_lines,
+        unescape=args.unescape,
         split_weights=_parse_weights(args.split) if args.split else None,
         c4=args.c4,
         c4_min_lines=args.c4_min_lines,

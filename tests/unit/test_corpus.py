@@ -1434,3 +1434,33 @@ def test_topic_tagging_argmax_and_ties(spark):
         "h": "health", "d": "data", "w": "web", "none": "other",
         "tie": "health",
     }
+
+
+def test_corpus_pipeline_unescape_stage(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from corpus import run_corpus_pipeline
+
+    rows = [
+        (
+            i,
+            f"the story {i} tells of a thing &amp; another of kind {i * 3} "
+            f"that is good &lt;em&gt;indeed&lt;/em&gt; and the body "
+            f"continues with unique prose {i} to pass the gates &#33;",
+        )
+        for i in range(12)
+    ]
+    out = str(tmp_path / "kept")
+    stats = run_corpus_pipeline(
+        spark.createDataFrame(rows, ["doc_id", "text"]),
+        output=out,
+        unescape=True,
+        min_quality=0,
+    )
+    kept = spark.read.parquet(out)
+    assert stats["n_kept"] == kept.count() > 0
+    for r in kept.collect():
+        assert "&amp;" not in r.text and "&lt;" not in r.text
+        assert " & another" in r.text and "<em>indeed</em>" in r.text
+        assert r.text.endswith("!")

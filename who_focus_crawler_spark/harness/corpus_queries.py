@@ -2872,3 +2872,57 @@ LEFT JOIN targets t USING (doc_id)
 """
 
 QUERIES["d_t5_spans"] = (d_t5_spans, D_T5_SQL)
+
+# --------------------------------------------------------------------------
+# HTML entity unescaping (corpus/entities.py): escaped payloads built
+# deterministically from documents; byte-compared after decoding. The
+# DuckDB twin runs the same sentinel-split algorithm (chr() agrees
+# across engines in the decoded 32..126 range by construction).
+
+
+def d_text_unescape(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.entities import unescape_html
+
+    esc = t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('A &amp; B &lt;i&gt; &quot;'),
+            F.substring("text", 1, 40),
+            F.lit("&quot; &#72;&#x69; &copy; &#8364; &nbsp;end &"),
+        ).alias("t"),
+    )
+    return esc.select("doc_id", unescape_html(F.col("t")).alias("unescaped"))
+
+
+_UE_DEC = "regexp_extract(p, '^&#([0-9]{1,7});', 1)"
+_UE_HEX = "regexp_extract(p, '^&#[xX]([0-9A-Fa-f]{1,6});', 1)"
+
+D_TEXT_UNESCAPE_SQL = f"""
+WITH esc AS (
+  SELECT doc_id,
+         'A &amp; B &lt;i&gt; &quot;' || substr(text, 1, 40)
+           || '&quot; &#72;&#x69; &copy; &#8364; &nbsp;end &' AS t
+  FROM documents
+)
+SELECT doc_id,
+  array_to_string(list_transform(
+    string_split(regexp_replace(t, '&', chr(1) || '&', 'g'), chr(1)),
+    p -> CASE
+      WHEN starts_with(p, '&amp;')  THEN '&' || substr(p, 6)
+      WHEN starts_with(p, '&lt;')   THEN '<' || substr(p, 5)
+      WHEN starts_with(p, '&gt;')   THEN '>' || substr(p, 5)
+      WHEN starts_with(p, '&quot;') THEN '"' || substr(p, 7)
+      WHEN starts_with(p, '&apos;') THEN '''' || substr(p, 7)
+      WHEN starts_with(p, '&nbsp;') THEN ' ' || substr(p, 7)
+      WHEN {_UE_DEC} <> ''
+           AND CAST({_UE_DEC} AS BIGINT) BETWEEN 32 AND 126
+        THEN chr(CAST({_UE_DEC} AS INT)) || substr(p, len({_UE_DEC}) + 4)
+      WHEN {_UE_HEX} <> ''
+           AND CAST(concat('0x', {_UE_HEX}) AS BIGINT) BETWEEN 32 AND 126
+        THEN chr(CAST(CAST(concat('0x', {_UE_HEX}) AS BIGINT) AS INT))
+               || substr(p, len({_UE_HEX}) + 5)
+      ELSE p END), '') AS unescaped
+FROM esc
+"""
+
+QUERIES["d_text_unescape"] = (d_text_unescape, D_TEXT_UNESCAPE_SQL)
