@@ -1166,16 +1166,18 @@ WITH cents AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
   FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
   WHERE round({cos}, 6) >= {_SD_TAU}
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM pairs
-), l0 AS (
+), l0 AS MATERIALIZED (
   SELECT DISTINCT src AS node, src AS label FROM edges
 )"""
     prev = "l0"
+    # MATERIALIZED: each round references the previous one twice — see
+    # the d_dedup_clusters chain for the measured inlining blowup
     for i in range(1, _SD_ITERS + 1):
-        sql += f""", l{i} AS (
+        sql += f""", l{i} AS MATERIALIZED (
   SELECT l.node AS node,
          least(l.label, coalesce(m.nbr_min, l.label)) AS label
   FROM {prev} l LEFT JOIN (
@@ -1453,16 +1455,19 @@ WITH sh AS (
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ), pairs AS (
   SELECT doc_a, doc_b FROM cand WHERE {jac} >= {_MH_THRESH}
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM pairs
-), l0 AS (
+), l0 AS MATERIALIZED (
   SELECT DISTINCT src AS node, src AS label FROM edges
 )"""
     prev = "l0"
+    # MATERIALIZED pins each round — every l{{i}} references l{{i-1}}
+    # twice, and DuckDB's default inlining would re-expand the whole
+    # minhash base 2^i times (measured 60 s → ~2 s at sf0.1)
     for i in range(1, _CL_ITERS + 1):
-        sql += f""", l{i} AS (
+        sql += f""", l{i} AS MATERIALIZED (
   SELECT l.node AS node,
          least(l.label, coalesce(m.nbr_min, l.label)) AS label
   FROM {prev} l LEFT JOIN (

@@ -1337,8 +1337,17 @@ def _redirect_chains_sql() -> str:
     rounds = []
     prev = "r0"
     for i in range(1, _RC_ROUNDS + 1):
+        # MATERIALIZED pins each round: the self-join references the
+        # previous round twice, and DuckDB's default CTE inlining would
+        # double the plan per round (2^k copies by round k) — the exact
+        # blowup the Spark side's per-round localCheckpoint prevents.
+        # The join is a PURE equi-join (p.ptr = q.node; node is unique,
+        # so no row multiplication) with the active-state guard moved
+        # into the CASEs — a state conjunct inside the LEFT JOIN ON
+        # forces DuckDB into a nested-loop join (measured 205 s at
+        # sf0.1 vs ~1 s equi).
         rounds.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
   SELECT p.node,
          CASE WHEN p.state = 'active' THEN q.ptr ELSE p.ptr END AS ptr,
          CASE WHEN p.state = 'active' THEN p.hops + q.hops
@@ -1348,8 +1357,7 @@ def _redirect_chains_sql() -> str:
               WHEN q.state = 'unresolved' THEN 'unresolved'
               WHEN p.hops + q.hops > {_RC_MAX_HOPS} THEN 'unresolved'
               ELSE 'active' END AS state
-  FROM {prev} p LEFT JOIN {prev} q
-    ON p.state = 'active' AND p.ptr = q.node
+  FROM {prev} p LEFT JOIN {prev} q ON p.ptr = q.node
 )"""
         )
         prev = f"r{i}"
