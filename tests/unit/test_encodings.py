@@ -51,3 +51,39 @@ def test_meta_beyond_head_bound_is_ignored(spark):
         df.select(sniff_charset(F.col("raw"), head_bytes=4096).alias("c"))
         .collect()[0].c == "shift_jis"
     )
+
+
+MIME_CASES = [
+    ("png", b"\x89PNG\r\n\x1a\nrest", "image/png"),
+    ("jpeg", b"\xff\xd8\xff\xe0\x00\x10JFIF", "image/jpeg"),
+    ("gif", b"GIF89a\x01\x00", "image/gif"),
+    ("bmp", b"BM\x36\x00\x00\x00", "image/bmp"),
+    ("pdf", b"%PDF-1.7\n", "application/pdf"),
+    ("gzip", b"\x1f\x8b\x08\x00", "application/gzip"),
+    ("zip", b"PK\x03\x04\x14\x00", "application/zip"),
+    ("ogg", b"OggS\x00\x02", "application/ogg"),
+    ("id3", b"ID3\x04\x00", "audio/mpeg"),
+    ("mpeg-ps", b"\x00\x00\x01\xba\x44", "video/mpeg"),
+    ("webp", b"RIFF\x10\x00\x00\x00WEBPVP8 ", "image/webp"),
+    # RIFF that is NOT webp (WAV) is outside claimed coverage -> fallback
+    ("wav", b"RIFF\x10\x00\x00\x00WAVEfmt ", "application/octet-stream"),
+    ("mp4", b"\x00\x00\x00\x18ftypisom\x00", "video/mp4"),
+    ("html-doctype", b"  <!DOCTYPE html><html>", "text/html"),
+    ("html-tag", b"<HTML lang=en>", "text/html"),
+    ("html-fragment", b"<div>not a document</div>", "application/octet-stream"),
+    ("empty", b"", "application/octet-stream"),
+    ("junk", b"\x00\x01\x02\x03", "application/octet-stream"),
+]
+
+
+def test_sniff_mime_vectors(spark):
+    from who_focus_crawler_spark.functions.encodings import sniff_mime
+
+    df = spark.createDataFrame(
+        [(n, bytearray(b)) for n, b, _ in MIME_CASES], "name string, raw binary"
+    )
+    got = {
+        r.name: r.mime
+        for r in df.select("name", sniff_mime(F.col("raw")).alias("mime")).collect()
+    }
+    assert got == {n: want for n, _, want in MIME_CASES}

@@ -34,6 +34,27 @@ BOMS = [
 
 _META_RE = r"""(?i)charset\s*=\s*["']?([A-Za-z0-9_\-]+)"""
 
+# (hex prefix at byte 1, MIME label) — the widely-published magic
+# numbers (IANA media types; file(1) magic database entries for the
+# formats a crawler actually meets). Longest-prefix-first within a
+# shared stem is preserved by list order.
+MAGIC = [
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("424D", "image/bmp"),
+    ("25504446", "application/pdf"),
+    ("1F8B", "application/gzip"),
+    ("504B0304", "application/zip"),
+    ("504B0506", "application/zip"),
+    ("504B0708", "application/zip"),
+    ("4F676753", "application/ogg"),
+    ("494433", "audio/mpeg"),
+    ("000001BA", "video/mpeg"),
+    ("000001B3", "video/mpeg"),
+]
+_HTML_RE = r"(?is)^\s*(?:<!doctype\s+html|<html)"
+
 
 def sniff_charset(raw: Column, head_bytes: int = 1024) -> Column:
     """Charset label for a binary payload column (lowercased string).
@@ -51,4 +72,34 @@ def sniff_charset(raw: Column, head_bytes: int = 1024) -> Column:
     out = F.when(meta != "", meta).otherwise(F.lit("utf-8"))
     for prefix, label in reversed(BOMS):
         out = F.when(hexhead.startswith(prefix), F.lit(label)).otherwise(out)
+    return out
+
+
+def sniff_mime(raw: Column) -> Column:
+    """MIME label for a binary payload column from magic bytes.
+
+    The fetch layer meets payloads whose Content-Type header is absent
+    or lies; magic-byte sniffing is how file(1)/browsers type them.
+    Covers the formats a crawler actually stores into the multimodal
+    corpus (images, pdf, archives, av containers) plus two
+    offset-carrying signatures (WEBP's RIFF....WEBP and MP4's ftyp at
+    byte 5), an HTML prescan, and application/octet-stream as the
+    honest fallback. Native hex-prefix comparisons only — stays in
+    whole-stage codegen, no Python.
+    """
+    head = F.hex(F.substring(raw, 1, 12))
+    out = F.lit("application/octet-stream")
+    html = F.decode(F.substring(raw, 1, 256), "ISO-8859-1")
+    out = F.when(html.rlike(_HTML_RE), F.lit("text/html")).otherwise(out)
+    # offset signatures first so prefix rules can't shadow them
+    out = F.when(
+        head.startswith("52494646")
+        & (F.hex(F.substring(raw, 9, 4)) == "57454250"),
+        F.lit("image/webp"),
+    ).otherwise(out)
+    out = F.when(
+        F.hex(F.substring(raw, 5, 4)) == "66747970", F.lit("video/mp4")
+    ).otherwise(out)
+    for prefix, label in reversed(MAGIC):
+        out = F.when(head.startswith(prefix), F.lit(label)).otherwise(out)
     return out

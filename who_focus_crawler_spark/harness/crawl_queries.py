@@ -2945,3 +2945,54 @@ FROM documents
 """
 
 QUERIES["c_charset_sniff"] = (c_charset_sniff, C_CHARSET_SNIFF_SQL)
+
+# --------------------------------------------------------------------------
+# MIME magic-byte sniffing (functions/encodings.py::sniff_mime):
+# payloads synthesized from documents across 12 format classes; the
+# DuckDB twin states the intended label BY CONSTRUCTION, so the
+# byte-level detector is checked against ground truth.
+
+
+def c_mime_sniff(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.functions.encodings import sniff_mime
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    k = (F.col("doc_id") % 12).cast("int")
+    prefix = (
+        F.when(k == 0, F.unhex(F.lit("89504E470D0A1A0A")))
+        .when(k == 1, F.unhex(F.lit("FFD8FFE000104A46")))
+        .when(k == 2, F.unhex(F.lit("474946383961")))
+        .when(k == 3, F.unhex(F.lit("255044462D312E37")))
+        .when(k == 4, F.unhex(F.lit("1F8B08")))
+        .when(k == 5, F.unhex(F.lit("504B0304")))
+        .when(k == 6, F.unhex(F.lit("524946461000000057454250")))
+        .when(k == 7, F.unhex(F.lit("0000001866747970")))
+        .when(k == 8, F.unhex(F.lit("494433")))
+        .when(k == 9, F.encode(F.lit("<!DOCTYPE html><html>"), "UTF-8"))
+        .when(k == 11, F.unhex(F.lit("000001BA")))
+        .otherwise(F.unhex(F.lit("")))
+    )
+    payload = F.concat(prefix, F.encode(F.substring("text", 1, 64), "UTF-8"))
+    return d.select("doc_id", sniff_mime(payload).alias("mime"))
+
+
+C_MIME_SNIFF_SQL = """
+SELECT doc_id,
+       CASE doc_id % 12
+         WHEN 0 THEN 'image/png'
+         WHEN 1 THEN 'image/jpeg'
+         WHEN 2 THEN 'image/gif'
+         WHEN 3 THEN 'application/pdf'
+         WHEN 4 THEN 'application/gzip'
+         WHEN 5 THEN 'application/zip'
+         WHEN 6 THEN 'image/webp'
+         WHEN 7 THEN 'video/mp4'
+         WHEN 8 THEN 'audio/mpeg'
+         WHEN 9 THEN 'text/html'
+         WHEN 11 THEN 'video/mpeg'
+         ELSE 'application/octet-stream'
+       END AS mime
+FROM documents
+"""
+
+QUERIES["c_mime_sniff"] = (c_mime_sniff, C_MIME_SNIFF_SQL)
