@@ -70,6 +70,13 @@ def cdc_chunks(
     Empty documents produce no rows. All chunking work happens inside
     per-row array expressions before anything is exploded, so the
     exploded frame is already the slim shuffle payload."""
+    # _spread: the rolling-hash + per-chunk md5 maps are interpreted
+    # higher-order expressions (~10^3 hash ops per doc) — a single-file
+    # corpus parquet would serialize them on one core (see dedup._spread;
+    # no-op whenever the scan already has >= cores partitions)
+    from who_focus_crawler_spark.corpus.dedup import _spread
+
+    docs = _spread(docs.select(F.col(id_col), F.col(text_col)))
     toks = tokens(F.col(text_col))
     starts = cdc_cut_starts(toks, w, mask_bits)
     ends = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(F.size(toks) + 1))
@@ -156,6 +163,10 @@ def sliding_windows(
     """
     if size <= 0 or stride <= 0:
         raise ValueError(f"size/stride must be positive, got {size}/{stride}")
+    # same single-input-partition hazard as cdc_chunks above
+    from who_focus_crawler_spark.corpus.dedup import _spread
+
+    docs = _spread(docs.select(F.col(id_col), F.col(text_col)))
     tk = tokens(F.col(text_col))
     n = F.size(tk)
     n_windows = (
