@@ -624,3 +624,86 @@ def test_aging_crawl_deterministic_and_nonvacuous(spark, tmp_path_factory):
     order_d, seen_d = run(None, "d")
     assert [u for _, u in order_a] != [u for _, u in order_d]  # non-vacuous
     assert seen_a == seen_b == seen_d  # exhaustive crawl: same coverage
+
+
+def test_content_seen_dedup_matches_golden(spark, tmp_path_factory):
+    """WebConfig.content_dedup + mirror pages: the Mercator content-seen
+    test. Mirrors serve byte-identical bodies of their host's first
+    pages; with the flag on, duplicates keep their crawl_order slot but
+    are neither indexed nor link-expanded. The engine must match the
+    golden crawler on ALL four surfaces, the scenario must be
+    non-vacuous (mirrors actually fetched, documents < fetches), the
+    flag off must index the duplicate bodies, and a mid-crawl resume
+    must land on the identical final state (content_seen persists)."""
+    from dataclasses import replace
+
+    web = replace(
+        UNIT_WEB,
+        n_hosts=6,
+        n_pages=150,
+        seed_hosts=(0, 1),
+        max_batches=40,
+        mirror_every=3,
+        content_dedup=True,
+    )
+    golden = run_golden(web)
+    cfg = CrawlConfig(
+        web=web, checkpoint_dir=str(tmp_path_factory.mktemp("cdedup")), num_buckets=8
+    )
+    catalog = run_crawl(spark, cfg)
+
+    rows = (
+        catalog.read_table(spark, "crawl_order", schemas.CRAWL_ORDER)
+        .orderBy("seq")
+        .collect()
+    )
+    got = [(r.seq, r.batch, r.canon_url, r.host, r.depth, r.seed_id) for r in rows]
+    assert got == golden.crawl_order
+    seen = {
+        r.canon_url
+        for r in catalog.read_table(spark, "url_seen", schemas.URL_SEEN).collect()
+    }
+    assert seen == golden.url_seen
+    docs = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in catalog.read_table(
+            spark, "documents", schemas.DOCUMENTS_OUT
+        ).collect()
+    }
+    gold_docs = {
+        u: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in sp]
+        for u, sp in golden.documents.items()
+    }
+    assert docs == gold_docs
+    # non-vacuity: some fetched pages were content-dupes (not indexed)
+    fetched_urls = {u for _, _, u, _, _, _ in golden.crawl_order}
+    from who_focus_crawler_spark.sources.fixture_web import mirror_source
+
+    mirrored_fetched = {u for u in fetched_urls if mirror_source(u, web)}
+    assert mirrored_fetched, "scenario vacuous: no mirror page fetched"
+    assert len(docs) < len(fetched_urls)
+    # the persisted content_seen table holds one row per distinct body
+    cs = catalog.read_table(spark, "content_seen", schemas.CONTENT_SEEN)
+    n_hashes = cs.select("content_hash").distinct().count()
+    assert cs.count() == n_hashes  # one winner per hash, never re-added
+    n_redirect_free_docs = len(docs)
+    assert n_hashes <= n_redirect_free_docs  # noindex winners also hash
+
+    # flag OFF on the same mirrored web: duplicates ARE indexed
+    web_off = replace(web, content_dedup=False)
+    golden_off = run_golden(web_off)
+    assert len(golden_off.documents) > len(golden.documents)
+
+    # resume-equivalence with content state: stop after batch 3, resume
+    cfg_i = CrawlConfig(
+        web=web,
+        checkpoint_dir=str(tmp_path_factory.mktemp("cdedup_i")),
+        num_buckets=8,
+    )
+    run_crawl(spark, cfg_i, until_batch=3)
+    resumed = run_crawl(spark, cfg_i, resume=True)
+    r_docs = {
+        r.doc_id
+        for r in resumed.read_table(spark, "documents", schemas.DOCUMENTS_OUT).collect()
+    }
+    assert r_docs == set(gold_docs)

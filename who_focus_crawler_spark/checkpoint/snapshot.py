@@ -75,6 +75,9 @@ APPEND_TABLES = {
     # signature index grows by one delta per epoch; pairs are a log
     "minhash_index",
     "neardup_pairs",
+    # Mercator content-seen test (plans/crawl.py, WebConfig.content_dedup):
+    # one delta of newly-seen content hashes per batch
+    "content_seen",
 }
 
 

@@ -186,7 +186,12 @@ def bootstrap(spark: SparkSession, cfg: CrawlConfig) -> SnapshotCatalog:
             "crawl_order": _empty(spark, schemas.CRAWL_ORDER),
             "documents": _empty(spark, schemas.DOCUMENTS_OUT),
             "metrics": _empty(spark, schemas.METRICS),
-        },
+        }
+        | (
+            {"content_seen": _empty(spark, schemas.CONTENT_SEEN)}
+            if cfg.web.content_dedup
+            else {}
+        ),
         state={"next_seq": 1, "next_batch": 1, "finished": False},
     )
     return catalog
@@ -323,6 +328,7 @@ def run_batch(
         catalog.commit(
             sid,
             {t: None for t in ("crawl_order", "documents", "metrics", "url_seen")}
+            | ({"content_seen": None} if cfg.web.content_dedup else {})
             | {
                 "frontier": frontier,
                 "seen_filters": seen_filters,
@@ -343,8 +349,61 @@ def run_batch(
     )
     fetched = fetch_and_extract(admitted, cfg.web).persist()
 
+    # Mercator content-seen test (opt-in, cfg.web.content_dedup): a body
+    # whose (kind, text, media_ref) span sequence was already fetched at
+    # a lower seq — this batch (row_number over seq per hash) or any
+    # earlier one (the persisted content_seen table) — keeps its
+    # crawl_order slot but is neither indexed nor link-expanded.
+    # Redirect bodies are exempt: their hash is salted with the URL so
+    # two redirects at the same target never "duplicate" each other.
+    # Golden twin: sources/golden.py (content_key over the same fields).
+    content_delta = None
+    fetched_eff = fetched
+    if cfg.web.content_dedup:
+        content_seen = catalog.read_table(
+            spark, "content_seen", schemas.CONTENT_SEEN
+        )
+        if content_seen is None:
+            content_seen = _empty(spark, schemas.CONTENT_SEEN)
+        identity = F.to_json(
+            F.transform(
+                F.col("spans"),
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                ),
+            )
+        )
+        is_red = F.exists(F.col("spans"), lambda s: s["kind"] == F.lit("redirect"))
+        chash = F.when(
+            is_red, F.xxhash64(F.concat(F.lit("redirect|"), F.col("canon_url")))
+        ).otherwise(F.xxhash64(identity))
+        w_ch = Window.partitionBy("_chash").orderBy("seq")
+        flagged = (
+            fetched.withColumn("_chash", chash)
+            .withColumn("_isred", is_red)
+            .withColumn("_rn", F.row_number().over(w_ch))
+            .join(
+                content_seen.select(
+                    F.col("content_hash").alias("_chash")
+                ).distinct().withColumn("_prev", F.lit(True)),
+                "_chash",
+                "left",
+            )
+        )
+        first_here = (F.col("_rn") == 1) & F.col("_prev").isNull()
+        content_delta = flagged.filter(first_here & ~F.col("_isred")).select(
+            F.col("_chash").alias("content_hash"), "canon_url", "batch"
+        )
+        fetched_eff = (
+            flagged.filter(first_here)
+            .drop("_chash", "_isred", "_rn", "_prev")
+            .persist()
+        )
+
     # C12 + C4
-    events = discover_links(fetched, P)
+    events = discover_links(fetched_eff, P)
     # C16's `discovered` counts the raw discovery stream; with trap
     # gating on, gated links therefore land in `deduped` (= discovered
     # − new_urls), i.e. "discovered but not admitted to the frontier" —
@@ -446,7 +505,7 @@ def run_batch(
     # crawl_order) but its content stays out of the documents corpus
     from who_focus_crawler_spark.operators.discover import has_meta_directive
 
-    documents_delta = fetched.filter(
+    documents_delta = fetched_eff.filter(
         ~has_meta_directive(F.col("spans"), "noindex")
     ).select(F.col("canon_url").alias("doc_id"), "spans", "batch")
 
@@ -462,7 +521,8 @@ def run_batch(
             "crawl_order": crawl_order_delta,  # append
             "documents": documents_delta,  # append
             "metrics": metrics,  # append
-        },
+        }
+        | ({"content_seen": content_delta} if cfg.web.content_dedup else {}),
         state={
             "next_seq": base_seq + n_fetched,
             "next_batch": batch + 1,
@@ -479,6 +539,8 @@ def run_batch(
         print(f"[wfc-timing] batch={batch} total={time.time() - _t0:.1f}s " + " ".join(parts), flush=True)
     cand.unpersist()
     fetched.unpersist()
+    if fetched_eff is not fetched:
+        fetched_eff.unpersist()
     new_unique.unpersist()
     return {
         "batch": batch,

@@ -100,6 +100,18 @@ HOST_STATE = T.StructType(
     ]
 )
 
+# Mercator content-seen test (opt-in, WebConfig.content_dedup): one row
+# per DISTINCT fetched body — the first fetch (by seq) of each content
+# hash is the canonical holder; later fetches of identical bytes keep
+# their crawl_order slot but are neither indexed nor link-expanded.
+CONTENT_SEEN = T.StructType(
+    [
+        T.StructField("content_hash", T.LongType(), False),
+        T.StructField("canon_url", T.StringType(), False),
+        T.StructField("batch", T.IntegerType(), False),
+    ]
+)
+
 SEEN_FILTERS = T.StructType(
     [
         T.StructField("part_id", T.IntegerType(), False),

@@ -60,6 +60,17 @@ class WebConfig:
     # from the documents corpus; nofollow = none of its links enter
     # discovery. None = no meta directives (frozen v1, goldens unchanged)
     meta_robots_every: int | None = None
+    # Mirror pages: roughly 1/mirror_every pages (page index >= 3 only)
+    # serve a byte-identical copy of one of their host's first three
+    # pages — the duplicated-content hazard the Mercator content-seen
+    # test exists for. None = no mirrors (frozen v1, goldens unchanged)
+    mirror_every: int | None = None
+    # Mercator content-seen test: when True the crawler (golden AND
+    # engine) skips indexing + link expansion for any fetched body whose
+    # (kind, text, media_ref) span sequence was already seen at a lower
+    # seq; the duplicate still consumes its fetch slot and crawl_order
+    # row. Redirect bodies are exempt (a Location header is not content)
+    content_dedup: bool = False
 
     def pages_per_host(self) -> list[int]:
         hot = max(1, int(self.n_pages * self.hot_host_frac))
@@ -303,6 +314,42 @@ def span_meta_directives(spans: list[dict]) -> tuple[bool, bool]:
     return (noindex, nofollow)
 
 
+def mirror_source(canon_url: str, cfg: WebConfig) -> str | None:
+    """URL of the page this one mirrors, or None for original content.
+
+    Deterministic: with ``mirror_every`` set, a non-redirect page with
+    page index j >= 3 mirrors one of its host's first three pages
+    (never themselves mirrors, so no chains) iff
+    h64(url|mirror) % mirror_every == 0. Shared by the golden crawler
+    and the Spark fetch UDF via `synth_spans`.
+    """
+    if cfg.mirror_every is None:
+        return None
+    if redirect_target(canon_url, cfg) is not None:
+        return None
+    try:
+        host, path = canon_url.split("//", 1)[1].split("/", 1)
+        j = int(path.rsplit("/", 1)[1])
+        i = _host_index(host)
+    except (IndexError, ValueError):
+        return None
+    if i is None or j < 3:
+        return None
+    if h64(f"{canon_url}|mirror") % cfg.mirror_every != 0:
+        return None
+    src_j = h64(f"{canon_url}|mirsrc") % min(3, cfg.pages_per_host()[i])
+    return page_url(i, src_j)
+
+
+def content_key(spans: list[dict]) -> tuple:
+    """Frozen content-seen identity of a fetched body: the ordered
+    (kind, text, media_ref) tuples — offsets are derivable from content
+    and excluded. Python twin of the engine's xxhash64(to_json(...))
+    key in plans/crawl.py (the two sides never exchange hashes, only
+    behavior, so each uses its native hash of the same identity)."""
+    return tuple((s["kind"], s["text"], s["media_ref"]) for s in spans)
+
+
 def synth_spans(canon_url: str, cfg: WebConfig) -> list[dict]:
     """The page body: ordered spans interleaving text/media/link.
 
@@ -310,13 +357,17 @@ def synth_spans(canon_url: str, cfg: WebConfig) -> list[dict]:
     verbatim by the golden crawler and the Spark fetch UDF — this IS the
     frozen extraction semantics (span-sequence equality, BASELINE.json
     input_hint). A redirecting page's whole body is its single
-    'redirect' span (the Location header as data).
+    'redirect' span (the Location header as data). A mirror page's body
+    is its source page's body, verbatim (`mirror_source`).
     """
     target = redirect_target(canon_url, cfg)
     if target is not None:
         return [
             {"kind": "redirect", "text": None, "media_ref": target, "offset": 0}
         ]
+    src = mirror_source(canon_url, cfg)
+    if src is not None:
+        return synth_spans(src, cfg)
     pph = cfg.pages_per_host()
     seed = h64(canon_url)
     n_spans = 3 + seed % 10

@@ -30,6 +30,7 @@ from dataclasses import dataclass, field
 from who_focus_crawler_spark.functions.urls import canonicalize_py, url_host_py
 from who_focus_crawler_spark.sources.fixture_web import (
     WebConfig,
+    content_key,
     extract_links,
     robots_allowed,
     robots_crawl_delay,
@@ -78,6 +79,7 @@ def run_golden(cfg: WebConfig, max_batches: int | None = None) -> GoldenResult:
         res.url_seen.add(cu)
 
     robots: dict[str, list[tuple[bool, str]]] = {}
+    content_seen: set[tuple] = set()  # Mercator content-seen (opt-in)
     seq = 0
     n_batches = max_batches if max_batches is not None else cfg.max_batches
     for batch in range(1, n_batches + 1):
@@ -156,6 +158,16 @@ def run_golden(cfg: WebConfig, max_batches: int | None = None) -> GoldenResult:
         events: list[tuple[int, int, str, FrontierEntry]] = []
         for pseq, e in fetched:
             spans = synth_spans(e.canon_url, cfg)
+            # Mercator content-seen test (opt-in): a body already seen
+            # at a lower seq keeps its crawl_order slot but is neither
+            # indexed nor link-expanded. `fetched` is in seq order, so
+            # iteration order IS the first-wins order. Redirect bodies
+            # are exempt (a Location header is not content).
+            if cfg.content_dedup and spans[0]["kind"] != "redirect":
+                key = content_key(spans)
+                if key in content_seen:
+                    continue
+                content_seen.add(key)
             # robots META directives (span-driven, like the engine):
             # noindex pages are fetched but stay out of the documents
             # corpus; nofollow pages emit no discovery events at all
