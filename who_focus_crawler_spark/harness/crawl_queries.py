@@ -2996,3 +2996,85 @@ FROM documents
 """
 
 QUERIES["c_mime_sniff"] = (c_mime_sniff, C_MIME_SNIFF_SQL)
+
+# --------------------------------------------------------------------------
+# Bandit-driven budget allocation: UCB1 scores (operators/bandit.py)
+# feed the largest-remainder apportionment (operators/apportion.py) —
+# the composition a production scheduler runs each batch to split the
+# global politeness budget across hosts by explore/exploit value. The
+# untried host's optimism sentinel visibly dominates the allocation
+# (the probe-first behavior), while explored hosts split the rest by
+# exact integer shares.
+
+_BB_BUDGET = 200
+
+
+def c_bandit_budget(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.apportion import apportion_budget
+    from who_focus_crawler_spark.operators.bandit import ucb_host_scores
+
+    stats = (
+        _messy_urls(spark, sf)
+        .groupBy(
+            F.concat(
+                F.lit("h"),
+                (F.col("o_custkey") % 12).cast("string"),
+                F.lit(".example.org"),
+            ).alias("host")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("pulls"),
+            F.sum(F.col("o_orderkey") % 1000).cast("long").alias("reward_milli_sum"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("h-new.example.org", 0, 0)],
+                "host string, pulls long, reward_milli_sum long",
+            )
+        )
+    )
+    weights = ucb_host_scores(stats).select(
+        "host", F.col("score_milli").alias("weight")
+    )
+    return apportion_budget(weights, _BB_BUDGET)
+
+
+C_BANDIT_BUDGET_SQL = f"""
+WITH stats AS (
+  SELECT concat('h', CAST(o_custkey % 12 AS VARCHAR), '.example.org') AS host,
+         CAST(count(*) AS BIGINT) AS pulls,
+         CAST(sum(o_orderkey % 1000) AS BIGINT) AS reward_milli_sum
+  FROM orders GROUP BY 1
+  UNION ALL
+  SELECT 'h-new.example.org', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+),
+tot AS (SELECT CAST(sum(pulls) AS BIGINT) AS t FROM stats),
+w AS (
+  SELECT host,
+         CAST(CASE WHEN pulls > 0 THEN reward_milli_sum // pulls
+                   ELSE 0 END AS BIGINT)
+         + CAST(CASE WHEN pulls > 0 THEN
+                  (1414 * CAST(floor(sqrt(CAST(
+                     (1000000 * (len(CAST(t AS VARCHAR)) - 1)) // pulls
+                   AS DOUBLE))) AS BIGINT)) // 1000
+                ELSE 10000000 END AS BIGINT) AS weight
+  FROM stats, tot
+),
+wt AS (SELECT sum(weight) AS tw FROM w),
+b AS (
+  SELECT host, weight,
+         (weight * {_BB_BUDGET}) // tw AS base,
+         (weight * {_BB_BUDGET}) % tw AS rem
+  FROM w, wt
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rk FROM b
+),
+lo AS (SELECT {_BB_BUDGET} - sum(base) AS leftover FROM b)
+SELECT host, weight,
+       CAST(base + CASE WHEN rk <= leftover AND rem > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS budget
+FROM r, lo
+"""
+
+QUERIES["c_bandit_budget"] = (c_bandit_budget, C_BANDIT_BUDGET_SQL)
