@@ -30,6 +30,7 @@ def run_corpus_pipeline(
     max_dup_permille: int | None = None,
     remove_dup_runs_n: int | None = None,
     dedup_lines_flag: bool = False,
+    dedup_lines_global_flag: bool = False,
     split_weights: dict[str, float] | None = None,
     mixture_weights: dict[str, float] | None = None,
     token_budget: int | None = None,
@@ -108,6 +109,18 @@ def run_corpus_pipeline(
         docs = (
             docs.drop("text")
             .join(cleaned_lines, "doc_id")
+            .withColumnRenamed("clean_text", "text")
+        )
+    if dedup_lines_global_flag:
+        # CCNet-style corpus-wide line dedup (first occurrence wins) —
+        # rewrites text, so it precedes every content-hash stage; runs
+        # after intra-doc dedup (strictly fewer lines to shuffle)
+        from who_focus_crawler_spark.corpus.text import dedup_lines_global
+
+        cleaned_g = dedup_lines_global(docs).select("doc_id", "clean_text")
+        docs = (
+            docs.drop("text")
+            .join(cleaned_g, "doc_id")
             .withColumnRenamed("clean_text", "text")
         )
     if c4:
@@ -304,6 +317,10 @@ def main() -> None:
         help="decode HTML entities before any other text stage",
     )
     ap.add_argument(
+        "--dedup-lines-global", action="store_true",
+        help="drop corpus-wide repeated lines (first occurrence wins)",
+    )
+    ap.add_argument(
         "--remove-dup-runs", type=int, default=None, metavar="N",
         help="excise cross-doc duplicated N-gram runs from surviving "
              "text (exact-substring dedup, Lee et al. ACL 2022)",
@@ -377,6 +394,7 @@ def main() -> None:
         max_dup_permille=args.max_dup_permille,
         remove_dup_runs_n=args.remove_dup_runs,
         dedup_lines_flag=args.dedup_lines,
+        dedup_lines_global_flag=args.dedup_lines_global,
         unescape=args.unescape,
         split_weights=_parse_weights(args.split) if args.split else None,
         c4=args.c4,

@@ -1464,3 +1464,34 @@ def test_corpus_pipeline_unescape_stage(spark, tmp_path):
         assert "&amp;" not in r.text and "&lt;" not in r.text
         assert " & another" in r.text and "<em>indeed</em>" in r.text
         assert r.text.endswith("!")
+
+
+def test_corpus_pipeline_dedup_lines_global_stage(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from corpus import run_corpus_pipeline
+
+    banner = "subscribe to our newsletter for the latest updates today"
+    rows = [
+        (
+            i,
+            f"{banner}\n"
+            f"the story {i} is about a thing of kind {i * 3} that is good\n"
+            f"more unique prose {i} follows in the body of the page",
+        )
+        for i in range(12)
+    ]
+    out = str(tmp_path / "kept")
+    stats = run_corpus_pipeline(
+        spark.createDataFrame(rows, ["doc_id", "text"]),
+        output=out,
+        dedup_lines_global_flag=True,
+        min_quality=0,
+    )
+    kept = spark.read.parquet(out)
+    assert stats["n_kept"] == kept.count() > 0
+    texts = [r.text for r in kept.collect()]
+    # the banner survives in at most one kept document corpus-wide
+    assert sum(1 for t in texts if banner in t) <= 1
+    assert all("unique prose" in t for t in texts)

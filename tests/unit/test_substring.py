@@ -142,3 +142,47 @@ def test_dedup_lines_within_doc(spark):
     assert out[3] == (1, 0, "solo")
     # both the repeated empty line and the repeated "x" dedup
     assert out[4] == (5, 2, "x\n\ny")
+
+
+def test_dedup_lines_global_cross_doc(spark):
+    """corpus/text.py::dedup_lines_global — CCNet-style corpus-wide line
+    dedup: a boilerplate line survives only in the (doc_id, idx)-minimal
+    position; short lines are exempt; texts rebuild in order."""
+    from who_focus_crawler_spark.corpus.text import dedup_lines_global
+
+    banner = "this cookie banner line repeats on every single page"
+    rows = [
+        (1, f"{banner}\nunique first document body line\nok"),
+        (2, f"{banner}\nanother unique body line here\n{banner}"),
+        (3, f"short\n{banner}\nthird unique line of text"),
+        (4, "no duplicates anywhere in this document at all"),
+    ]
+    out = {
+        r.doc_id: (r.n_lines, r.n_dropped, r.clean_text)
+        for r in dedup_lines_global(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    # doc 1 holds the first occurrence; 'ok' is short-exempt
+    assert out[1] == (3, 0, rows[0][1])
+    # doc 2 loses both copies (cross-doc AND its intra-doc repeat)
+    assert out[2] == (3, 2, "another unique body line here")
+    # doc 3 keeps its short line and unique line, loses the banner
+    assert out[3] == (3, 1, "short\nthird unique line of text")
+    assert out[4] == (1, 0, rows[3][1])
+
+
+def test_dedup_lines_global_parallelism_invariance(spark):
+    from who_focus_crawler_spark.corpus.text import dedup_lines_global
+
+    rows = [
+        (i, f"shared boilerplate line appearing everywhere\nunique {i} body")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, dedup_lines_global(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, dedup_lines_global(df.repartition(8)).collect()))
+    assert a == b
+    # exactly one survivor of the shared line
+    survivors = [t for t in a if "shared boilerplate" in t[3]]
+    assert len(survivors) == 1 and survivors[0][0] == 0

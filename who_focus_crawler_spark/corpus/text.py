@@ -586,6 +586,70 @@ def dedup_lines(
     )
 
 
+def dedup_lines_global(
+    docs: "DataFrame",
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+) -> "DataFrame":
+    """CROSS-document line dedup — the CCNet paragraph-dedup step
+    (Wenzek et al. LREC 2020 §3.1: hash every paragraph, keep only the
+    first occurrence corpus-wide) applied at line granularity: scraped
+    corpora repeat boilerplate lines (cookie banners, nav, footers)
+    across millions of pages, and per-doc dedup can't see that.
+
+    Frozen v1 rule: a NON-SHORT line (>= ``min_len`` chars — short/empty
+    lines are structure, not boilerplate, and dedup'ing "" corpus-wide
+    would weld every document together) survives only at its first
+    occurrence, ordered by (doc_id, line index); all later copies are
+    dropped and each text is rebuilt in original order.
+
+    Output: (doc_id, n_lines, n_dropped, clean_text). Scale shape: one
+    shuffle keyed by the line text for the first-occurrence agg (a slim
+    (line, doc, idx) payload), one keyed by doc for the rebuild — never
+    all-pairs, map-side partial aggs throughout.
+    """
+    base = docs.select(doc_col, text_col).filter(F.col(doc_col).isNotNull())
+    lines = base.select(
+        doc_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    longs = lines.filter(F.length("line") >= min_len)
+    winners = longs.groupBy("line").agg(
+        F.min(F.struct(F.col(doc_col), F.col("idx"))).alias("w")
+    )
+    kept = (
+        lines.join(winners, "line", "left")
+        .filter(
+            (F.length("line") < min_len)
+            | ((F.col("w")[doc_col] == F.col(doc_col)) & (F.col("w")["idx"] == F.col("idx")))
+        )
+        .drop("w")
+    )
+    rebuilt = kept.groupBy(doc_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("idx"), F.col("line")))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    totals = base.select(
+        doc_col,
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return totals.join(rebuilt, doc_col, "left").select(
+        doc_col,
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def char_entropy_milli(text: Column) -> Column:
     """Shannon entropy of the character distribution in millibits
     (floor(H·1000) as long — floor, not round: round's half-way rule

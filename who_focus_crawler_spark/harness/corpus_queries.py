@@ -2931,3 +2931,65 @@ FROM esc
 """
 
 QUERIES["d_text_unescape"] = (d_text_unescape, D_TEXT_UNESCAPE_SQL)
+
+# --------------------------------------------------------------------------
+# Cross-document line dedup (corpus/text.py::dedup_lines_global — the
+# CCNet paragraph-dedup step at line granularity): two boilerplate
+# lines planted around every document; each survives only in its
+# (doc_id, idx)-minimal position corpus-wide. Rebuilt texts are
+# byte-compared.
+
+
+def d_dedup_lines_global(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.text import dedup_lines_global
+
+    src = t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("accept our cookies to continue reading this site\n"),
+            F.col("text"),
+            F.lit("\ncopyright example press syndicate all rights reserved"),
+        ).alias("text"),
+    )
+    return dedup_lines_global(src)
+
+
+D_DEDUP_LINES_GLOBAL_SQL = """
+WITH src AS (
+  SELECT doc_id,
+         'accept our cookies to continue reading this site' || chr(10)
+           || text || chr(10)
+           || 'copyright example press syndicate all rights reserved' AS t
+  FROM documents
+), lines AS (
+  SELECT doc_id, u.idx AS idx, u.line AS line FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, len(string_split(t, chr(10)))), i ->
+               struct_pack(idx := CAST(i - 1 AS BIGINT),
+                           line := string_split(t, chr(10))[i]))) AS u
+    FROM src)
+), winners AS (
+  SELECT line, doc_id AS wd, idx AS wi FROM (
+    SELECT line, doc_id, idx,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+    FROM lines WHERE len(line) >= 10
+  ) WHERE rn = 1
+), kept AS (
+  SELECT l.doc_id, l.idx, l.line
+  FROM lines l LEFT JOIN winners w ON l.line = w.line
+  WHERE len(l.line) < 10 OR (w.wd = l.doc_id AND w.wi = l.idx)
+), rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(line, chr(10) ORDER BY idx) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(len(string_split(s.t, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(string_split(s.t, chr(10))) - coalesce(r.n_kept, 0) AS BIGINT)
+         AS n_dropped,
+       coalesce(r.clean_text, '') AS clean_text
+FROM src s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+"""
+
+QUERIES["d_dedup_lines_global"] = (d_dedup_lines_global, D_DEDUP_LINES_GLOBAL_SQL)
