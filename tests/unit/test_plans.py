@@ -288,3 +288,60 @@ def test_min_window_span_partitions_by_doc(spark):
     )
     plan = _plan(min_window_span(docs, ["alpha", "beta"]))
     assert "SinglePartition" not in plan
+
+
+def test_t5_windows_doc_partitioned_only(spark):
+    """corpus/t5.py: every window in the span-corruption plan is
+    doc_id-partitioned — a global (SinglePartition) window would make
+    the gaps-and-islands merge a one-task bottleneck at corpus scale."""
+    df = REGISTRY["d_t5_spans"][0](spark, SF)
+    plan = _plan(df)
+    assert "Window" in plan
+    for frag in plan.split("Window [")[1:]:
+        assert "doc_id" in frag.split("windowspecdefinition")[1][:120], frag[:200]
+
+
+def test_aging_view_adds_no_exchange(spark):
+    """operators/frontier.py::age_boosted_view is a pure projection —
+    the aged selection must shuffle exactly as often as the unaged one
+    (once, on host for the top-k window)."""
+    from who_focus_crawler_spark.operators.frontier import (
+        age_boosted_view,
+        select_candidates,
+    )
+
+    fr = spark.createDataFrame(
+        [(f"h{i%5}", f"u{i}", float(-(i % 3)), i % 3, i % 7) for i in range(100)],
+        "host string, canon_url string, priority double, depth int, "
+        "discovered_in_batch int",
+    )
+    base = _plan(select_candidates(fr, 3))
+    aged = _plan(select_candidates(age_boosted_view(fr, 9, 500), 3))
+    assert aged.count("Exchange") == base.count("Exchange")
+
+
+def test_bandit_broadcasts_total_and_takeordered_topm(spark):
+    """operators/bandit.py: the 1-row total joins by broadcast (never a
+    shuffle of the stats), and top-m selection is TakeOrderedAndProject
+    (per-partition top-m then merge — no global sort, no one-task
+    window)."""
+    from who_focus_crawler_spark.operators.bandit import select_bandit_hosts
+
+    stats = spark.createDataFrame(
+        [(f"h{i}", i % 17, (i * i) % 9999) for i in range(500)],
+        "host string, pulls long, reward_milli_sum long",
+    )
+    plan = _plan(select_bandit_hosts(stats, 5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_dedup_lines_global_no_global_window(spark):
+    """corpus/text.py::dedup_lines_global: first-occurrence election is
+    a partial+final agg on the line key plus doc-keyed rebuild — no
+    window at all, so nothing funnels through one task."""
+    df = REGISTRY["d_dedup_lines_global"][0](spark, SF)
+    plan = _plan(df)
+    assert "windowspecdefinition" not in plan
+    assert "partial_min" in _formatted(df) or "partial_count" in _formatted(df)
