@@ -61,6 +61,13 @@ BENCH_QUERIES = [
     "d_dup_remove",
     "c_opic",
     "d_index_proximity",
+    # session-7 ops
+    "c_frontier_aging",
+    "c_bandit_budget",
+    "d_t5_spans",
+    "d_dedup_lines_global",
+    "d_text_unescape",
+    "c_mime_sniff",
 ]
 
 
