@@ -117,3 +117,49 @@ def test_pq_fit_stable_across_layouts(vectors):
 def test_pq_rejects_indivisible_dim(vectors):
     with pytest.raises(ValueError, match="not divisible"):
         S.pq_fit_codebooks(vectors, m=3, k=2)
+
+
+def test_sq8_roundtrip_and_adc(spark):
+    """SQ8 (corpus/similarity.py): codes in 0..255, exact Python
+    reference agreement, self is ADC-nearest, and parallelism
+    invariance of bounds + codes."""
+    import math
+
+    from who_focus_crawler_spark.corpus.similarity import (
+        sq8_bounds,
+        sq8_encode,
+        sq8_topk,
+    )
+
+    vecs = [
+        (i, [math.sin(i * 0.7 + d) for d in range(8)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    def qv(v):
+        # match quantize_vec: floor over the DOUBLE value of the float32
+        return [math.floor(float(__import__("numpy").float32(x)) * 1e6) for x in v]
+
+    qall = {i: qv(v) for i, v in vecs}
+    dims = list(zip(*qall.values()))
+    mins = [min(d) for d in dims]
+    rngs = [max(max(d) - min(d), 1) for d in dims]
+
+    bounds = sq8_bounds(df)
+    got_b = {r.dim: (r.qmin, r.qmax) for r in bounds.collect()}
+    assert [got_b[d][0] for d in sorted(got_b)] == mins
+
+    codes = {r.vec_id: list(r.code) for r in sq8_encode(df, bounds).collect()}
+    for i, v in qall.items():
+        want = [((x - m) * 255) // r for x, m, r in zip(v, mins, rngs)]
+        assert codes[i] == want
+        assert all(0 <= c <= 255 for c in want)
+
+    top = sq8_topk(df, query_id=13, k=3).collect()
+    assert top[0].vec_id == 13  # self reconstructs nearest
+    # exact reference distance for the runner-up
+    def adc(i, j):
+        rec = [m + (c * r) // 255 for c, m, r in zip(codes[i], mins, rngs)]
+        return sum((a - b) ** 2 for a, b in zip(rec, qall[j]))
+    want_order = sorted(qall, key=lambda i: (adc(i, 13), i))[:3]
+    assert [r.vec_id for r in top] == want_order

@@ -931,3 +931,116 @@ def matryoshka_recall(
             ),
         )
     )
+
+
+# ------------------------------------------------------------------- SQ8 ---
+# Scalar quantization (the third member of the vector-compression
+# family next to IVF routing and PQ codes): per-dimension min/max over
+# the corpus, each component squeezed to an 8-bit code. 4x smaller than
+# PQ's training-free codebooks for reranking workloads and trivially
+# mergeable (bounds are a min/max agg). Everything is exact integer
+# arithmetic over quantize_vec longs, so codes, reconstructions, and
+# ADC distances are bit-identical across engines/partitionings.
+#
+# Integer division inside higher-order lambdas uses the exactness
+# identity (a - a % b) / b: the numerator is an exact multiple of b,
+# both are exactly representable doubles, and IEEE division of exact
+# operands with an exactly-representable quotient is exact.
+
+
+def _ldiv(a: Column, b: Column) -> Column:
+    """Exact floor division of nonnegative long expressions inside a
+    lambda (where F.expr('a div b') is unavailable)."""
+    return ((a - a % b) / b).cast("long")
+
+
+def sq8_bounds(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    qscale: int = 10**6,
+) -> DataFrame:
+    """(dim, qmin, qmax): per-dimension integer bounds of the corpus —
+    the SQ8 'codebook'. One explode + one partial+final min/max agg."""
+    q = embeddings.select(quantize_vec(F.col(vec_col), qscale).alias("qv"))
+    return (
+        q.select(F.posexplode("qv").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("qmin"), F.max("x").alias("qmax"))
+    )
+
+
+def _sq8_arrays(bounds: DataFrame) -> DataFrame:
+    """1-row frame (mins, rngs) with dimension-ordered bound arrays —
+    broadcast-joined to encoders/probes (never collected)."""
+    return bounds.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "qmin"))),
+            lambda s: s["qmin"],
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("dim", F.greatest(F.col("qmax") - F.col("qmin"), F.lit(1)).alias("rng"))
+                )
+            ),
+            lambda s: s["rng"],
+        ).alias("rngs"),
+    )
+
+
+def sq8_encode(
+    embeddings: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = 10**6,
+) -> DataFrame:
+    """(vec_id, code array<long> in 0..255): per-component
+    code_i = ((q_i - qmin_i) * 255) div max(qmax_i - qmin_i, 1)."""
+    enc = embeddings.select(
+        F.col(id_col), quantize_vec(F.col(vec_col), qscale).alias("qv")
+    ).crossJoin(F.broadcast(_sq8_arrays(bounds)))
+    code = F.zip_with(
+        F.col("qv"),
+        F.arrays_zip(F.col("mins"), F.col("rngs")),
+        lambda x, mr: _ldiv((x - mr["mins"]) * 255, mr["rngs"]),
+    )
+    return enc.select(id_col, code.alias("code"))
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    query_id,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = 10**6,
+) -> DataFrame:
+    """Asymmetric-distance top-k over SQ8 codes: the query stays at full
+    integer precision, every database vector is reconstructed from its
+    code (recon_i = qmin_i + (code_i * rng_i) div 255), and L2 is exact
+    integer arithmetic. TakeOrderedAndProject shape — per-partition
+    top-k then merge, no global sort."""
+    bounds = sq8_bounds(embeddings, vec_col, qscale)
+    codes = sq8_encode(embeddings, bounds, id_col, vec_col, qscale)
+    query = embeddings.filter(F.col(id_col) == query_id).select(
+        quantize_vec(F.col(vec_col), qscale).alias("qy")
+    )
+    probe = codes.crossJoin(F.broadcast(_sq8_arrays(bounds))).crossJoin(
+        F.broadcast(query)
+    )
+    recon = F.zip_with(
+        F.col("code"),
+        F.arrays_zip(F.col("mins"), F.col("rngs")),
+        lambda c, mr: mr["mins"] + _ldiv(c * mr["rngs"], F.lit(255)),
+    )
+    dist2 = F.aggregate(
+        F.zip_with(recon, F.col("qy"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        probe.select(id_col, dist2.alias("dist2"))
+        .orderBy(F.asc("dist2"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2993,3 +2993,53 @@ FROM src s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
 """
 
 QUERIES["d_dedup_lines_global"] = (d_dedup_lines_global, D_DEDUP_LINES_GLOBAL_SQL)
+
+# --------------------------------------------------------------------------
+# SQ8 scalar quantization + asymmetric-distance top-k
+# (corpus/similarity.py::sq8_*): per-dimension integer bounds, 8-bit
+# codes, reconstruction, and exact-integer ADC L2 — the full encode →
+# probe path value-pinned against the identical integer CTE chain.
+
+_SQ8_QUERY_ID = 7
+_SQ8_K = 10
+
+
+def d_sim_sq8(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.similarity import sq8_topk
+
+    return sq8_topk(t(spark, sf, "embeddings"), query_id=_SQ8_QUERY_ID, k=_SQ8_K)
+
+
+D_SIM_SQ8_SQL = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), dims AS (
+  SELECT u.dim AS dim, u.x AS x FROM (
+    SELECT unnest(list_transform(generate_series(1, len(qv)), i ->
+      struct_pack(dim := i, x := qv[i]))) AS u
+    FROM q)
+), b AS (
+  SELECT dim, min(x) AS qmin, max(x) AS qmax FROM dims GROUP BY dim
+), arrs AS (
+  SELECT list(qmin ORDER BY dim) AS mins,
+         list(greatest(qmax - qmin, 1) ORDER BY dim) AS rngs
+  FROM b
+), codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(qv)),
+           i -> ((qv[i] - mins[i]) * 255) // rngs[i]) AS code
+  FROM q, arrs
+), qy AS (SELECT qv AS y FROM q WHERE vec_id = {_SQ8_QUERY_ID})
+SELECT vec_id, CAST(list_aggregate(
+         list_transform(generate_series(1, len(code)), i ->
+           ((mins[i] + (code[i] * rngs[i]) // 255) - y[i])
+           * ((mins[i] + (code[i] * rngs[i]) // 255) - y[i])),
+         'sum') AS BIGINT) AS dist2
+FROM codes, arrs, qy
+ORDER BY dist2, vec_id LIMIT {_SQ8_K}
+"""
+
+QUERIES["d_sim_sq8"] = (d_sim_sq8, D_SIM_SQ8_SQL)
