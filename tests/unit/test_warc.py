@@ -110,3 +110,25 @@ def test_revisit_records_reference_first_capture(spark):
     assert out[3] == ("revisit", "http://a/1", 1)
     assert out[4] == ("revisit", "http://a/1", 1)
     assert out[5] == ("response", None, None)
+
+
+def test_surt_key_vectors(spark):
+    """sources/warc.py::surt_key — the Heritrix SURT rules: lowercase,
+    scheme/port dropped, leading www stripped, host labels reversed."""
+    from pyspark.sql import functions as F
+
+    from who_focus_crawler_spark.sources.warc import surt_key
+
+    cases = [
+        ("http://www.Example.org:8080/p/1?q=2", "org,example)/p/1?q=2"),
+        ("HTTPS://Sub.Host.Example.COM/A/B", "com,example,host,sub)/a/b"),
+        ("http://example.org", "org,example)/"),
+        ("http://www2.example.org/x", "org,example)/x"),
+        ("http://wwwish.example.org/x", "org,wwwish.example)/x".replace(
+            "wwwish.example", "example,wwwish"
+        )),  # 'wwwish' is NOT a www label
+        ("http://h0.example.test/private/p/7", "test,example,h0)/private/p/7"),
+    ]
+    df = spark.createDataFrame(cases, "uri string, want string")
+    for r in df.select("want", surt_key(F.col("uri")).alias("got")).collect():
+        assert r.got == r.want, (r.got, r.want)

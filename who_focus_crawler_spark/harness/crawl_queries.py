@@ -3078,3 +3078,77 @@ FROM r, lo
 """
 
 QUERIES["c_bandit_budget"] = (c_bandit_budget, C_BANDIT_BUDGET_SQL)
+
+# --------------------------------------------------------------------------
+# CDX capture index (sources/warc.py::cdx_index): SURT keys (reversed
+# host labels, scheme/port/www stripped) + 14-digit timestamps +
+# payload digests over a synthesized WARC record table — messy URI
+# forms (mixed case, www labels, ports, queries) exercise every SURT
+# rule; value-exact vs the identical transform in DuckDB.
+
+
+def c_warc_cdx(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.sources.warc import cdx_index
+
+    o = t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    records = o.select(
+        F.concat(
+            F.when(k % 3 == 0, F.lit("HTTP://WWW.")).otherwise(F.lit("http://")),
+            F.lit("H"), (F.col("o_custkey") % 9).cast("string"),
+            F.lit(".Example.org"),
+            F.when(k % 4 == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/p/"), k.cast("string"),
+            F.when(k % 5 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+        ).alias("target_uri"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        F.concat(F.lit("<urn:rec:"), k.cast("string"), F.lit(">")).alias("record_id"),
+        F.col("o_totalprice").cast("long").alias("content_length"),
+        F.encode(F.concat(F.lit("body of "), k.cast("string")), "UTF-8").alias(
+            "payload"
+        ),
+        F.concat(F.lit("part-"), (k % 7).cast("string")).alias("warc_file"),
+    )
+    return cdx_index(records)
+
+
+C_WARC_CDX_SQL = """
+WITH records AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END
+           || 'H' || CAST(o_custkey % 9 AS VARCHAR) || '.Example.org'
+           || CASE WHEN o_orderkey % 4 = 0 THEN ':8080' ELSE '' END
+           || '/p/' || CAST(o_orderkey AS VARCHAR)
+           || CASE WHEN o_orderkey % 5 = 0 THEN '?b=2&a=1' ELSE '' END
+           AS target_uri,
+         strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+         '<urn:rec:' || CAST(o_orderkey AS VARCHAR) || '>' AS record_id,
+         CAST(floor(o_totalprice) AS BIGINT) AS content_length,
+         'body of ' || CAST(o_orderkey AS VARCHAR) AS payload_s,
+         'part-' || CAST(o_orderkey % 7 AS VARCHAR) AS warc_file
+  FROM orders
+), parts AS (
+  SELECT *,
+         split_part(lower(target_uri), '://', 2) AS rest
+  FROM records
+), keyed AS (
+  SELECT *,
+         regexp_replace(split_part(split_part(rest, '/', 1), ':', 1),
+                        '^www[0-9]*\\.', '') AS host,
+         CASE WHEN strpos(rest, '/') > 0
+              THEN substr(rest, strpos(rest, '/')) ELSE '/' END AS path
+  FROM parts
+)
+SELECT array_to_string(list_reverse(string_split(host, '.')), ',') || ')' || path
+         AS surt,
+       substr(regexp_replace(warc_date, '[^0-9]', '', 'g'), 1, 14) AS ts14,
+       target_uri AS uri,
+       md5(payload_s) AS digest,
+       content_length AS length,
+       warc_file,
+       CAST(row_number() OVER (PARTITION BY warc_file
+                               ORDER BY warc_date, record_id) AS BIGINT)
+         AS seq_in_file
+FROM keyed
+"""
+
+QUERIES["c_warc_cdx"] = (c_warc_cdx, C_WARC_CDX_SQL)

@@ -33,7 +33,7 @@ import os
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -222,4 +222,67 @@ def revisit_records(
         F.when(is_first, F.lit(None).cast("long"))
         .otherwise(F.col("_f." + seq_col).cast("long"))
         .alias("refers_to_seq"),
+    )
+
+
+def surt_key(uri: Column) -> Column:
+    """SURT — Sort-friendly URI Reordering Transform (Heritrix/OpenWayback,
+    the key order of every public CDX index): lowercase, drop the scheme
+    and any port, strip a leading 'www' label, reverse the host labels
+    comma-joined, then ')' + path[?query].
+
+    'http://www.Example.org:8080/p/1?q=2' -> 'org,example)/p/1?q=2'
+
+    Reversed-host keys cluster a registrable domain's captures
+    contiguously, so a sorted CDX supports prefix range-scans per site —
+    the property that matters when the index itself is billions of rows.
+    All native string/array expressions.
+    """
+    low = F.lower(uri)
+    rest = F.substring_index(low, "://", -1)
+    hostport = F.substring_index(rest, "/", 1)
+    host = F.regexp_replace(
+        F.substring_index(hostport, ":", 1), r"^www\d*\.", ""
+    )
+    slash = F.instr(rest, "/")
+    path = F.when(slash > 0, rest.substr(slash, F.lit(100_000))).otherwise(
+        F.lit("/")
+    )
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(rev, F.lit(")"), path)
+
+
+def cdx_index(
+    records: DataFrame,
+    uri_col: str = "target_uri",
+    date_col: str = "warc_date",
+    file_col: str = "warc_file",
+) -> DataFrame:
+    """CDX(J)-style capture index over a WARC record table: one row per
+    record with (surt, ts14, uri, digest, length, warc_file,
+    seq_in_file), globally ordered by (surt, ts14) the way public CDX
+    files are sorted.
+
+    Frozen v1 addressing: ``seq_in_file`` is the record ORDINAL within
+    its WARC file (row_number by (warc_date, record_id) — the write
+    order), not a byte offset: the shim's reader (read_warc) addresses
+    records by ordinal, and byte offsets are a property of the writer's
+    rendering, not of the logical archive. The window partitions by
+    warc_file — bounded by records-per-file, never global; the final
+    sort is the usual range-partitioned order-by.
+    """
+    w = Window.partitionBy(file_col).orderBy(date_col, "record_id")
+    ts14 = F.regexp_replace(F.col(date_col), "[^0-9]", "").substr(1, 14)
+    return (
+        records.withColumn("seq_in_file", F.row_number().over(w).cast("long"))
+        .select(
+            surt_key(F.col(uri_col)).alias("surt"),
+            ts14.alias("ts14"),
+            F.col(uri_col).alias("uri"),
+            F.md5(F.col("payload")).alias("digest"),
+            F.col("content_length").alias("length"),
+            F.col(file_col).alias("warc_file"),
+            "seq_in_file",
+        )
+        .orderBy("surt", "ts14", "uri")
     )
