@@ -3152,3 +3152,168 @@ FROM keyed
 """
 
 QUERIES["c_warc_cdx"] = (c_warc_cdx, C_WARC_CDX_SQL)
+
+# --------------------------------------------------------------------------
+# RFC 9309 robots.txt TEXT parsing (operators/robots_txt.py): five
+# per-host document classes (basic group + global sitemap, specific-
+# beats-star selection, multi-UA group, no-matching-group, junk
+# tolerance) synthesized deterministically; the DuckDB twin replays the
+# identical line algebra (comment strip, field split, group running
+# sum, longest-match group election).
+
+
+def c_robots_parse(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.robots_txt import parse_robots_txt
+
+    hosts = (
+        t(spark, sf, "orders")
+        .select((F.col("o_custkey") % 20).cast("long").alias("hid"))
+        .distinct()
+    )
+    host = F.concat(F.lit("h"), F.col("hid").cast("string"), F.lit(".example.test"))
+    nl = "\n"
+    k = F.col("hid") % 5
+    txt = (
+        F.when(
+            k == 0,
+            F.concat(
+                F.lit(
+                    "# robots" + nl + "User-Agent: *" + nl
+                    + "Disallow: /private/" + nl + "Allow: /private/p/0" + nl
+                    + "Crawl-delay: 3" + nl + "Sitemap: http://"
+                ),
+                host,
+                F.lit("/sitemap.xml"),
+            ),
+        )
+        .when(
+            k == 1,
+            F.lit(
+                "User-agent: googlebot" + nl + "Disallow: /" + nl
+                + "User-agent: wfc" + nl + "Disallow: /only-wfc/" + nl
+                + "Crawl-delay: 7" + nl + "User-agent: *" + nl
+                + "Disallow: /everyone/"
+            ),
+        )
+        .when(
+            k == 2,
+            F.lit(
+                "User-agent: alpha" + nl + "User-agent: wfc-bot" + nl
+                + "Disallow: /shared/"
+            ),
+        )
+        .when(
+            k == 3,
+            F.concat(
+                F.lit(
+                    "User-agent: googlebot" + nl + "Disallow: /" + nl
+                    + "Sitemap: http://"
+                ),
+                host,
+                F.lit("/map.xml"),
+            ),
+        )
+        .otherwise(
+            F.lit(
+                "Disallow: /ignored/" + nl + "User-agent: *   # c" + nl
+                + "Disallow:" + nl + "Disallow: /real/ # c2" + nl
+                + "X-Unknown: y" + nl + "Crawl-delay: fast"
+            )
+        )
+    )
+    robots = hosts.select(host.alias("host"), txt.alias("robots_txt"))
+    return parse_robots_txt(robots, agent="wfc-bot").select(
+        "host", "directive", "allow", "value", F.col("line_no").cast("long").alias("line_no")
+    )
+
+
+C_ROBOTS_PARSE_SQL = """
+WITH hosts AS (SELECT DISTINCT CAST(o_custkey % 20 AS BIGINT) AS hid FROM orders),
+robots AS (
+  SELECT 'h' || CAST(hid AS VARCHAR) || '.example.test' AS host,
+    CASE hid % 5
+      WHEN 0 THEN '# robots' || chr(10) || 'User-Agent: *' || chr(10)
+        || 'Disallow: /private/' || chr(10) || 'Allow: /private/p/0' || chr(10)
+        || 'Crawl-delay: 3' || chr(10)
+        || 'Sitemap: http://h' || CAST(hid AS VARCHAR) || '.example.test/sitemap.xml'
+      WHEN 1 THEN 'User-agent: googlebot' || chr(10) || 'Disallow: /' || chr(10)
+        || 'User-agent: wfc' || chr(10) || 'Disallow: /only-wfc/' || chr(10)
+        || 'Crawl-delay: 7' || chr(10) || 'User-agent: *' || chr(10)
+        || 'Disallow: /everyone/'
+      WHEN 2 THEN 'User-agent: alpha' || chr(10) || 'User-agent: wfc-bot'
+        || chr(10) || 'Disallow: /shared/'
+      WHEN 3 THEN 'User-agent: googlebot' || chr(10) || 'Disallow: /' || chr(10)
+        || 'Sitemap: http://h' || CAST(hid AS VARCHAR) || '.example.test/map.xml'
+      ELSE 'Disallow: /ignored/' || chr(10) || 'User-agent: *   # c' || chr(10)
+        || 'Disallow:' || chr(10) || 'Disallow: /real/ # c2' || chr(10)
+        || 'X-Unknown: y' || chr(10) || 'Crawl-delay: fast'
+    END AS robots_txt
+  FROM hosts
+),
+lines AS (
+  SELECT host, u.line_no AS line_no, u.raw AS raw FROM (
+    SELECT host,
+           unnest(list_transform(
+             generate_series(1, len(string_split(robots_txt, chr(10)))), i ->
+               struct_pack(line_no := CAST(i - 1 AS BIGINT),
+                           raw := string_split(robots_txt, chr(10))[i]))) AS u
+    FROM robots)
+),
+clean AS (
+  SELECT host, line_no, trim(split_part(raw, '#', 1)) AS ln
+  FROM lines WHERE trim(split_part(raw, '#', 1)) <> ''
+),
+parsed AS (
+  SELECT host, line_no,
+         lower(trim(split_part(ln, ':', 1))) AS field,
+         CASE WHEN strpos(ln, ':') > 0
+              THEN trim(substr(ln, strpos(ln, ':') + 1)) END AS value
+  FROM clean
+  WHERE lower(trim(split_part(ln, ':', 1)))
+          IN ('user-agent', 'allow', 'disallow', 'crawl-delay', 'sitemap')
+    AND (CASE WHEN strpos(ln, ':') > 0
+              THEN trim(substr(ln, strpos(ln, ':') + 1)) END) IS NOT NULL
+),
+flags AS (
+  SELECT *, CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END AS ua FROM parsed
+),
+grp0 AS (
+  SELECT *, CASE WHEN ua = 1 AND coalesce(
+              lag(ua) OVER (PARTITION BY host ORDER BY line_no), 0) = 0
+            THEN 1 ELSE 0 END AS ng
+  FROM flags
+),
+grouped AS (
+  SELECT *, sum(ng) OVER (PARTITION BY host ORDER BY line_no
+                          ROWS UNBOUNDED PRECEDING) AS grp
+  FROM grp0
+),
+gsel AS (SELECT * FROM grouped WHERE grp > 0),
+uas AS (SELECT host, grp, lower(value) AS ua_v FROM gsel WHERE field = 'user-agent'),
+matching AS (
+  SELECT host, grp,
+         CASE WHEN ua_v = '*' THEN 0 ELSE len(ua_v) END AS match_len
+  FROM uas WHERE ua_v = '*' OR starts_with('wfc-bot', ua_v)
+),
+best AS (
+  SELECT host, grp FROM (
+    SELECT host, grp,
+           row_number() OVER (PARTITION BY host
+                              ORDER BY match_len DESC, grp ASC) AS rn
+    FROM matching) WHERE rn = 1
+),
+chosen AS (
+  SELECT g.* FROM gsel g JOIN best b ON g.host = b.host AND g.grp = b.grp
+  WHERE g.field <> 'user-agent'
+)
+SELECT host, 'rule' AS directive, field = 'allow' AS allow, value, line_no
+FROM chosen WHERE field IN ('allow', 'disallow') AND value <> ''
+UNION ALL
+SELECT host, 'crawl_delay', CAST(NULL AS BOOLEAN), value, line_no
+FROM chosen WHERE field = 'crawl-delay' AND regexp_matches(value, '^[0-9]+$')
+UNION ALL
+SELECT host, 'sitemap', CAST(NULL AS BOOLEAN), value, line_no
+FROM parsed WHERE field = 'sitemap'
+"""
+
+QUERIES["c_robots_parse"] = (c_robots_parse, C_ROBOTS_PARSE_SQL)

@@ -131,6 +131,26 @@ def robots_rules(host: str, cfg: WebConfig) -> list[tuple[bool, str]]:
     return [(True, "/")]
 
 
+def robots_txt_text(host: str, cfg: WebConfig) -> str | None:
+    """Render the host's robots policy as an actual robots.txt document
+    (None where the fixture serves no file). The engine-side parser
+    (operators/robots_txt.py::parse_robots_txt) must recover exactly
+    `robots_rules` + `robots_crawl_delay` from this text — the
+    round-trip is pinned by tests/unit/test_robots_txt.py."""
+    i = _host_index(host)
+    if i is None or i == 3:
+        return None
+    lines = ["# fixture robots", "User-agent: *"]
+    for allow, pattern in robots_rules(host, cfg):
+        lines.append(("Allow: " if allow else "Disallow: ") + pattern)
+    d = robots_crawl_delay(host, cfg)
+    if d is not None:
+        lines.append(f"Crawl-delay: {d}")
+    if sitemap_xml(host, cfg) is not None:
+        lines.append(f"Sitemap: http://{host}/sitemap.xml")
+    return "\n".join(lines)
+
+
 def robots_crawl_delay(host: str, cfg: WebConfig) -> int | None:
     """Crawl-delay directive (seconds) a host's robots.txt declares.
 
