@@ -53,6 +53,16 @@ def main() -> None:
         help="starvation-free frontier aging: selection priority grows by "
              "this/1000 per batch a row has waited (view-only, never stored)",
     )
+    ap.add_argument(
+        "--content-dedup", action="store_true",
+        help="Mercator content-seen test: duplicate bodies keep their "
+             "fetch slot but are neither indexed nor link-expanded",
+    )
+    ap.add_argument(
+        "--mirror-every", type=int, default=None,
+        help="fixture web: ~1/N pages mirror a host front page "
+             "(duplicate-content hazard for --content-dedup)",
+    )
     args = ap.parse_args()
     if args.no_bloom and args.filter_kind != "bloom":
         ap.error(
@@ -65,6 +75,14 @@ def main() -> None:
         "e2e": E2E_WEB,
         "custom": WebConfig(n_hosts=args.hosts, n_pages=args.pages),
     }[args.tier]
+    if args.content_dedup or args.mirror_every is not None:
+        from dataclasses import replace
+
+        web = replace(
+            web,
+            content_dedup=args.content_dedup,
+            mirror_every=args.mirror_every,
+        )
 
     spark = SparkSession.builder.appName("wfc-crawl").getOrCreate()
     cfg = CrawlConfig(
