@@ -80,6 +80,7 @@ def run_corpus_pipeline(
     from who_focus_crawler_spark.corpus.text import (
         predict_lang,
         quality_score,
+        redact_cards,
         redact_pii,
         repetition_stats,
         tokens,
@@ -181,7 +182,9 @@ def run_corpus_pipeline(
         kept.select(
             "doc_id",
             *carry,
-            redact_pii(F.col("text")).alias("text"),
+            # card redaction after the generic scrub: Luhn-valid spans
+            # only, so order ids / phone groups survive (corpus/text.py)
+            redact_cards(redact_pii(F.col("text"))).alias("text"),
             predict_lang(tokens(F.col("text"))).alias("lang"),
             quality_score(F.col("text")).alias("quality"),
             rep["top_gram_frac"].alias("rep_frac"),

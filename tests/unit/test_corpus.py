@@ -1495,3 +1495,34 @@ def test_corpus_pipeline_dedup_lines_global_stage(spark, tmp_path):
     # the banner survives in at most one kept document corpus-wide
     assert sum(1 for t in texts if banner in t) <= 1
     assert all("unique prose" in t for t in texts)
+
+
+def test_luhn_card_redaction(spark):
+    """corpus/text.py card PII: only Luhn-valid 13-19 digit spans redact;
+    lookalikes (bad checksum, too short, phones) survive."""
+    from who_focus_crawler_spark.corpus.text import card_candidates, redact_cards
+
+    cases = [
+        ("pay with 4111 1111 1111 1111 now", "pay with <CARD> now"),
+        ("pay with 4111-1111-1111-1112 now", "pay with 4111-1111-1111-1112 now"),
+        ("visa 4532015112830366 works", "visa <CARD> works"),
+        ("amex 378282246310005 ok", "amex <CARD> ok"),
+        ("order 1234567890123 is not a card", "order 1234567890123 is not a card"),
+        ("call +1-202-555-0143 (not a card)", "call +1-202-555-0143 (not a card)"),
+        ("both 4111111111111111 and 5500005555555559 go", "both <CARD> and <CARD> go"),
+        ("no digits at all", "no digits at all"),
+    ]
+    df = spark.createDataFrame(cases, "t string, want string")
+    for r in df.select("want", redact_cards(F.col("t")).alias("got")).collect():
+        assert r.got == r.want, (r.got, r.want)
+    # audit view agrees with a Python Luhn reference
+    def luhn(d):
+        s = 0
+        for i, ch in enumerate(reversed(d)):
+            x = int(ch)
+            s += x * 2 - 9 if i % 2 == 1 and x * 2 > 9 else x * 2 if i % 2 == 1 else x
+        return 13 <= len(d) <= 19 and s % 10 == 0
+    rows = df.select(card_candidates(F.col("t")).alias("c")).collect()
+    for r in rows:
+        for s in r.c:
+            assert s.valid == luhn(s.digits), s

@@ -775,3 +775,62 @@ def predict_topic(toks: Column) -> Column:
     )
     best = F.array_min(pairs)
     return F.when(-best["neg"] > 0, best["topic"]).otherwise(F.lit("other"))
+
+
+# ------------------------------------------------- payment-card PII (Luhn) ---
+
+# candidate span: 13-23 chars of digits with optional space/dash
+# separators, digit-anchored both ends, RE2-safe (\b, no lookaround)
+CARD_CAND_RE = r"\b[0-9][0-9 \-]{11,21}[0-9]\b"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """TRUE iff a digits-only string is a plausible payment-card number:
+    13-19 digits passing the Luhn mod-10 checksum (ISO/IEC 7812 — the
+    published check digit scheme every card number satisfies). Pure
+    native expressions: reverse the digit array, double every second
+    digit (minus 9 when it overflows), sum mod 10."""
+    arr = F.reverse(F.regexp_extract_all(digits, F.lit("[0-9]"), F.lit(0)))
+    n = F.size(arr)
+    total = F.aggregate(
+        F.zip_with(
+            arr,
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
+            lambda c, i: F.when(
+                i % 2 == 1,
+                F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9).otherwise(
+                    c.cast("int") * 2
+                ),
+            ).otherwise(c.cast("int")),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def card_candidates(text: Column) -> Column:
+    """Array of (candidate, digits, valid) structs for every card-shaped
+    span in the text — the audit view of `redact_cards`."""
+    cands = F.regexp_extract_all(text, F.lit(CARD_CAND_RE), F.lit(0))
+    return F.transform(
+        cands,
+        lambda c: F.struct(
+            c.alias("candidate"),
+            F.regexp_replace(c, "[^0-9]", "").alias("digits"),
+            luhn_valid(F.regexp_replace(c, "[^0-9]", "")).alias("valid"),
+        ),
+    )
+
+
+def redact_cards(text: Column) -> Column:
+    """Replace every Luhn-VALID card-shaped span with <CARD>; invalid
+    lookalikes (order ids, phone groups) stay — the checksum is what
+    separates a real card number from 16 arbitrary digits. Fold of
+    literal replaces over the validated candidates; no Python."""
+    valid = F.filter(card_candidates(text), lambda s: s["valid"])
+    return F.aggregate(
+        valid,
+        text,
+        lambda acc, s: F.replace(acc, s["candidate"], F.lit("<CARD>")),
+    )

@@ -3043,3 +3043,85 @@ ORDER BY dist2, vec_id LIMIT {_SQ8_K}
 """
 
 QUERIES["d_sim_sq8"] = (d_sim_sq8, D_SIM_SQ8_SQL)
+
+# --------------------------------------------------------------------------
+# Payment-card PII (corpus/text.py::card_candidates/luhn_valid):
+# card-shaped spans planted per doc — half Luhn-valid by construction
+# (check digit computed in SQL), half off-by-one invalid — exploded to
+# one row per candidate with the validity verdict.
+
+
+def d_pii_cards(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.text import card_candidates
+
+    d = t(spark, sf, "documents")
+    # 15 fixed digits derived from doc_id; the 16th is the Luhn check
+    # digit (valid class) or check+1 mod 10 (invalid class)
+    base = F.lpad((F.col("doc_id") % 10**9).cast("string"), 15, "4")
+    # Luhn check digit over the 15-digit base, computed natively
+    arr = F.reverse(F.split(base, ""))
+    s = F.aggregate(
+        F.zip_with(
+            F.filter(arr, lambda c: c != ""),
+            F.sequence(F.lit(0), F.lit(14)),
+            lambda c, i: F.when(
+                i % 2 == 0,
+                F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9).otherwise(
+                    c.cast("int") * 2
+                ),
+            ).otherwise(c.cast("int")),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    check = (10 - s % 10) % 10
+    digit = F.when(F.col("doc_id") % 2 == 0, check).otherwise((check + 1) % 10)
+    txt = F.concat(
+        F.lit("ref "), F.substring("text", 1, 24),
+        F.lit(" card "), base, digit.cast("string"), F.lit(" end"),
+    )
+    ex = d.select("doc_id", F.explode(card_candidates(txt)).alias("c"))
+    return ex.select(
+        "doc_id",
+        F.col("c.candidate").alias("candidate"),
+        F.col("c.digits").alias("digits"),
+        F.col("c.valid").alias("valid"),
+    )
+
+
+D_PII_CARDS_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         lpad(CAST(doc_id % 1000000000 AS VARCHAR), 15, '4') AS b
+  FROM documents
+), summed AS (
+  SELECT doc_id, b,
+         list_sum(list_transform(generate_series(1, 15), i ->
+           CASE WHEN (i - 1) % 2 = 0 THEN
+             CASE WHEN CAST(substr(reverse(b), i, 1) AS INT) * 2 > 9
+                  THEN CAST(substr(reverse(b), i, 1) AS INT) * 2 - 9
+                  ELSE CAST(substr(reverse(b), i, 1) AS INT) * 2 END
+           ELSE CAST(substr(reverse(b), i, 1) AS INT) END)) AS s
+  FROM base
+), cards AS (
+  SELECT doc_id,
+         b || CAST(CASE WHEN doc_id % 2 = 0 THEN (10 - s % 10) % 10
+                        ELSE ((10 - s % 10) % 10 + 1) % 10 END AS VARCHAR)
+           AS card
+  FROM summed
+)
+SELECT doc_id,
+       card AS candidate,
+       card AS digits,
+       (len(card) BETWEEN 13 AND 19) AND
+       list_sum(list_transform(generate_series(1, len(card)), i ->
+         CASE WHEN (i - 1) % 2 = 1 THEN
+           CASE WHEN CAST(substr(reverse(card), i, 1) AS INT) * 2 > 9
+                THEN CAST(substr(reverse(card), i, 1) AS INT) * 2 - 9
+                ELSE CAST(substr(reverse(card), i, 1) AS INT) * 2 END
+         ELSE CAST(substr(reverse(card), i, 1) AS INT) END)) % 10 = 0
+         AS valid
+FROM cards
+"""
+
+QUERIES["d_pii_cards"] = (d_pii_cards, D_PII_CARDS_SQL)
