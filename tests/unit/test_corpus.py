@@ -1526,3 +1526,24 @@ def test_luhn_card_redaction(spark):
     for r in rows:
         for s in r.c:
             assert s.valid == luhn(s.digits), s
+
+
+def test_predict_script_known_samples(spark):
+    from who_focus_crawler_spark.corpus.text import predict_script
+
+    cases = [
+        ("hello world", "latin"),
+        ("привет мир", "cyrillic"),
+        ("γειά σου κόσμε", "greek"),
+        ("مرحبا بالعالم", "arabic"),
+        ("नमस्ते दुनिया", "devanagari"),
+        ("こんにちは世界", "cjk"),
+        ("中文网页内容", "cjk"),
+        ("안녕하세요 세계", "hangul"),
+        ("1234 !!", "und"),
+        ("", "und"),
+        ("mixed привет text here", "latin"),  # latin majority wins
+    ]
+    df = spark.createDataFrame(cases, "t string, want string")
+    for r in df.select("want", predict_script(F.col("t")).alias("got")).collect():
+        assert r.got == r.want, (r.got, r.want)

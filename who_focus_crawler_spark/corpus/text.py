@@ -834,3 +834,64 @@ def redact_cards(text: Column) -> Column:
         text,
         lambda acc, s: F.replace(acc, s["candidate"], F.lit("<CARD>")),
     )
+
+
+# --------------------------------------------------------- Unicode script ---
+
+# Principal Unicode block ranges per script (inclusive codepoints) —
+# the coarse web-scale signal: language-ID models are per-language, but
+# a crawler first needs to know WHAT SCRIPT a page is in to route it to
+# the right tokenizer/model. Ranges are the published Unicode blocks.
+SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
+    "latin": ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)),
+    "cyrillic": ((0x400, 0x4FF),),
+    "greek": ((0x370, 0x3FF),),
+    "arabic": ((0x600, 0x6FF),),
+    "devanagari": ((0x900, 0x97F),),
+    "cjk": ((0x3040, 0x30FF), (0x4E00, 0x9FFF)),  # kana + unified han
+    "hangul": ((0xAC00, 0xD7AF),),
+}
+
+
+def _codepoints(text: Column) -> Column:
+    """Per-character Unicode codepoints — ascii() returns the full
+    codepoint of a single-char string identically in Spark and DuckDB
+    (probed; see d_text_script's oracle)."""
+    return F.transform(
+        F.filter(F.split(text, ""), lambda c: c != ""), lambda c: F.ascii(c)
+    )
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Character count per script class over the whole document."""
+    cps = _codepoints(text)
+
+    def in_ranges(cp, ranges):
+        cond = F.lit(False)
+        for lo, hi in ranges:
+            cond = cond | ((cp >= lo) & (cp <= hi))
+        return cond
+
+    def matcher(ranges):
+        # single-param lambda: a 2-param lambda would receive the element
+        # INDEX as its second argument from F.filter
+        return lambda cp: in_ranges(cp, ranges)
+
+    return {
+        name: F.size(F.filter(cps, matcher(ranges))).cast("long")
+        for name, ranges in SCRIPT_RANGES.items()
+    }
+
+
+def predict_script(text: Column) -> Column:
+    """argmax script with lexicographic tie-break; 'und' when no script
+    character occurs (digits/punctuation-only). Same greatest-of-structs
+    trick as predict_lang."""
+    counts = script_counts(text)
+    ordered = sorted(counts.keys(), reverse=True)
+    packed = [
+        F.struct(counts[s].alias("n"), F.lit(i).alias("r"), F.lit(s).alias("script"))
+        for i, s in enumerate(ordered)
+    ]
+    best = F.greatest(*packed)
+    return F.when(best["n"] > 0, best["script"]).otherwise(F.lit("und"))

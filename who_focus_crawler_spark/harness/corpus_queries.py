@@ -3125,3 +3125,56 @@ FROM cards
 """
 
 QUERIES["d_pii_cards"] = (d_pii_cards, D_PII_CARDS_SQL)
+
+# --------------------------------------------------------------------------
+# Unicode script detection (corpus/text.py::predict_script /
+# script_counts): eight planted script classes (Latin, Cyrillic, Greek,
+# Arabic, Devanagari, CJK, Hangul, digits-only 'und'); the engine
+# computes real per-codepoint counts, the oracle states the
+# hand-computed ground truth by construction.
+
+_SCRIPT_SAMPLES = [
+    "the quick brown fox jumps over ref ok",
+    "привет мир как дела сегодня ref ok",
+    "γειά σου κόσμε τι κάνεις ref ok",
+    "مرحبا بالعالم كيف الحال ref ok",
+    "नमस्ते दुनिया कैसे हो ref ok",
+    "こんにちは世界お元気ですか ref ok",
+    "안녕하세요 세계 반갑습니다 ref ok",
+    "1234 5678 --- 9012",
+]
+
+
+def d_text_script(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.text import predict_script, script_counts
+
+    d = t(spark, sf, "documents").select("doc_id")
+    k = (F.col("doc_id") % 8).cast("int")
+    txt = F.lit(_SCRIPT_SAMPLES[0])
+    for i in range(1, 8):
+        txt = F.when(k == i, F.lit(_SCRIPT_SAMPLES[i])).otherwise(txt)
+    counts = script_counts(txt)
+    return d.select(
+        "doc_id",
+        predict_script(txt).alias("script"),
+        counts["latin"].alias("n_latin"),
+        counts["cyrillic"].alias("n_cyrillic"),
+        counts["cjk"].alias("n_cjk"),
+    )
+
+
+D_TEXT_SCRIPT_SQL = """
+SELECT doc_id,
+       CASE doc_id % 8
+         WHEN 0 THEN 'latin'    WHEN 1 THEN 'cyrillic'
+         WHEN 2 THEN 'greek'    WHEN 3 THEN 'arabic'
+         WHEN 4 THEN 'devanagari' WHEN 5 THEN 'cjk'
+         WHEN 6 THEN 'hangul'   ELSE 'und' END AS script,
+       CAST(CASE doc_id % 8 WHEN 0 THEN 30 WHEN 7 THEN 0 ELSE 5 END AS BIGINT)
+         AS n_latin,
+       CAST(CASE doc_id % 8 WHEN 1 THEN 23 ELSE 0 END AS BIGINT) AS n_cyrillic,
+       CAST(CASE doc_id % 8 WHEN 5 THEN 13 ELSE 0 END AS BIGINT) AS n_cjk
+FROM documents
+"""
+
+QUERIES["d_text_script"] = (d_text_script, D_TEXT_SCRIPT_SQL)
