@@ -25,43 +25,87 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from who_focus_crawler_spark import schemas
-from who_focus_crawler_spark.sources.fixture_web import (
-    WebConfig,
-    robots_crawl_delay,
-    robots_rules,
-)
+from who_focus_crawler_spark.sources.fixture_web import WebConfig
+
+
+def _json_quote(v):
+    """JSON string literal of a column value (escapes backslash + quote —
+    sufficient for URL path patterns, which carry no control chars)."""
+    esc = F.regexp_replace(F.regexp_replace(v, r"\\", r"\\\\"), '"', '\\\\"')
+    return F.concat(F.lit('"'), esc, F.lit('"'))
 
 
 def fetch_robots_for_hosts(
     hosts: DataFrame, cfg: WebConfig, batch: int
 ) -> DataFrame:
-    """Vectorized robots fetch+parse for previously-unseen hosts.
-
-    In production this is the single network touchpoint of the gate; here
-    it is served by the deterministic fixture web (SURVEY.md §0.1 — no
-    network), but the dataflow (mapInPandas over distinct hosts) is the
-    real one.
+    """Robots fetch for previously-unseen hosts: raw robots.txt TEXT in
+    (one mapInPandas — the gate's single I/O touchpoint, served by the
+    deterministic fixture web here), then the RFC 9309 text parser
+    (operators/robots_txt.py) as native dataflow, re-packed into the
+    cache's rules_json format ([[allow, pattern], ...] in file order).
+    The parser is load-bearing in every crawl: the golden replay pins
+    that text → rules → gate reproduces the frozen schedule exactly.
+    Sitemap directives surface in the parse but are not cached here
+    (the sitemap channel fetches per-host maps itself).
     """
+    from who_focus_crawler_spark.operators.robots_txt import parse_robots_txt
+    from who_focus_crawler_spark.sources.fixture_web import robots_txt_text
 
-    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fetch_text(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rules = [
-                json.dumps(robots_rules(h, cfg)) if robots_rules(h, cfg) else None
-                for h in pdf["host"]
-            ]
             yield pd.DataFrame(
                 {
                     "host": pdf["host"],
-                    "rules_json": rules,
-                    "crawl_delay": pd.array(
-                        [robots_crawl_delay(h, cfg) for h in pdf["host"]],
-                        dtype="Int32",
-                    ),
-                    "fetched_in_batch": batch,
+                    "robots_txt": [robots_txt_text(h, cfg) for h in pdf["host"]],
                 }
             )
 
-    return hosts.select("host").distinct().mapInPandas(fetch, schemas.ROBOTS_CACHE)
+    distinct = hosts.select("host").distinct()
+    texts = distinct.mapInPandas(fetch_text, "host string, robots_txt string")
+    parsed = parse_robots_txt(
+        texts.filter(F.col("robots_txt").isNotNull()), agent=cfg.agent
+    )
+    rule_entry = lambda s: F.concat(  # noqa: E731 — tight lambda for transform
+        F.lit("["),
+        F.when(s["allow"], F.lit("true")).otherwise(F.lit("false")),
+        F.lit(", "),
+        _json_quote(s["value"]),
+        F.lit("]"),
+    )
+    rules = (
+        parsed.filter(F.col("directive") == "rule")
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("line_no", "allow", "value"))
+                        ),
+                        rule_entry,
+                    ),
+                    ", ",
+                ),
+                F.lit("]"),
+            ).alias("rules_json")
+        )
+    )
+    delays = (
+        parsed.filter(F.col("directive") == "crawl_delay")
+        .groupBy("host")
+        .agg(F.min(F.col("value").cast("int")).alias("crawl_delay"))
+    )
+    return (
+        distinct.join(rules, "host", "left")
+        .join(delays, "host", "left")
+        .select(
+            "host",
+            "rules_json",
+            F.col("crawl_delay").cast("int"),
+            F.lit(batch).cast("int").alias("fetched_in_batch"),
+        )
+    )
 
 
 def refresh_robots_cache(
