@@ -1044,3 +1044,68 @@ def sq8_topk(
         .orderBy(F.asc("dist2"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_sq8_topk(
+    embeddings: DataFrame,
+    centroids: list[list[int]],
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = 10**6,
+) -> DataFrame:
+    """The production serving composition: IVF routes (only the nprobe
+    clusters nearest the query are touched), SQ8 ADC ranks (database
+    vectors live as 8-bit codes; the query stays full integer
+    precision). Both stages are exact integer arithmetic — routing AND
+    scores are bit-identical across engines/partitionings. Bounds are
+    corpus-global (the frozen v1 codebook choice: one (min, range) pair
+    per dimension, mergeable min/max aggs); at serving scale codes are
+    precomputed per partition and only the probed partitions scan.
+    Returns (vec_id, dist2) ascending — ADC squared L2 in quantized
+    units, ties on vec_id.
+    """
+    q = embeddings.select(
+        id_col, quantize_vec(F.col(vec_col), qscale).alias("qv")
+    )
+    assigned = ivf_assign_exact(q, centroids, "qv").select(id_col, "cluster")
+    qvec = [
+        int(x)
+        for x in q.filter(F.col(id_col) == query_vec_id).collect()[0]["qv"]
+    ]
+    order = sorted(
+        range(len(centroids)),
+        key=lambda c: (
+            sum((a - b) * (a - b) for a, b in zip(qvec, centroids[c])),
+            c,
+        ),
+    )
+    probe = order[:nprobe]
+    bounds = sq8_bounds(embeddings, vec_col, qscale)
+    probed = embeddings.join(assigned, id_col).filter(
+        F.col("cluster").isin(*probe) & (F.col(id_col) != query_vec_id)
+    )
+    codes = sq8_encode(probed, bounds, id_col, vec_col, qscale)
+    query = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        quantize_vec(F.col(vec_col), qscale).alias("qy")
+    )
+    scored = codes.crossJoin(F.broadcast(_sq8_arrays(bounds))).crossJoin(
+        F.broadcast(query)
+    )
+    recon = F.zip_with(
+        F.col("code"),
+        F.arrays_zip(F.col("mins"), F.col("rngs")),
+        lambda c, mr: mr["mins"] + _ldiv(c * mr["rngs"], F.lit(255)),
+    )
+    dist2 = F.aggregate(
+        F.zip_with(recon, F.col("qy"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        scored.select(id_col, dist2.alias("dist2"))
+        .orderBy(F.asc("dist2"), F.asc(id_col))
+        .limit(k)
+    )

@@ -969,11 +969,19 @@ def d_sim_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _ivf_sql() -> str:
-    dist = (
+def _ivf_dist():
+    return (
         "list_sum(list_transform(generate_series(1, len({v})), "
         "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
     )
+
+
+def _ivf_prefix(query_id: int, nprobe: int) -> str:
+    """Shared DuckDB CTE chain: integer-Lloyd fit (c0..cN), final
+    assignment (af), query row (q0), probed clusters (probe) — reused by
+    the cosine probe (d_sim_ann_ivf) and the SQ8 ADC probe
+    (d_sim_ivf_sq8)."""
+    dist = _ivf_dist()
     assign = """, a{i} AS MATERIALIZED (
   SELECT vec_id, cl FROM (
     SELECT qq.vec_id, cc.cl,
@@ -1005,20 +1013,31 @@ WITH q AS MATERIALIZED (
 )"""
     for i in range(1, _IVF_ITERS + 1):
         sql += assign.format(i=i, prev=i - 1)
-    final_assign = """, af AS MATERIALIZED (
+    sql += """, af AS MATERIALIZED (
   SELECT vec_id, cl FROM (
     SELECT qq.vec_id, cc.cl,
            row_number() OVER (PARTITION BY qq.vec_id ORDER BY
              {d}, cc.cl) AS rn
     FROM q qq CROSS JOIN c{last} cc
   ) WHERE rn = 1
-), q0 AS (SELECT qv FROM q WHERE vec_id = 0),
+), q0 AS (SELECT qv FROM q WHERE vec_id = {qid}),
 probe AS (
   SELECT cl FROM (
     SELECT cc.cl, row_number() OVER (ORDER BY {dq}, cc.cl) AS rn
     FROM c{last} cc CROSS JOIN q0
-  ) WHERE rn <= 2
-), qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+  ) WHERE rn <= {nprobe}
+)""".replace("{d}", dist.format(v="qq.qv", c="cc.cv")).replace(
+        "{dq}", dist.format(v="q0.qv", c="cc.cv")
+    ).replace("{last}", str(_IVF_ITERS)).replace("{qid}", str(query_id)).replace(
+        "{nprobe}", str(nprobe)
+    )
+    return sql
+
+
+def _ivf_sql() -> str:
+    return _ivf_prefix(query_id=0, nprobe=2) + """, qe AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+)
 SELECT e.vec_id,
        round(
          list_aggregate(list_transform(e.embedding,
@@ -1033,10 +1052,7 @@ FROM embeddings e JOIN af ON e.vec_id = af.vec_id, qe
 WHERE af.cl IN (SELECT cl FROM probe) AND e.vec_id <> 0
 ORDER BY cosine_sim DESC, e.vec_id
 LIMIT 10
-""".replace("{d}", dist.format(v="qq.qv", c="cc.cv")).replace(
-        "{dq}", dist.format(v="q0.qv", c="cc.cv")
-    ).replace("{last}", str(_IVF_ITERS))
-    return sql + final_assign
+"""
 
 
 QUERIES["d_sim_ann_ivf"] = (d_sim_ann_ivf, _ivf_sql())
@@ -3178,3 +3194,63 @@ FROM documents
 """
 
 QUERIES["d_text_script"] = (d_text_script, D_TEXT_SCRIPT_SQL)
+
+# --------------------------------------------------------------------------
+# IVF-routed SQ8 ADC probe (corpus/similarity.py::ivf_sq8_topk): the
+# production serving composition — the integer-Lloyd coarse quantizer
+# routes to nprobe clusters, SQ8 codes + asymmetric L2 rank inside
+# them. Routing AND scores are exact integers, so the whole composed
+# path is value-pinned: the oracle reuses the shared IVF fit chain and
+# appends the SQ8 CTEs over the probed subset.
+
+
+def d_sim_ivf_sq8(spark: SparkSession, sf: str) -> DataFrame:
+    if sf not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf] = S.ivf_fit_centroids_exact(
+            t(spark, sf, "embeddings"),
+            n_clusters=_IVF_K,
+            iters=_IVF_ITERS,
+            qscale=_IVF_QS,
+        )
+    return S.ivf_sq8_topk(
+        t(spark, sf, "embeddings"),
+        _IVF_CENTROIDS[sf],
+        query_vec_id=0,
+        k=10,
+        nprobe=2,
+        qscale=_IVF_QS,
+    )
+
+
+def _ivf_sq8_sql() -> str:
+    return _ivf_prefix(query_id=0, nprobe=2) + """, dims AS (
+  SELECT u.dim AS dim, u.x AS x FROM (
+    SELECT unnest(list_transform(generate_series(1, len(qv)), i ->
+      struct_pack(dim := i, x := qv[i]))) AS u
+    FROM q)
+), b AS (
+  SELECT dim, min(x) AS qmin, max(x) AS qmax FROM dims GROUP BY dim
+), arrs AS (
+  SELECT list(qmin ORDER BY dim) AS mins,
+         list(greatest(qmax - qmin, 1) ORDER BY dim) AS rngs
+  FROM b
+), probed AS (
+  SELECT q.vec_id, q.qv FROM q JOIN af USING (vec_id)
+  WHERE af.cl IN (SELECT cl FROM probe) AND q.vec_id <> 0
+), codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(qv)),
+           i -> ((qv[i] - mins[i]) * 255) // rngs[i]) AS code
+  FROM probed, arrs
+)
+SELECT vec_id, CAST(list_sum(
+         list_transform(generate_series(1, len(code)), i ->
+           ((mins[i] + (code[i] * rngs[i]) // 255) - q0.qv[i])
+           * ((mins[i] + (code[i] * rngs[i]) // 255) - q0.qv[i])))
+       AS BIGINT) AS dist2
+FROM codes, arrs, q0
+ORDER BY dist2, vec_id LIMIT 10
+"""
+
+
+QUERIES["d_sim_ivf_sq8"] = (d_sim_ivf_sq8, _ivf_sq8_sql())
