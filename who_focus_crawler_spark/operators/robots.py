@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from who_focus_crawler_spark import schemas
 from who_focus_crawler_spark.sources.fixture_web import WebConfig
 
 
