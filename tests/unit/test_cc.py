@@ -97,3 +97,35 @@ def test_empty_and_self_loop_only_input(spark):
     assert [(r.doc_id, r.cluster_id, r.keep) for r in only_self.collect()] == [
         (7, 7, True)
     ]
+
+
+def test_dedup_keep_best_quality_aware(spark):
+    """corpus/clusters.py::dedup_keep_best — inside each near-dup
+    cluster the highest-score doc survives (ties to lowest id); docs in
+    no pair keep themselves."""
+    from who_focus_crawler_spark.corpus.clusters import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 900), (3, 900), (4, 50), (7, 10)],
+        "doc_id long, quality long",
+    )
+    # clusters: {1,2,3} (transitive), {4} via no pair? 4 pairs with 7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 7)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in dedup_keep_best(docs, pairs, "quality", n_iters=4).collect()
+    }
+    assert out[2] == (1, True)   # highest quality, tie vs 3 -> lower id
+    assert out[3] == (1, False)
+    assert out[1] == (1, False)  # min id but LOW quality: not kept
+    assert out[4] == (4, True)   # quality 50 beats 10
+    assert out[7] == (4, False)
+    # a doc in no pair keeps itself
+    docs2 = docs.union(spark.createDataFrame([(9, 1)], docs.schema))
+    out2 = {
+        r.doc_id: r.keep
+        for r in dedup_keep_best(docs2, pairs, "quality", n_iters=4).collect()
+    }
+    assert out2[9] is True

@@ -214,3 +214,44 @@ def dedup_keep(
         F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
         F.coalesce("_k", F.lit(True)).alias("keep"),
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Quality-aware canonical selection: inside each near-dup cluster
+    the doc with the HIGHEST ``score_col`` survives (ties → lowest id),
+    instead of ``dedup_keep``'s blind min-id rule.
+
+    Production pipelines prefer this form: duplicates of one source
+    differ in extraction quality (truncated bodies, boilerplate-heavy
+    mirrors, stale captures), and keeping the min id throws that signal
+    away. The election is a partial+final max-struct agg per cluster —
+    (score, -id) packed so the tie-break is deterministic — joined back;
+    no window, no all-pairs. Docs in no pair keep themselves.
+
+    Output: docs' columns + cluster_id + keep.
+    """
+    clusters = near_dup_clusters(pairs, **kwargs).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    members = docs.join(clusters, id_col, "left").select(
+        *docs.columns,
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+    )
+    best = members.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"), (-F.col(id_col)).alias("ni")
+            )
+        ).alias("_b")
+    ).select("cluster_id", (-F.col("_b.ni")).alias("_winner"))
+    return members.join(best, "cluster_id").select(
+        *docs.columns,
+        "cluster_id",
+        (F.col(id_col) == F.col("_winner")).alias("keep"),
+    )

@@ -3254,3 +3254,50 @@ ORDER BY dist2, vec_id LIMIT 10
 
 
 QUERIES["d_sim_ivf_sq8"] = (d_sim_ivf_sq8, _ivf_sq8_sql())
+
+# --------------------------------------------------------------------------
+# Quality-aware canonical selection (corpus/clusters.py::dedup_keep_best):
+# inside each MinHash near-dup cluster the HIGHEST-quality doc survives
+# (ties to the lowest id) — the production alternative to blind min-id
+# keep. Oracle composes the shared cluster CTE chain with the frozen
+# quality formula and a per-cluster argmax election.
+
+
+def d_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.clusters import dedup_keep_best
+
+    d = t(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        shingle_k=_MH_K,
+        jaccard_threshold=_MH_THRESH,
+    )
+    scored = d.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+    return dedup_keep_best(scored, pairs, "quality", n_iters=_CL_ITERS).select(
+        "doc_id", "quality", "cluster_id", "keep"
+    )
+
+
+def _keep_best_sql() -> str:
+    return f"""
+WITH lbl AS ({_clusters_sql()}),
+q AS ({D_TEXT_QUALITY_SQL}),
+members AS (
+  SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id, q.quality
+  FROM q LEFT JOIN lbl l ON q.doc_id = l.doc_id
+),
+best AS (
+  SELECT cluster_id, doc_id AS winner FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY quality DESC, doc_id ASC) AS rn
+    FROM members) WHERE rn = 1
+)
+SELECT m.doc_id, m.quality, m.cluster_id, m.doc_id = b.winner AS keep
+FROM members m JOIN best b USING (cluster_id)
+"""
+
+
+QUERIES["d_dedup_keep_best"] = (d_dedup_keep_best, _keep_best_sql())
