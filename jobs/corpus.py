@@ -45,6 +45,7 @@ def run_corpus_pipeline(
     c4_min_lines: int = 3,
     gopher: bool = False,
     unescape: bool = False,
+    keep_best: bool = False,
 ) -> dict:
     """docs(doc_id, text[, source]) → kept corpus + stats.
 
@@ -137,7 +138,19 @@ def run_corpus_pipeline(
     exact = exact_dedup_keep(docs).persist()
     n_exact = exact.count()
     pairs = minhash_lsh_pairs(exact, jaccard_threshold=minhash_threshold)
-    kept = dedup_keep(exact, pairs).filter(F.col("keep"))
+    if keep_best:
+        # quality-aware canonical selection: each near-dup cluster keeps
+        # its highest-quality member (corpus/clusters.py::dedup_keep_best)
+        from who_focus_crawler_spark.corpus.clusters import dedup_keep_best
+
+        scored = exact.withColumn("_q", quality_score(F.col("text")))
+        kept = (
+            dedup_keep_best(scored, pairs, "_q")
+            .filter(F.col("keep"))
+            .drop("_q")
+        )
+    else:
+        kept = dedup_keep(exact, pairs).filter(F.col("keep"))
     if semdedup_tau is not None:
         from who_focus_crawler_spark.corpus.semdedup import semdedup
         from who_focus_crawler_spark.corpus.similarity import (
@@ -324,6 +337,11 @@ def main() -> None:
         help="drop corpus-wide repeated lines (first occurrence wins)",
     )
     ap.add_argument(
+        "--keep-best", action="store_true",
+        help="near-dup clusters keep their highest-quality member "
+             "instead of the lowest doc id",
+    )
+    ap.add_argument(
         "--remove-dup-runs", type=int, default=None, metavar="N",
         help="excise cross-doc duplicated N-gram runs from surviving "
              "text (exact-substring dedup, Lee et al. ACL 2022)",
@@ -399,6 +417,7 @@ def main() -> None:
         dedup_lines_flag=args.dedup_lines,
         dedup_lines_global_flag=args.dedup_lines_global,
         unescape=args.unescape,
+        keep_best=args.keep_best,
         split_weights=_parse_weights(args.split) if args.split else None,
         c4=args.c4,
         c4_min_lines=args.c4_min_lines,

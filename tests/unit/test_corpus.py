@@ -1547,3 +1547,40 @@ def test_predict_script_known_samples(spark):
     df = spark.createDataFrame(cases, "t string, want string")
     for r in df.select("want", predict_script(F.col("t")).alias("got")).collect():
         assert r.got == r.want, (r.got, r.want)
+
+
+def test_corpus_pipeline_keep_best_stage(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from corpus import run_corpus_pipeline
+
+    # doc 1 is a punctuation-junked copy of doc 2: the token stream (and
+    # therefore the shingle set -> Jaccard 1.0, guaranteed pair) is
+    # identical, but the punctuation-density term drops its quality, so
+    # keep-best must prefer doc 2 where the min-id rule would keep doc 1
+    body = (
+        "the archive of stories tells of a thing and another thing that is "
+        "good and the body continues with long readable prose about the "
+        "topic of the day in the town by the sea"
+    )
+    rows = [(1, body + " " + "!;.,:" * 12), (2, body)] + [
+        (
+            10 + i,
+            f"completely unrelated document {i} about the topic of kind "
+            f"{i * 7} that is good and continues with unique prose {i} to "
+            f"pass the quality gates of the pipeline",
+        )
+        for i in range(4)
+    ]
+    out = str(tmp_path / "kept")
+    stats = run_corpus_pipeline(
+        spark.createDataFrame(rows, ["doc_id", "text"]),
+        output=out,
+        minhash_threshold=0.8,
+        min_quality=0,
+        keep_best=True,
+    )
+    kept_ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert stats["n_kept"] == len(kept_ids)
+    assert 2 in kept_ids and 1 not in kept_ids
