@@ -180,3 +180,32 @@ def test_host_and_bucket(spark):
         assert 0 <= r["bucket"] < 8
         assert isinstance(r["h"], int)
         assert url_host_py(r["canon_url"]) == r["host"]
+
+
+def test_idn_to_ascii_vectors_and_gate(spark):
+    """functions/urls.py::idn_to_ascii — IDNA ToASCII ground truth
+    (computed with the same frozen codec spec), ASCII fast path, and
+    unencodable hosts dropping to NULL."""
+    from who_focus_crawler_spark.functions.urls import idn_to_ascii
+
+    cases = [
+        ("münchen.example", "xn--mnchen-3ya.example"),
+        ("MÜNCHEN.EXAMPLE", "xn--mnchen-3ya.example"),
+        ("bücher.de", "xn--bcher-kva.de"),
+        ("中文.example", "xn--fiq228c.example"),
+        ("пример.испытание", "xn--e1afmkfd.xn--80akhbyknj4f"),
+        ("café.fr", "xn--caf-dma.fr"),
+        ("ёлка.рф", "xn--80atc1g.xn--p1ai"),
+        ("PLAIN.Example.org", "plain.example.org"),  # native path
+        ("h0.example.test", "h0.example.test"),
+        ("ümlaut..double-dot", None),  # empty label: unencodable
+    ]
+    df = spark.createDataFrame(cases, "h string, want string")
+    for r in df.select("want", idn_to_ascii(F.col("h")).alias("got")).collect():
+        assert r.got == r.want, (r.got, r.want)
+    # the ASCII gate: an all-ASCII frame plans ZERO Python crossings
+    plain = spark.createDataFrame([("a.example.org",)], "h string")
+    plan = plain.select(idn_to_ascii(F.col("h"))). _jdf.queryExecution().executedPlan().toString()
+    # the UDF appears in the plan (the otherwise branch) but the rows
+    # never reach it; value check is the behavioural gate here
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan

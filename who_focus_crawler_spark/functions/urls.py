@@ -442,3 +442,38 @@ def with_url_columns(
         .withColumn("host_bucket", host_bucket(F.col("host"), num_buckets))
     )
     return out
+
+
+# ---------------------------------------------------------------- IDN ---
+
+
+@pandas_udf(T.StringType())
+def _idna_encode(host: pd.Series) -> pd.Series:
+    """Vectorized IDNA ToASCII via Python's built-in 'idna' codec
+    (IDNA 2003 nameprep + punycode, RFC 3490/3492 — the frozen spec).
+    Unencodable hosts (empty/overlong labels, prohibited codepoints)
+    return None so callers drop them like any other invalid URL."""
+
+    def enc(x):
+        if x is None:
+            return None
+        try:
+            return x.encode("idna").decode("ascii").lower()
+        except (UnicodeError, UnicodeDecodeError):
+            return None
+
+    return host.map(enc)
+
+
+def idn_to_ascii(host: Column) -> Column:
+    """Internationalized hostname → punycode ASCII (lowercased).
+
+    Real frontiers carry IDN hosts (münchen.example) that must be
+    ASCII-normalized before hashing/bucketing or the same site splits
+    across two frontier identities. Gated like the C1 canonicalizer:
+    already-ASCII hosts (the overwhelming majority) stay on the native
+    lower() path and never cross to Python; only rows with a non-ASCII
+    byte pay the Arrow round trip.
+    """
+    is_ascii = host.rlike("^[\\x00-\\x7F]*$")
+    return F.when(is_ascii, F.lower(host)).otherwise(_idna_encode(host))

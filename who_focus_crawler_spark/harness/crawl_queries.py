@@ -3317,3 +3317,45 @@ FROM parsed WHERE field = 'sitemap'
 """
 
 QUERIES["c_robots_parse"] = (c_robots_parse, C_ROBOTS_PARSE_SQL)
+
+# --------------------------------------------------------------------------
+# IDN host normalization (functions/urls.py::idn_to_ascii): planted
+# internationalized hostnames across six scripts plus ASCII fast-path
+# classes; the oracle states the IDNA ToASCII ground truth by
+# construction (computed with the frozen codec spec at authoring time).
+
+_IDN_CASES = [
+    ("münchen.example", "xn--mnchen-3ya.example"),
+    ("BÜCHER.De", "xn--bcher-kva.de"),
+    ("中文.example", "xn--fiq228c.example"),
+    ("пример.испытание", "xn--e1afmkfd.xn--80akhbyknj4f"),
+    ("café.fr", "xn--caf-dma.fr"),
+    ("ёлка.рф", "xn--80atc1g.xn--p1ai"),
+    ("Plain.Example.org", "plain.example.org"),
+    ("h9.example.test", "h9.example.test"),
+]
+
+
+def c_idn_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.functions.urls import idn_to_ascii
+
+    d = t(spark, sf, "documents").select("doc_id")
+    k = (F.col("doc_id") % len(_IDN_CASES)).cast("int")
+    host = F.lit(_IDN_CASES[0][0])
+    for i in range(1, len(_IDN_CASES)):
+        host = F.when(k == i, F.lit(_IDN_CASES[i][0])).otherwise(host)
+    return d.select("doc_id", idn_to_ascii(host).alias("ascii_host"))
+
+
+_IDN_WHENS = "\n".join(
+    f"         WHEN {i} THEN '{a}'" for i, (_, a) in enumerate(_IDN_CASES)
+)
+C_IDN_HOSTS_SQL = f"""
+SELECT doc_id,
+       CASE doc_id % {len(_IDN_CASES)}
+{_IDN_WHENS}
+       END AS ascii_host
+FROM documents
+"""
+
+QUERIES["c_idn_hosts"] = (c_idn_hosts, C_IDN_HOSTS_SQL)
