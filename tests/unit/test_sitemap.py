@@ -66,3 +66,54 @@ def test_parse_pretty_printed_and_entity_escaped(spark):
         "http://a.test/b?x=1&y=2": 0.7,
         'http://a.test/"q"': 0.5,
     }
+
+
+def test_sitemap_index_one_level(spark):
+    """operators/sitemap.py::parse_sitemaps_with_index — index documents
+    resolve through their children under the parent host; plain urlsets
+    parse directly; missing children contribute nothing; entities in
+    child locs unescape."""
+    from who_focus_crawler_spark.operators.sitemap import (
+        parse_sitemaps_with_index,
+    )
+
+    idx_xml = (
+        "<sitemapindex>"
+        "<sitemap><loc> http://a.example/maps/part-0.xml </loc></sitemap>"
+        "<sitemap><loc>http://a.example/maps/part-1.xml?v=1&amp;w=2</loc></sitemap>"
+        "<sitemap><loc>http://a.example/maps/missing.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    plain_xml = (
+        "<urlset><url><loc>http://b.example/p/1</loc>"
+        "<priority>0.9</priority></url></urlset>"
+    )
+    tops = spark.createDataFrame(
+        [("a.example", idx_xml), ("b.example", plain_xml), ("c.example", None)],
+        "host string, sitemap_xml string",
+    )
+    children = spark.createDataFrame(
+        [
+            (
+                "http://a.example/maps/part-0.xml",
+                "<urlset><url><loc>http://a.example/p/10</loc></url>"
+                "<url><loc>http://a.example/p/11</loc>"
+                "<priority>0.2</priority></url></urlset>",
+            ),
+            (
+                "http://a.example/maps/part-1.xml?v=1&w=2",
+                "<urlset><url><loc>http://a.example/p/20</loc></url></urlset>",
+            ),
+        ],
+        "loc string, xml string",
+    )
+    got = sorted(
+        (r.host, r.loc, r.priority)
+        for r in parse_sitemaps_with_index(tops, children).collect()
+    )
+    assert got == [
+        ("a.example", "http://a.example/p/10", 0.5),
+        ("a.example", "http://a.example/p/11", 0.2),
+        ("a.example", "http://a.example/p/20", 0.5),
+        ("b.example", "http://b.example/p/1", 0.9),
+    ]

@@ -3359,3 +3359,89 @@ FROM documents
 """
 
 QUERIES["c_idn_hosts"] = (c_idn_hosts, C_IDN_HOSTS_SQL)
+
+# --------------------------------------------------------------------------
+# Sitemap INDEX resolution (operators/sitemap.py::parse_sitemaps_with_
+# index): even hosts publish a 2-child <sitemapindex> (plus one dangling
+# child that fetches nothing), odd hosts a plain <urlset>; either way
+# the resolved entry set is identical, so the oracle states it directly
+# from orders — the indirection must be value-invisible.
+
+
+def c_sitemap_index(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.operators.sitemap import (
+        parse_sitemaps_with_index,
+    )
+
+    o = t(spark, sf, "orders")
+    hid = (F.col("o_custkey") % 8).cast("int")
+    host = F.concat(F.lit("h"), hid.cast("string"), F.lit(".example.org"))
+    loc = F.concat(
+        F.lit("http://"), host, F.lit("/s/"), F.col("o_orderkey").cast("string")
+    )
+    prio_tag = F.when(
+        F.col("o_orderkey") % 4 != 0,
+        F.concat(
+            F.lit("<priority>"),
+            F.format_string(
+                "%.1f", ((F.col("o_orderkey") % 9) + 1).cast("double") / 10.0
+            ),
+            F.lit("</priority>"),
+        ),
+    ).otherwise(F.lit(""))
+    entry = F.concat(
+        F.lit("<url><loc>"), loc, F.lit("</loc>"), prio_tag, F.lit("</url>")
+    )
+    rows = o.select(
+        host.alias("host"),
+        hid.alias("hid"),
+        (F.col("o_orderkey") % 2).cast("int").alias("part"),
+        entry.alias("e"),
+    )
+    urlset = lambda col: F.concat(  # noqa: E731
+        F.lit("<urlset>"), F.array_join(F.array_sort(F.collect_list(col)), ""),
+        F.lit("</urlset>"),
+    )
+    plain_tops = (
+        rows.filter(F.col("hid") % 2 == 1)
+        .groupBy("host")
+        .agg(urlset("e").alias("sitemap_xml"))
+    )
+    index_tops = (
+        rows.filter(F.col("hid") % 2 == 0)
+        .select("host")
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit("<sitemapindex>"),
+                F.lit("<sitemap><loc>http://"), F.col("host"),
+                F.lit("/maps/part-0.xml</loc></sitemap>"),
+                F.lit("<sitemap><loc>http://"), F.col("host"),
+                F.lit("/maps/part-1.xml</loc></sitemap>"),
+                F.lit("<sitemap><loc>http://"), F.col("host"),
+                F.lit("/maps/missing.xml</loc></sitemap>"),
+                F.lit("</sitemapindex>"),
+            ).alias("sitemap_xml"),
+        )
+    )
+    children = (
+        rows.filter(F.col("hid") % 2 == 0)
+        .groupBy("host", "part")
+        .agg(urlset("e").alias("xml"))
+        .select(
+            F.concat(
+                F.lit("http://"), F.col("host"), F.lit("/maps/part-"),
+                F.col("part").cast("string"), F.lit(".xml"),
+            ).alias("loc"),
+            "xml",
+        )
+    )
+    return parse_sitemaps_with_index(
+        plain_tops.unionByName(index_tops), children
+    )
+
+
+C_SITEMAP_INDEX_SQL = C_SITEMAP_PARSE_SQL
+
+QUERIES["c_sitemap_index"] = (c_sitemap_index, C_SITEMAP_INDEX_SQL)

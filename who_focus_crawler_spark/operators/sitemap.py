@@ -103,3 +103,58 @@ def _xml_unescape(s: Column) -> Column:
     ):
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return out
+
+
+def is_sitemap_index(xml: Column) -> Column:
+    """TRUE iff the document is a sitemap INDEX (sitemaps.org: large
+    sites split their map into children listed under <sitemapindex>)."""
+    return xml.isNotNull() & xml.contains("<sitemapindex")
+
+
+def parse_sitemap_index(
+    sitemaps: DataFrame, xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """(host, sitemap_xml) → one row per child map: (host, child_loc).
+
+    Same native parse shape as `parse_sitemaps`: split on
+    ``<sitemap>…</sitemap>`` entries, extract + unescape ``<loc>``.
+    """
+    entries = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), F.lit(1)
+    )
+    exploded = (
+        sitemaps.filter(is_sitemap_index(F.col(xml_col)))
+        .select("host", F.explode(entries).alias("_entry"))
+    )
+    loc = _xml_unescape(
+        F.trim(F.regexp_extract("_entry", r"(?s)<loc>\s*([^<]*?)\s*</loc>", 1))
+    )
+    return exploded.select("host", loc.alias("child_loc")).filter(
+        F.col("child_loc") != ""
+    )
+
+
+def parse_sitemaps_with_index(
+    tops: DataFrame,
+    children: DataFrame,
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Resolve one level of sitemap-index indirection (the protocol
+    forbids indexes pointing at indexes): plain ``<urlset>`` documents
+    parse directly; index documents join their children by ``<loc>``
+    (the second fetch round's results, ``children``: (loc, xml)) and the
+    child documents parse under the PARENT's host. Output matches
+    `parse_sitemaps`: (host, loc, priority). Missing children simply
+    contribute no rows — same as an unfetchable map.
+    """
+    direct = parse_sitemaps(
+        tops.filter(~is_sitemap_index(F.col(xml_col))), xml_col
+    )
+    idx = parse_sitemap_index(tops, xml_col)
+    child_docs = idx.join(
+        children.select(
+            F.col("loc").alias("child_loc"), F.col("xml").alias("sitemap_xml")
+        ),
+        "child_loc",
+    ).select("host", "sitemap_xml")
+    return direct.unionByName(parse_sitemaps(child_docs))
