@@ -87,3 +87,31 @@ def test_sniff_mime_vectors(spark):
         for r in df.select("name", sniff_mime(F.col("raw")).alias("mime")).collect()
     }
     assert got == {n: want for n, _, want in MIME_CASES}
+
+
+def test_sniff_charset_with_header_precedence(spark):
+    """BOM > HTTP header > meta > utf-8 (WHATWG order)."""
+    from who_focus_crawler_spark.functions.encodings import (
+        sniff_charset_with_header,
+    )
+
+    cases = [
+        # (payload, content_type, want)
+        (b'\xef\xbb\xbf<meta charset="koi8-r">', "text/html; charset=latin-2",
+         "utf-8"),                                   # BOM beats a lying header
+        (b'<meta charset="koi8-r">', "text/html; charset=ISO-8859-1",
+         "iso-8859-1"),                              # header beats meta
+        (b'<meta charset="koi8-r">', "text/html", "koi8-r"),  # meta fallback
+        (b'<meta charset="koi8-r">', None, "koi8-r"),         # null header
+        (b"plain", 'application/json;charset="UTF-16le"', "utf-16le"),
+        (b"plain", "text/plain", "utf-8"),
+    ]
+    df = spark.createDataFrame(
+        [(bytearray(b), ct, w) for b, ct, w in cases],
+        "raw binary, ct string, want string",
+    )
+    rows = df.select(
+        "want", sniff_charset_with_header(F.col("raw"), F.col("ct")).alias("got")
+    ).collect()
+    for r in rows:
+        assert r.got == r.want, (r.got, r.want)

@@ -103,3 +103,37 @@ def sniff_mime(raw: Column) -> Column:
     for prefix, label in reversed(MAGIC):
         out = F.when(head.startswith(prefix), F.lit(label)).otherwise(out)
     return out
+
+
+def charset_from_content_type(header: Column) -> Column:
+    """charset parameter of an HTTP Content-Type header value
+    (lowercased; empty string when absent/NULL) — e.g.
+    'text/html; charset=ISO-8859-1' → 'iso-8859-1'."""
+    return F.lower(
+        F.regexp_extract(F.coalesce(header, F.lit("")), _META_RE, 1)
+    )
+
+
+def sniff_charset_with_header(
+    raw: Column, content_type: Column, head_bytes: int = 1024
+) -> Column:
+    """Full WHATWG precedence: a BOM is certain (it wins over
+    everything, even a lying header); otherwise the transport-layer
+    Content-Type charset; otherwise the in-document meta declaration;
+    otherwise utf-8. The header path reuses the same charset= grammar
+    as the meta scan."""
+    hexhead = F.hex(F.substring(raw, 1, 4))
+    hdr = charset_from_content_type(content_type)
+    meta = F.lower(
+        F.regexp_extract(
+            F.decode(F.substring(raw, 1, head_bytes), "ISO-8859-1"), _META_RE, 1
+        )
+    )
+    out = (
+        F.when(hdr != "", hdr)
+        .when(meta != "", meta)
+        .otherwise(F.lit("utf-8"))
+    )
+    for prefix, label in reversed(BOMS):
+        out = F.when(hexhead.startswith(prefix), F.lit(label)).otherwise(out)
+    return out

@@ -3445,3 +3445,49 @@ def c_sitemap_index(spark: SparkSession, sf: str) -> DataFrame:
 C_SITEMAP_INDEX_SQL = C_SITEMAP_PARSE_SQL
 
 QUERIES["c_sitemap_index"] = (c_sitemap_index, C_SITEMAP_INDEX_SQL)
+
+# --------------------------------------------------------------------------
+# Charset precedence with the transport header (functions/encodings.py::
+# sniff_charset_with_header): WHATWG order BOM > header > meta > utf-8,
+# planted per doc class incl. a BOM-beats-lying-header case; oracle by
+# construction.
+
+
+def c_charset_header(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.functions.encodings import (
+        sniff_charset_with_header,
+    )
+
+    d = t(spark, sf, "documents").select("doc_id")
+    k = (F.col("doc_id") % 5).cast("int")
+    payload = (
+        F.when(k == 0, F.concat(F.unhex(F.lit("EFBBBF")),
+                                F.encode(F.lit('<meta charset="koi8-r">'), "UTF-8")))
+        .when(k == 1, F.encode(F.lit('<meta charset="koi8-r">'), "UTF-8"))
+        .when(k == 2, F.encode(F.lit('<meta charset="koi8-r">'), "UTF-8"))
+        .otherwise(F.encode(F.lit("plain body"), "UTF-8"))
+    )
+    header = (
+        F.when(k == 0, F.lit("text/html; charset=latin-2"))
+        .when(k == 1, F.lit("text/html; charset=ISO-8859-1"))
+        .when(k == 3, F.lit('application/json;charset="UTF-16le"'))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return d.select(
+        "doc_id", sniff_charset_with_header(payload, header).alias("charset")
+    )
+
+
+C_CHARSET_HEADER_SQL = """
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'utf-8'        -- BOM beats the lying header
+         WHEN 1 THEN 'iso-8859-1'   -- header beats meta
+         WHEN 2 THEN 'koi8-r'       -- meta fallback (no header)
+         WHEN 3 THEN 'utf-16le'     -- quoted header param
+         ELSE 'utf-8'               -- nothing declared
+       END AS charset
+FROM documents
+"""
+
+QUERIES["c_charset_header"] = (c_charset_header, C_CHARSET_HEADER_SQL)
