@@ -98,3 +98,27 @@ def test_bpe_early_stop_and_determinism(spark):
         word_vocab(docs.repartition(7)), num_merges=10, min_count=2
     )
     assert again == merges
+
+
+def test_bpe_local_equals_distributed_rounds(spark):
+    """bpe_train (one collect + local incremental pair counts) must
+    produce the IDENTICAL merge list as the per-round distributed
+    formulation it replaced — on a corpus with ties, repeated chars
+    ("aaa" overlap counting) and early-stop tails."""
+    from who_focus_crawler_spark.corpus.bpe import bpe_train_rounds
+
+    rng_words = []
+    # deterministic pseudo-corpus with overlaps + ties
+    for i in range(40):
+        rng_words.append("ab" * (1 + i % 3))
+        rng_words.append("a" * (1 + i % 4))
+        rng_words.append(f"w{i % 7}xyz")
+    docs = spark.createDataFrame(
+        [("d0", " ".join(rng_words)), ("d1", "zz zz qqq aaa aaa bab")],
+        ["doc_id", "text"],
+    )
+    v = word_vocab(docs)
+    for k, mc in [(5, 2), (25, 2), (60, 3)]:
+        assert bpe_train(v, num_merges=k, min_count=mc) == bpe_train_rounds(
+            v, num_merges=k, min_count=mc
+        ), (k, mc)

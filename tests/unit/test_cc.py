@@ -129,3 +129,34 @@ def test_dedup_keep_best_quality_aware(spark):
         for r in dedup_keep_best(docs2, pairs, "quality", n_iters=4).collect()
     }
     assert out2[9] is True
+
+
+def test_dedup_keep_best_string_ids(spark):
+    """The crawl documents table's doc_id is a STRING (canon_url); the
+    election must not do arithmetic on the id (a -id encoding raises
+    CAST_INVALID_INPUT under ANSI). Ties still break to the LOWEST id
+    in string order."""
+    from who_focus_crawler_spark.corpus.clusters import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            ("http://a/1", 100),
+            ("http://a/2", 900),
+            ("http://b/3", 900),
+            ("http://c/9", 10),
+        ],
+        "doc_id string, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [("http://a/1", "http://a/2"), ("http://a/2", "http://b/3")],
+        "doc_a string, doc_b string",
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in dedup_keep_best(docs, pairs, "quality", n_iters=4).collect()
+    }
+    # tie at 900 between a/2 and b/3 -> lexicographically lower id wins
+    assert out["http://a/2"] == ("http://a/1", True)
+    assert out["http://b/3"] == ("http://a/1", False)
+    assert out["http://a/1"] == ("http://a/1", False)
+    assert out["http://c/9"] == ("http://c/9", True)  # unpaired keeps itself

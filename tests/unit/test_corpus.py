@@ -673,8 +673,8 @@ def test_decode_media_arrow_matches_pandas_path(spark):
 
     from who_focus_crawler_spark.corpus.multimodal import (
         attach_media,
-        decode_media,
         decode_media_arrow,
+        decode_media_pandas,
     )
 
     docs = spark.read.parquet(
@@ -687,7 +687,7 @@ def test_decode_media_arrow_matches_pandas_path(spark):
     )
     p = sorted(
         (r.media_id, r.frame_idx, tuple(r.feature))
-        for r in decode_media(media, fake=True).collect()
+        for r in decode_media_pandas(media, fake=True).collect()
     )
     assert a == p and len(a) == 180  # 60 items x 3 frames
     with pytest.raises(NotImplementedError):

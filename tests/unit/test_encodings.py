@@ -68,6 +68,9 @@ MIME_CASES = [
     # RIFF that is NOT webp (WAV) is outside claimed coverage -> fallback
     ("wav", b"RIFF\x10\x00\x00\x00WAVEfmt ", "application/octet-stream"),
     ("mp4", b"\x00\x00\x00\x18ftypisom\x00", "video/mp4"),
+    # MP4 whose leading box size collides with an MPEG-PS start code:
+    # the offset ftyp signature must win over the prefix rule
+    ("mp4-mpeg-collision", b"\x00\x00\x01\xbaftypisom", "video/mp4"),
     ("html-doctype", b"  <!DOCTYPE html><html>", "text/html"),
     ("html-tag", b"<HTML lang=en>", "text/html"),
     ("html-fragment", b"<div>not a document</div>", "application/octet-stream"),

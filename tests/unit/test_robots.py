@@ -154,3 +154,19 @@ def test_crawl_delay_budget_expression(spark):
     # window off: everyone gets k
     out0 = apply_politeness(df, 3)
     assert out0.filter("admitted").count() == 4 * 3
+
+
+def test_json_quote_strips_control_chars(spark):
+    """operators/robots.py::_json_quote — a rule pattern carrying a
+    control char (tab, stray \\r) must still render VALID JSON for the
+    rules_json cache; control chars are dropped."""
+    from who_focus_crawler_spark.operators.robots import _json_quote
+
+    df = spark.createDataFrame(
+        [("/a\tb",), ("/c\r",), ('/q"\\d',)], "v string"
+    )
+    for r in df.select(_json_quote(F.col("v")).alias("j"), "v").collect():
+        parsed = json.loads(r.j)
+        assert parsed == "".join(
+            ch for ch in r.v if ord(ch) >= 0x20
+        )

@@ -147,3 +147,27 @@ def test_fixture_roundtrip_text_to_rules(spark):
     for h in got:
         got[h]["rules"] = [x for _, x in sorted(got[h]["rules"])]
     assert got == expected
+
+
+def test_crlf_and_cr_line_endings(spark):
+    """RFC 9309 §2.1: lines may end in CR, LF, or CRLF. Real-world
+    robots.txt is commonly CRLF; a \\n-only split leaves a trailing
+    \\r on every value, which silently parses to allow-all."""
+    crlf = BASIC.replace("\n", "\r\n")
+    got = _parse(spark, [("hc", crlf)])["hc"]
+    assert ("rule", False, "/private/") in got
+    assert ("rule", True, "/private/p/0") in got
+    assert ("crawl_delay", None, "3") in got
+    assert ("sitemap", None, "http://h0.example.test/sitemap.xml") in got
+    assert len(got) == 4
+    # bare-CR endings (old-Mac style, still RFC-legal)
+    cr = BASIC.replace("\n", "\r")
+    assert _parse(spark, [("hr", cr)])["hr"] == got
+
+
+def test_tab_whitespace_around_field_and_value(spark):
+    """RFC 9309 WS is spaces AND tabs; F.trim strips only spaces."""
+    txt = "User-agent:\t*\nDisallow:\t/tabbed/\t\nCrawl-delay:\t2\n"
+    got = _parse(spark, [("ht", txt)])["ht"]
+    assert ("rule", False, "/tabbed/") in got
+    assert ("crawl_delay", None, "2") in got

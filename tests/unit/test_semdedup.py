@@ -92,3 +92,36 @@ def test_partitioning_invariance(spark):
     )
     assert a == b
     assert any(not r[3] for r in a)  # scenario is non-vacuous: drops exist
+
+
+def test_multiprobe_finds_boundary_pairs(spark):
+    """semdedup_pairs_multiprobe — a near-dup pair straddling the
+    cluster boundary (each side nearest a DIFFERENT centroid) is
+    invisible to single-probe but found with n_probe=2; within-cluster
+    pairs are unchanged and not duplicated."""
+    from who_focus_crawler_spark.corpus.semdedup import (
+        semdedup_pairs_multiprobe,
+    )
+
+    rows = [
+        # boundary near-dups: 1 tips toward centroid 0, 2 toward 1
+        (1, [1.0, 0.999, 0.0, 0.0]),
+        (2, [0.999, 1.0, 0.0, 0.0]),
+        # plain within-cluster dup pair near centroid 0
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (4, [1.0, 0.01, 0.0, 0.0]),
+    ]
+    single = {
+        (r.vec_a, r.vec_b)
+        for r in semdedup_pairs(
+            emb_df(spark, rows), CENTROIDS, threshold=0.99
+        ).collect()
+    }
+    multi_rows = semdedup_pairs_multiprobe(
+        emb_df(spark, rows), CENTROIDS, threshold=0.99, n_probe=2
+    ).collect()
+    multi = {(r.vec_a, r.vec_b) for r in multi_rows}
+    assert (1, 2) not in single and (3, 4) in single
+    assert (1, 2) in multi and multi >= single
+    # DISTINCT pairs even when both probed clusters are shared
+    assert len(multi_rows) == len(multi)

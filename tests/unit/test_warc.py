@@ -128,6 +128,15 @@ def test_surt_key_vectors(spark):
             "wwwish.example", "example,wwwish"
         )),  # 'wwwish' is NOT a www label
         ("http://h0.example.test/private/p/7", "test,example,h0)/private/p/7"),
+        # embedded absolute URL in the query must NOT hijack the key
+        (
+            "http://www.example.org/r?u=http://other.com/x",
+            "org,example)/r?u=http://other.com/x",
+        ),
+        (
+            "https://a.test/out?next=https://b.test/y&z=1",
+            "test,a)/out?next=https://b.test/y&z=1",
+        ),
     ]
     df = spark.createDataFrame(cases, "uri string, want string")
     for r in df.select("want", surt_key(F.col("uri")).alias("got")).collect():

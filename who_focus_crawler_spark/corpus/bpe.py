@@ -11,10 +11,15 @@ Translation of Rare Words with Subword Units"), shaped for Spark:
   only the vocab rows that contain the pair. At 100 TB the corpus scan
   happens once; the k-round loop runs over a table that fits in a few
   partitions.
-- **The merge argmax is one tiny collect per round** (a 1-row driver
-  action over a partial+final agg), the standard iterative-algorithm
-  shape here (cf. IVF k-means, hostrank). Vocab is localCheckpoint'd
-  per round to cut lineage.
+- **The merge loop is DRIVER-LOCAL over the collected vocab** (the
+  subword-nmt / HuggingFace-trainer shape): after the one corpus
+  collapse, the (word, n) table is by construction the small side —
+  distinct words, not corpus rows — so `bpe_train` collects it once
+  and runs the classic incremental pair-count algorithm (argmax +
+  touch-only-affected-words updates) entirely in memory. A 30k-merge
+  vocabulary is 30k dict updates, not 30k sequential Spark jobs. The
+  earlier one-job-per-round formulation is kept as
+  `bpe_train_rounds` purely as an equivalence cross-check.
 - **Apply is vocab-side Python, corpus-side join.** Segmenting applies
   the merge list per DISTINCT word (pandas UDF over the vocab), then a
   broadcast join maps corpus tokens to their segmentation — the corpus
@@ -71,9 +76,75 @@ def bpe_train(
 ) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` merges from a (word, n) vocab table.
 
-    Deterministic: ties on pair count break on the pair itself. Stops
-    early when no pair reaches ``min_count``. Returns the ordered merge
-    list (the tokenizer model).
+    ONE Spark job total: the vocab (distinct words — by construction
+    orders of magnitude smaller than the corpus, and the thing every
+    in-memory BPE trainer holds anyway) is collected to the driver,
+    then the merge loop runs locally with incremental pair-count
+    maintenance: a pair→words index finds the rows a merge touches,
+    and only their pair counts are diffed. Per merge that is
+    O(words containing the pair), not O(|vocab|) and not a Spark job —
+    a 30k-merge vocabulary trains in one scan + one collect.
+
+    Deterministic: ties on pair count break on the pair itself
+    (count desc, then (a, b) asc — UTF-8 order, identical to Spark's
+    string sort). Stops early when no pair reaches ``min_count``.
+    Returns the ordered merge list (the tokenizer model). Equivalence
+    with the distributed per-round formulation (``bpe_train_rounds``)
+    is pinned in tests/unit/test_bpe.py.
+    """
+    rows = vocab.select("word", "n").collect()
+    words: list[list] = [[list(r["word"]), int(r["n"])] for r in rows]
+
+    from collections import defaultdict
+
+    def _pairs_in(syms: list[str]) -> dict:
+        d: dict = defaultdict(int)
+        for i in range(len(syms) - 1):
+            d[(syms[i], syms[i + 1])] += 1
+        return d
+
+    pair_counts: dict = defaultdict(int)
+    holders: dict = defaultdict(set)  # pair -> word ids containing it
+    for wid, (syms, n) in enumerate(words):
+        for p, c in _pairs_in(syms).items():
+            pair_counts[p] += c * n
+            holders[p].add(wid)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        pair, cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append(pair)
+        for wid in list(holders.get(pair, ())):
+            syms, n = words[wid]
+            old = _pairs_in(syms)
+            new_syms = _merge_word(syms, pair)
+            new = _pairs_in(new_syms)
+            for p in old.keys() | new.keys():
+                delta = new.get(p, 0) - old.get(p, 0)
+                if delta:
+                    pair_counts[p] += delta * n
+                    if pair_counts[p] <= 0:
+                        del pair_counts[p]
+                if p in old and p not in new:
+                    holders[p].discard(wid)
+                elif p in new:
+                    holders[p].add(wid)
+            words[wid][0] = new_syms
+        holders.pop(pair, None)
+        pair_counts.pop(pair, None)
+    return merges
+
+
+def bpe_train_rounds(
+    vocab: DataFrame, num_merges: int, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Distributed per-round formulation (one Spark job + 1-row collect
+    per merge): kept as the equivalence cross-check for ``bpe_train``
+    and for the hypothetical vocab-exceeds-driver-memory regime.
     """
     spark = vocab.sparkSession
     symed = vocab.select(

@@ -230,9 +230,12 @@ def dedup_keep_best(
     Production pipelines prefer this form: duplicates of one source
     differ in extraction quality (truncated bodies, boilerplate-heavy
     mirrors, stale captures), and keeping the min id throws that signal
-    away. The election is a partial+final max-struct agg per cluster —
-    (score, -id) packed so the tie-break is deterministic — joined back;
-    no window, no all-pairs. Docs in no pair keep themselves.
+    away. The election is a partial+final min-struct agg per cluster —
+    (-score, id) packed so the tie-break is deterministic — joined back;
+    no window, no all-pairs. Docs in no pair keep themselves. The score
+    must be numeric (it is negated); the id may be ANY orderable type —
+    in particular the crawl documents table's string doc_id (canon_url),
+    which an ``-id`` encoding would reject under ANSI casting.
 
     Output: docs' columns + cluster_id + keep.
     """
@@ -244,12 +247,12 @@ def dedup_keep_best(
         F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
     )
     best = members.groupBy("cluster_id").agg(
-        F.max(
+        F.min(
             F.struct(
-                F.col(score_col).alias("s"), (-F.col(id_col)).alias("ni")
+                (-F.col(score_col)).alias("ns"), F.col(id_col).alias("i")
             )
         ).alias("_b")
-    ).select("cluster_id", (-F.col("_b.ni")).alias("_winner"))
+    ).select("cluster_id", F.col("_b.i").alias("_winner"))
     return members.join(best, "cluster_id").select(
         *docs.columns,
         "cluster_id",

@@ -83,9 +83,22 @@ def _fake_decode(payload: bytes, n_frames: int) -> list[list[float]]:
 def decode_media(media: DataFrame, frames_per_item: int = 3, fake: bool = False) -> DataFrame:
     """Decode/feature-extract/frame-sample → one row per sampled frame.
 
+    PRIMARY path = mapInArrow (decode_media_arrow): a future real-codec
+    drop-in lands on the RecordBatch path, where binary payloads cross
+    as Arrow buffers instead of being materialized twice as Python
+    objects by the pandas conversion. ``decode_media_pandas`` is kept as
+    the mapInPandas twin purely so the row-equality test pins both forms.
+
     Real decoding is NOT implemented in this container (no codec libs);
     pass fake=True to run the deterministic stand-in through the identical
     Spark plumbing."""
+    return decode_media_arrow(media, frames_per_item=frames_per_item, fake=fake)
+
+
+def decode_media_pandas(
+    media: DataFrame, frames_per_item: int = 3, fake: bool = False
+) -> DataFrame:
+    """mapInPandas twin of decode_media — see decode_media's docstring."""
     if not fake:
         raise NotImplementedError(
             "media codecs are not available in this environment; "
@@ -106,11 +119,12 @@ def decode_media(media: DataFrame, frames_per_item: int = 3, fake: bool = False)
 def decode_media_arrow(
     media: DataFrame, frames_per_item: int = 3, fake: bool = False
 ) -> DataFrame:
-    """mapInArrow twin of decode_media: identical rows, but the batch
-    crosses as pyarrow RecordBatches with NO pandas conversion — for
-    binary media payloads that conversion materializes every blob as a
-    Python object twice per batch, so at media scale the Arrow form is
-    the right vectorized path (tests pin row equality with the pandas
+    """The RecordBatch decode path (primary — decode_media delegates
+    here): identical rows to decode_media_pandas, but the batch crosses
+    as pyarrow RecordBatches with NO pandas conversion — for binary
+    media payloads that conversion materializes every blob as a Python
+    object twice per batch, so at media scale the Arrow form is the
+    right vectorized path (tests pin row equality with the pandas
     form)."""
     if not fake:
         raise NotImplementedError(

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from who_focus_crawler_spark.corpus.clusters import near_dup_clusters
 from who_focus_crawler_spark.corpus.similarity import (
     ivf_assign,
+    ivf_assign_topn,
     within_cluster_pairs,
 )
 
@@ -63,6 +64,39 @@ def semdedup_pairs(
         embeddings, centroids, id_col=id_col, vec_col=vec_col,
         assigned=assigned,
     ).filter(F.col("cosine_sim") >= threshold)
+
+
+def semdedup_pairs_multiprobe(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe pair generation: each vector probes its ``n_probe``
+    nearest centroids, so a duplicate pair STRADDLING a cluster boundary
+    — invisible to single-probe SemDeDup, the paper's accepted blind
+    spot — meets in at least one shared probed cluster whenever the two
+    top-2 sets intersect. Cost factor ≈ n_probe² on the pair join
+    (still n²/k-bounded, never all-pairs); keep/labeling semantics are
+    the caller's, unchanged.
+
+    Output: (vec_a, vec_b, cluster, cosine_sim) with vec_a < vec_b,
+    DISTINCT pairs (a pair sharing both probed clusters would otherwise
+    appear twice; cluster = the min shared cluster id).
+    """
+    asg = ivf_assign_topn(
+        embeddings, centroids, n_probe=n_probe, id_col=id_col,
+        vec_col=vec_col,
+    )
+    pairs = within_cluster_pairs(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col, assigned=asg
+    ).filter(F.col("cosine_sim") >= threshold)
+    return pairs.groupBy("vec_a", "vec_b").agg(
+        F.min("cluster").alias("cluster"),
+        F.min("cosine_sim").alias("cosine_sim"),  # identical per pair
+    ).select("vec_a", "vec_b", "cluster", "cosine_sim")
 
 
 def semdedup(

@@ -264,6 +264,41 @@ def ivf_assign(
     return embeddings.withColumn("cluster", best["c"])
 
 
+def ivf_assign_topn(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe assignment: one row per (vector, probed cluster) for
+    the ``n_probe`` NEAREST centroids (ties break on the lower cluster
+    id, same rule as :func:`ivf_assign` — probe 1 is exactly the
+    single-probe assignment).
+
+    Used for pair GENERATION in SemDeDup multi-probe mode: a near-dup
+    pair straddling a cluster boundary is invisible to single-probe
+    (each side lands in its own cluster); probing the top-2 centroids
+    makes boundary pairs meet in at least one shared cluster at ~2×
+    the pair-join cost — still n²·(n_probe²/k), never all-pairs.
+    Same plan shape as ivf_assign: the k×dim distance tree is plan
+    literals; the explode adds n_probe−1 rows per vector.
+    """
+    packed = F.array(
+        *[
+            F.struct(
+                F.round(_dist2_to(F.col(vec_col), c), 9).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.array_sort(packed), 1, n_probe)
+    return embeddings.withColumn(
+        "cluster", F.explode(F.transform(top, lambda s: s["c"]))
+    )
+
+
 def quantize_vec(vec: Column, qscale: int = 10**6) -> Column:
     """Integer-quantize a float vector: floor(x · qscale) per component.
 

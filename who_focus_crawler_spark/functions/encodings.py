@@ -91,7 +91,12 @@ def sniff_mime(raw: Column) -> Column:
     out = F.lit("application/octet-stream")
     html = F.decode(F.substring(raw, 1, 256), "ISO-8859-1")
     out = F.when(html.rlike(_HTML_RE), F.lit("text/html")).otherwise(out)
-    # offset signatures first so prefix rules can't shadow them
+    for prefix, label in reversed(MAGIC):
+        out = F.when(head.startswith(prefix), F.lit(label)).otherwise(out)
+    # offset signatures wrap LAST so they are the OUTERMOST whens — i.e.
+    # evaluated first — and a MAGIC prefix can't shadow them (an MP4
+    # whose leading box size bytes collide with an MPEG start code must
+    # still type as video/mp4).
     out = F.when(
         head.startswith("52494646")
         & (F.hex(F.substring(raw, 9, 4)) == "57454250"),
@@ -100,8 +105,6 @@ def sniff_mime(raw: Column) -> Column:
     out = F.when(
         F.hex(F.substring(raw, 5, 4)) == "66747970", F.lit("video/mp4")
     ).otherwise(out)
-    for prefix, label in reversed(MAGIC):
-        out = F.when(head.startswith(prefix), F.lit(label)).otherwise(out)
     return out
 
 

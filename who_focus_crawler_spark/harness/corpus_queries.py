@@ -1214,6 +1214,85 @@ FROM asg LEFT JOIN {prev} lab ON asg.vec_id = lab.node
 QUERIES["d_semdedup"] = (d_semdedup, _semdedup_sql())
 
 
+def d_semdedup_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """The pairs single-probe SemDeDup MISSES: each vector probes its
+    top-2 centroids for pair generation (corpus/semdedup.py::
+    semdedup_pairs_multiprobe), and the single-probe pair set is
+    anti-joined away — what remains are the boundary-straddling
+    duplicates the paper's n²/k trade hides. Non-vacuous by
+    construction on the synthetic embeddings (boundary vectors are
+    common in random data); cost factor ≈ 4× the single-probe join,
+    still cluster-bounded."""
+    from who_focus_crawler_spark.corpus.semdedup import (
+        semdedup_pairs,
+        semdedup_pairs_multiprobe,
+    )
+
+    emb = t(spark, sf, "embeddings")
+    cents = _sd_centroids()
+    p2 = semdedup_pairs_multiprobe(
+        emb, cents, threshold=_SD_TAU, n_probe=2
+    )
+    p1 = semdedup_pairs(emb, cents, threshold=_SD_TAU)
+    return p2.join(
+        p1.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_anti"
+    ).select("vec_a", "vec_b", "cosine_sim")
+
+
+def _semdedup_multiprobe_sql() -> str:
+    cos = (
+        "list_aggregate(list_transform(a.embedding,"
+        " (x, i) -> x::DOUBLE * b.embedding[i]::DOUBLE), 'sum')"
+        " / greatest("
+        "sqrt(list_aggregate(list_transform(a.embedding,"
+        " x -> x::DOUBLE * x::DOUBLE), 'sum')) *"
+        " sqrt(list_aggregate(list_transform(b.embedding,"
+        " x -> x::DOUBLE * x::DOUBLE), 'sum')), 1e-12)"
+    )
+    return f"""
+WITH cents AS (
+  SELECT c, list_transform(generate_series(0, {_SD_DIM - 1}), t ->
+    (CAST(concat('0x', substring(md5('semdedup|0|' || c || '|' || t),
+          1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0) AS w
+  FROM generate_series(0, {_SD_K - 1}) g(c)
+), dist AS (
+  SELECT e.vec_id, e.embedding, c.c,
+    round(list_aggregate(list_transform(generate_series(1, {_SD_DIM}), i ->
+      (CAST(e.embedding[i] AS DOUBLE) - c.w[i])
+      * (CAST(e.embedding[i] AS DOUBLE) - c.w[i])), 'sum'), 9) AS d
+  FROM embeddings e, cents c
+), asg2 AS MATERIALIZED (
+  SELECT vec_id, embedding, c AS cluster, rn FROM (
+    SELECT vec_id, embedding, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM dist
+  ) WHERE rn <= 2
+), pairs2 AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({cos}, 6) AS cosine_sim
+  FROM asg2 a JOIN asg2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round({cos}, 6) >= {_SD_TAU}
+), pairs1 AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM asg2 a JOIN asg2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           AND a.rn = 1 AND b.rn = 1
+  WHERE round({cos}, 6) >= {_SD_TAU}
+)
+SELECT p2.vec_a, p2.vec_b, p2.cosine_sim
+FROM pairs2 p2
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs1 p1
+  WHERE p1.vec_a = p2.vec_a AND p1.vec_b = p2.vec_b
+)
+"""
+
+
+QUERIES["d_semdedup_multiprobe"] = (
+    d_semdedup_multiprobe,
+    _semdedup_multiprobe_sql(),
+)
+
+
 # --------------------------------------------------------------------------
 # Sliding-window chunking (corpus/chunks.py::sliding_windows — the
 # retrieval/RAG splitter): fixed-size overlapping token windows, pure

@@ -318,12 +318,31 @@ FROM events GROUP BY event_type
 
 
 def r_agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """approx_count_distinct (HLL) — approximate by design ⇒ rows-only
-    oracle (no SQL entry); sanity is the single-row shape."""
-    return t(spark, sf, "events").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+    """approx_count_distinct (HLL, default rsd 5%) — approximate by
+    design, made VALUE-EXACT by checking the estimate against its error
+    bound: the query returns the exact count plus a boolean
+    |approx − exact| / exact ≤ ε (ε = 0.15 = 3× the default rsd); the
+    DuckDB twin computes the same exact count and asserts TRUE, so an
+    out-of-bound sketch surfaces as a value mismatch instead of an
+    unchecked rows-only row."""
+    eps = 0.15
+    agg = t(spark, sf, "events").agg(
+        F.approx_count_distinct("user_id").alias("_approx"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+    return agg.select(
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.lit(eps) * F.col("exact_users")
+        ).alias("within_eps"),
+    )
+
+
+R_AGG_APPROX_DISTINCT_SQL = """
+SELECT count(DISTINCT user_id) AS exact_users, TRUE AS within_eps
+FROM events
+"""
 
 
 # --------------------------------------------------------------------------
@@ -618,7 +637,7 @@ QUERIES = {
     "r_join_asof": (r_join_asof, R_JOIN_ASOF_SQL),
     "r_agg_q1": (r_agg_q1, R_AGG_Q1_SQL),
     "r_agg_distinct": (r_agg_distinct, R_AGG_DISTINCT_SQL),
-    "r_agg_approx_distinct": (r_agg_approx_distinct, None),
+    "r_agg_approx_distinct": (r_agg_approx_distinct, R_AGG_APPROX_DISTINCT_SQL),
     "r_agg_rollup": (r_agg_rollup, R_AGG_ROLLUP_SQL),
     "r_agg_stats": (r_agg_stats, R_AGG_STATS_SQL),
     "r_win_topk": (r_win_topk, R_WIN_TOPK_SQL),
@@ -668,11 +687,14 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 # --------------------------------------------------------------------------
-# R19 — sketch aggregates (HLL / count-min are approximate by design ⇒
-# rows-only oracle; the exact column sanity-checks the estimates)
+# R19 — sketch aggregates (HLL / count-min are approximate by design;
+# value-checked via an error-bound boolean, same trick as R17's
+# approx_count_distinct: Spark computes |approx − exact|/exact ≤ ε,
+# the twin asserts TRUE)
 
 
 def r_agg_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    eps = 0.05  # default lgConfigK=12 ⇒ rsd ≈ 1.6%; ε = 3× that
     ev = t(spark, sf, "events")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sketch"),
@@ -680,9 +702,21 @@ def r_agg_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
     return per_type.select(
         "event_type",
-        F.hll_sketch_estimate("sketch").alias("approx_users"),
         "exact_users",
+        (
+            F.abs(
+                F.hll_sketch_estimate("sketch") - F.col("exact_users")
+            )
+            <= F.lit(eps) * F.col("exact_users")
+        ).alias("within_eps"),
     )
+
+
+R_AGG_SKETCH_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_eps
+FROM events GROUP BY event_type
+"""
 
 
 # --------------------------------------------------------------------------
@@ -807,7 +841,7 @@ QUERIES.update(
     {
         "r_join_cross": (r_join_cross, R_JOIN_CROSS_SQL),
         "r_agg_cube": (r_agg_cube, R_AGG_CUBE_SQL),
-        "r_agg_sketch": (r_agg_sketch, None),
+        "r_agg_sketch": (r_agg_sketch, R_AGG_SKETCH_SQL),
         "r_udaf_grouped": (r_udaf_grouped, R_UDAF_GROUPED_SQL),
         "r_sort_within": (r_sort_within, R_SORT_WITHIN_SQL),
         "r_set_intersect": (r_set_intersect, R_SET_INTERSECT_SQL),

@@ -28,9 +28,13 @@ from who_focus_crawler_spark.sources.fixture_web import WebConfig
 
 
 def _json_quote(v):
-    """JSON string literal of a column value (escapes backslash + quote —
-    sufficient for URL path patterns, which carry no control chars)."""
+    """JSON string literal of a column value. Escapes backslash + quote
+    and DROPS C0 control chars: a rule pattern that smuggles one in
+    (a stray tab, or a \\r from malformed input) must not render the
+    whole rules_json cache entry unparseable — control chars are never
+    meaningful in URL path patterns anyway."""
     esc = F.regexp_replace(F.regexp_replace(v, r"\\", r"\\\\"), '"', '\\\\"')
+    esc = F.regexp_replace(esc, r"[\x00-\x1f]", "")
     return F.concat(F.lit('"'), esc, F.lit('"'))
 
 

@@ -38,6 +38,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ws_strip(col):
+    """Strip RFC 9309 WS (spaces + tabs) from both ends; F.trim only
+    strips U+0020, which would leak tabs (and formerly the trailing
+    \\r of CRLF input) into field names and rule patterns."""
+    return F.regexp_replace(col, r"^[ \t]+|[ \t]+$", "")
+
+
 def parse_robots_txt(
     robots: DataFrame,
     agent: str = "wfc-bot",
@@ -48,20 +55,26 @@ def parse_robots_txt(
     token = agent.lower()
     lines = robots.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
+        # RFC 9309 §2.1: lines end in CR, LF, or CRLF — split on all three
+        # (CRLF first so it doesn't produce an empty phantom line per pair).
+        F.posexplode(F.split(F.col(text_col), "\r\n|\r|\n")).alias(
+            "line_no", "raw"
+        ),
     )
     clean = lines.select(
         "host",
         "line_no",
-        F.trim(F.substring_index(F.col("raw"), "#", 1)).alias("ln"),
+        _ws_strip(F.substring_index(F.col("raw"), "#", 1)).alias("ln"),
     ).filter(F.col("ln") != "")
     parsed = clean.select(
         "host",
         "line_no",
-        F.lower(F.trim(F.substring_index(F.col("ln"), ":", 1))).alias("field"),
+        F.lower(_ws_strip(F.substring_index(F.col("ln"), ":", 1))).alias(
+            "field"
+        ),
         F.when(
             F.instr("ln", ":") > 0,
-            F.trim(
+            _ws_strip(
                 F.col("ln").substr(F.instr("ln", ":") + 1, F.lit(100_000))
             ),
         ).alias("value"),

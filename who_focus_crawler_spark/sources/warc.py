@@ -239,7 +239,11 @@ def surt_key(uri: Column) -> Column:
     All native string/array expressions.
     """
     low = F.lower(uri)
-    rest = F.substring_index(low, "://", -1)
+    # Strip only a LEADING scheme. substring_index(low, '://', -1) takes
+    # everything after the LAST '://', so a URI with an embedded absolute
+    # URL in its query (redirect/outlink params, ubiquitous in CDX
+    # workloads) would key under the embedded host.
+    rest = F.regexp_replace(low, r"^[a-z][a-z0-9+.-]*://", "")
     hostport = F.substring_index(rest, "/", 1)
     host = F.regexp_replace(
         F.substring_index(hostport, ":", 1), r"^www\d*\.", ""
