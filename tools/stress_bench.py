@@ -1,0 +1,169 @@
+"""Frontier stress run at ≥10^8 URLs with forced shuffle spill
+(VERDICT r2 item 1: the 10^10 north-metric claim rested on an
+extrapolation from 6×10^7; this measures a disk-backed 10^8-row run).
+
+Unlike bench.py (in-memory persisted frontier, best-of-k), the stress
+frontier is MATERIALIZED TO PARQUET first — the honest stand-in for the
+at-rest frontier table — and the pipeline JVM gets a capped heap
+(WFC_DRIVER_MEM, default 16g) so the C4/C6/C9 shuffles of ~10 GB of URL
+strings MUST spill; spill bytes are read from the Spark REST API and
+recorded alongside throughput. The same run is repeated at local[N] and
+local[4N] for the north rule's two-cluster-size scaling criterion.
+
+    python tools/stress_bench.py [--urls 1e8] [--n 2] \
+        [--sf /root/testdata/sf0.1] [--data /tmp/wfc_stress] [--keep]
+
+Writes STRESS.json in the repo root. The generated parquet (~2-4 GB) is
+deleted afterwards unless --keep.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _gen(n_urls: int, sf_dir: str, data: str) -> dict:
+    from bench import synth_frontier
+    from pyspark.sql import functions as F  # noqa: F401
+    from who_focus_crawler_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="wfc-stress-gen", master="local[32]", shuffle_partitions=128
+    )
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    expand = math.ceil(n_urls / orders.count())
+    frontier = synth_frontier(spark, sf_dir, expand)
+    frontier.write.mode("overwrite").parquet(data)
+    n = spark.read.parquet(data).count()
+    size = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(data)
+        for f in fs
+    )
+    return {"frontier_urls": n, "expand": expand, "parquet_bytes": size}
+
+
+def _run(cpus: int, data: str) -> dict:
+    import urllib.request
+
+    from bench import run_frontier_pipeline
+    from who_focus_crawler_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"wfc-stress-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=128,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    frontier = spark.read.parquet(data)
+    run_frontier_pipeline(spark, frontier.limit(2000))  # warm Python workers
+    t0 = time.time()
+    n_admitted = run_frontier_pipeline(spark, frontier)
+    wall = time.time() - t0
+    n_urls = frontier.count()
+    spill_mem = spill_disk = shuffle_write = 0
+    try:
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"http://localhost:4040/api/v1/applications/{app}/stages"
+        ) as r:
+            for st in json.loads(r.read()):
+                spill_mem += st.get("memoryBytesSpilled", 0)
+                spill_disk += st.get("diskBytesSpilled", 0)
+                shuffle_write += st.get("shuffleWriteBytes", 0)
+    except Exception as e:  # UI port may differ; metrics are best-effort
+        spill_mem = spill_disk = shuffle_write = -1
+        print(f"spill metrics unavailable: {e}", file=sys.stderr)
+    return {
+        "cpus": cpus,
+        "frontier_urls": n_urls,
+        "admitted": n_admitted,
+        "wall_sec": round(wall, 3),
+        "urls_per_sec": round(n_urls / wall, 1),
+        "memory_bytes_spilled": spill_mem,
+        "disk_bytes_spilled": spill_disk,
+        "shuffle_write_bytes": shuffle_write,
+        "driver_mem": os.environ.get("WFC_DRIVER_MEM", "16g"),
+    }
+
+
+def _sub(mode: str, *args: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), mode, *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    if out.returncode != 0:
+        print(out.stdout[-4000:], file=sys.stderr)
+        print(out.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(f"{mode} failed rc={out.returncode}")
+    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(last)
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] in ("_gen", "_run"):
+        if sys.argv[1] == "_gen":
+            res = _gen(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        else:
+            res = _run(int(sys.argv[2]), sys.argv[3])
+        print(json.dumps(res))
+        return
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--urls", type=float, default=1e8)
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--data", default="/tmp/wfc_stress_frontier")
+    ap.add_argument("--keep", action="store_true")
+    a = ap.parse_args()
+
+    gen = _sub("_gen", str(int(a.urls)), a.sf, a.data)
+    print("generated:", json.dumps(gen))
+    try:
+        r4n = _sub("_run", str(4 * a.n), a.data)
+        print(f"local[{4 * a.n}]:", json.dumps(r4n))
+        rn = _sub("_run", str(a.n), a.data)
+        print(f"local[{a.n}]:", json.dumps(rn))
+    finally:
+        if not a.keep:
+            shutil.rmtree(a.data, ignore_errors=True)
+    eff = (r4n["urls_per_sec"] / rn["urls_per_sec"]) / 4.0
+    result = {
+        "input": gen | {"sf_dir": a.sf, "source": "disk parquet"},
+        "N_cores": a.n,
+        "throughput_N": rn["urls_per_sec"],
+        "wall_N_sec": rn["wall_sec"],
+        "spill_N": {
+            "memory_bytes_spilled": rn["memory_bytes_spilled"],
+            "disk_bytes_spilled": rn["disk_bytes_spilled"],
+        },
+        "throughput_4N": r4n["urls_per_sec"],
+        "wall_4N_sec": r4n["wall_sec"],
+        "spill_4N": {
+            "memory_bytes_spilled": r4n["memory_bytes_spilled"],
+            "disk_bytes_spilled": r4n["disk_bytes_spilled"],
+        },
+        "scaling_efficiency_N_to_4N": round(eff, 3),
+        "criterion": ">= 0.8",
+        "pass": eff >= 0.8,
+        "driver_mem": rn["driver_mem"],
+    }
+    with open(os.path.join(REPO, "STRESS.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
