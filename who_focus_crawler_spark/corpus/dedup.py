@@ -39,9 +39,21 @@ def _spread(df: DataFrame) -> DataFrame:
     core count gets spread. Width = executor cores (defaultParallelism),
     NOT shuffle.partitions: a CPU-bound map wants one slice per core,
     and oversplitting measurably hurts (128 slices of a 60k-doc corpus
-    ran ~2× slower than 32 on 32 cores)."""
+    ran ~2× slower than 32 on 32 cores).
+
+    Width probe: ``inputFiles()`` (pure scan metadata) — a file-backed
+    frame with ≥ cores files is already wide (file splits only add
+    partitions), everything else gets the spread. This replaces the
+    earlier ``df.rdd.getNumPartitions()`` probe, which forced the
+    deprecated DataFrame→RDD conversion path just to read a number; a
+    non-file frame (in-memory test input) now always spreads — the
+    exchange is (id, text) at test scale, a no-op in cost."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:  # plan-time metadata, no job
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) >= n:
         return df
     return df.repartition(n)
 
