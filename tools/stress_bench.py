@@ -53,7 +53,7 @@ def _gen(n_urls: int, sf_dir: str, data: str) -> dict:
     return {"frontier_urls": n, "expand": expand, "parquet_bytes": size}
 
 
-def _run(cpus: int, data: str) -> dict:
+def _run(cpus: int, data: str, partitions: int = 128) -> dict:
     import urllib.request
 
     from bench import run_frontier_pipeline
@@ -62,7 +62,7 @@ def _run(cpus: int, data: str) -> dict:
     spark = get_spark(
         app_name=f"wfc-stress-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=128,
+        shuffle_partitions=partitions,
         extra_conf={"spark.ui.enabled": "true"},
     )
     frontier = spark.read.parquet(data)
@@ -93,16 +93,18 @@ def _run(cpus: int, data: str) -> dict:
         "memory_bytes_spilled": spill_mem,
         "disk_bytes_spilled": spill_disk,
         "shuffle_write_bytes": shuffle_write,
+        "shuffle_partitions": partitions,
         "driver_mem": os.environ.get("WFC_DRIVER_MEM", "16g"),
     }
 
 
-def _sub(mode: str, *args: str) -> dict:
+def _sub(mode: str, *args: str, env: dict | None = None) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), mode, *args],
         capture_output=True,
         text=True,
         cwd=REPO,
+        env=dict(os.environ, **(env or {})),
     )
     if out.returncode != 0:
         print(out.stdout[-4000:], file=sys.stderr)
@@ -117,7 +119,11 @@ def main() -> None:
         if sys.argv[1] == "_gen":
             res = _gen(int(sys.argv[2]), sys.argv[3], sys.argv[4])
         else:
-            res = _run(int(sys.argv[2]), sys.argv[3])
+            res = _run(
+                int(sys.argv[2]),
+                sys.argv[3],
+                int(sys.argv[4]) if len(sys.argv) > 4 else 128,
+            )
         print(json.dumps(res))
         return
 
@@ -127,6 +133,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--data", default="/tmp/wfc_stress_frontier")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--spill-mem", default="4g")
     a = ap.parse_args()
 
     gen = _sub("_gen", str(int(a.urls)), a.sf, a.data)
@@ -136,6 +143,14 @@ def main() -> None:
         print(f"local[{4 * a.n}]:", json.dumps(r4n))
         rn = _sub("_run", str(a.n), a.data)
         print(f"local[{a.n}]:", json.dumps(rn))
+        # forced-spill leg: capped heap + wide per-task slices so the
+        # C4 anti-join / C6 window sorters MUST spill — proves the
+        # pipeline degrades to disk instead of OOMing
+        rsp = _sub(
+            "_run", str(4 * a.n), a.data, "16",
+            env={"WFC_DRIVER_MEM": a.spill_mem},
+        )
+        print(f"spill leg local[{4 * a.n}] {a.spill_mem}:", json.dumps(rsp))
     finally:
         if not a.keep:
             shutil.rmtree(a.data, ignore_errors=True)
@@ -159,6 +174,7 @@ def main() -> None:
         "criterion": ">= 0.8",
         "pass": eff >= 0.8,
         "driver_mem": rn["driver_mem"],
+        "forced_spill_leg": rsp,
     }
     with open(os.path.join(REPO, "STRESS.json"), "w") as f:
         json.dump(result, f, indent=2)

@@ -60,6 +60,7 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    record: dict = {}  # per-query outcome for the WFC_ORACLE_JSON artifact
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -70,10 +71,12 @@ def main():
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            record[name] = {"status": "fail", "err": str(e)[:300]}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(s_rows)} rows (rows-only, {time.time()-t0:.1f}s)")
+            record[name] = {"status": "rows_only", "rows": len(s_rows)}
             n_rows_only += 1
             continue
         try:
@@ -82,6 +85,7 @@ def main():
             d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            record[name] = {"status": "fail", "err": str(e)[:300]}
             n_fail += 1
             continue
         ok = True
@@ -100,11 +104,30 @@ def main():
                 msgs.append(f"values differ; first diffs: {diff}")
         if ok:
             print(f"PASS  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            record[name] = {"status": "pass", "rows": len(s_rows)}
             n_pass += 1
         else:
             print(f"FAIL  {name}: " + "; ".join(msgs))
+            record[name] = {"status": "fail", "err": "; ".join(msgs)[:300]}
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    artifact = os.environ.get("WFC_ORACLE_JSON")
+    if artifact:
+        import json
+
+        with open(artifact, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "pass": n_pass,
+                    "fail": n_fail,
+                    "rows_only": n_rows_only,
+                    "queries": record,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {artifact}")
     sys.exit(1 if n_fail else 0)
 
 
