@@ -81,6 +81,15 @@ APPEND_TABLES = {
 }
 
 
+class CommitConflict(Exception):
+    """Raised when optimistic-concurrency validation fails: a concurrent
+    commit changed state this writer's data was computed FROM (replaced
+    the same replace-table, or committed equality deletes on an append
+    table after the writer's base snapshot). The writer must recompute
+    from the new head — retrying the same metadata would publish a
+    result derived from stale reads (Iceberg serializable isolation)."""
+
+
 class SnapshotCatalog:
     def __init__(self, root: str | Path):
         self.root = Path(root)
@@ -155,9 +164,6 @@ class SnapshotCatalog:
             prev = self.manifest(head)
         else:
             prev = self.manifest(snapshot_id - 1) if snapshot_id > 0 else None
-        entry: dict[str, list[str]] = {}
-        stats_cols = stats_cols or {}
-
         def write(name: str, df: DataFrame) -> tuple[str, str]:
             path = self.root / "data" / name / f"snap-{snapshot_id:06d}"
             df.coalesce(num_files).write.mode("overwrite").parquet(str(path))
@@ -174,6 +180,65 @@ class SnapshotCatalog:
             written = dict(
                 ex.map(lambda kv: write(*kv), to_write.items())
             )
+        new_stats = self._file_stats(tables, written, stats_cols or {})
+        manifest = self._assemble_manifest(
+            snapshot_id, head, prev, tables, written, state, new_stats
+        )
+        if branch is not None:
+            # manifest becomes durable first, then the branch ref swings —
+            # same crash discipline as the HEAD publish, main untouched
+            self._write_manifest(manifest)
+            self.set_ref(branch, snapshot_id)
+        else:
+            self._publish(manifest)
+
+    def _file_stats(
+        self,
+        tables: dict[str, DataFrame],
+        written: dict[str, str],
+        stats_cols: dict[str, list[str]],
+    ) -> dict:
+        """Manifest column stats (Iceberg file-skipping): min/max per NEW
+        file-set for the requested columns, computed with one tiny agg
+        over the just-written parquet. Pure function of the written files
+        — commit_optimistic computes it once outside its retry loop."""
+        out: dict = {}
+        for name, cols in stats_cols.items():
+            if name not in written:
+                continue
+            row = list(tables[name].sparkSession.read.parquet(
+                written[name]
+            ).agg(
+                *[f(c).alias(f"{tag}_{c}")
+                  for c in cols
+                  for tag, f in (("min", F.min), ("max", F.max))]
+            ).collect())[0]
+            out[name] = {
+                written[name]: {
+                    c: [
+                        _stat_json(row[f"min_{c}"]),
+                        _stat_json(row[f"max_{c}"]),
+                    ]
+                    for c in cols
+                }
+            }
+        return out
+
+    def _assemble_manifest(
+        self,
+        snapshot_id: int,
+        head: int | None,
+        prev: dict | None,
+        tables: dict[str, DataFrame | None],
+        written: dict[str, str],
+        state: dict,
+        new_stats: dict,
+    ) -> dict:
+        """Build the manifest dict for ``snapshot_id`` on base ``prev``.
+        Metadata-only (the one Spark action — stats — happens in
+        `_file_stats` beforehand), so commit_optimistic can re-run it
+        against a moved head inside its CAS critical section."""
+        entry: dict[str, list[str]] = {}
         schemas: dict = (
             json.loads(json.dumps(prev.get("schemas", {}))) if prev else {}
         )
@@ -216,37 +281,27 @@ class SnapshotCatalog:
             sch["file_physical"] = {
                 p: m for p, m in sch["file_physical"].items() if p in live
             }
-        # manifest column stats (Iceberg file-skipping): min/max per NEW
-        # file-set for the requested columns, computed with one tiny agg
-        # over the just-written parquet; prior file-sets keep their stats
+        # tables the committer does not mention at all carry forward
+        # untouched (an Iceberg catalog never drops a table because one
+        # writer's commit didn't touch it) — essential for OCC merging,
+        # where concurrent writers each know only their own tables
+        for name, files in ((prev or {}).get("tables") or {}).items():
+            if name not in tables:
+                entry[name] = list(files)
+        # merge the precomputed new-file stats over the carried-forward
+        # ones; prior file-sets keep their stats
         stats: dict = (
             json.loads(json.dumps(prev.get("stats", {}))) if prev else {}
         )
-        for name, cols in stats_cols.items():
-            if name not in written:
-                continue
-            df_w = list(tables[name].sparkSession.read.parquet(
-                written[name]
-            ).agg(
-                *[f(c).alias(f"{tag}_{c}")
-                  for c in cols
-                  for tag, f in (("min", F.min), ("max", F.max))]
-            ).collect())[0]
-            tstats = stats.setdefault(name, {})
-            tstats[written[name]] = {
-                c: [
-                    _stat_json(df_w[f"min_{c}"]),
-                    _stat_json(df_w[f"max_{c}"]),
-                ]
-                for c in cols
-            }
+        for name, fstats in new_stats.items():
+            stats.setdefault(name, {}).update(fstats)
         # drop stats for file-sets no longer live (replace tables)
         for name in list(stats):
             live = set(entry.get(name, []))
             stats[name] = {
                 p: s for p, s in stats[name].items() if p in live
             }
-        manifest = {
+        return {
             "snapshot_id": snapshot_id,
             "committed_at": time.time(),
             "tables": entry,
@@ -256,13 +311,6 @@ class SnapshotCatalog:
             "stats": stats,
             "parent": head,
         }
-        if branch is not None:
-            # manifest becomes durable first, then the branch ref swings —
-            # same crash discipline as the HEAD publish, main untouched
-            self._write_manifest(manifest)
-            self.set_ref(branch, snapshot_id)
-        else:
-            self._publish(manifest)
 
     def _write_manifest(self, manifest: dict) -> None:
         mp = self._manifest_path(manifest["snapshot_id"])
@@ -287,6 +335,134 @@ class SnapshotCatalog:
         self._write_manifest(manifest)
         # atomic HEAD swap — the publish point
         self._swap_head(manifest["snapshot_id"])
+
+    # ------------------------------------------- optimistic concurrency
+    def commit_optimistic(
+        self,
+        tables: dict[str, DataFrame],
+        state: dict,
+        base_snapshot: int | None = None,
+        num_files: int = 1,
+        stats_cols: dict[str, list[str]] | None = None,
+        max_retries: int = 10,
+    ) -> int:
+        """Iceberg-style optimistic-concurrency commit against main.
+
+        Multiple writers may call this concurrently (threads or
+        processes sharing the catalog root). Data files are written
+        ONCE to a commit-unique staging path; publication is then a
+        metadata compare-and-swap loop: assemble the manifest against
+        the current head and, under the catalog commit lock, publish
+        only if head has not moved — otherwise revalidate against the
+        new head and reassemble (metadata-only; no data is rewritten)
+        and try again. This is exactly Iceberg's commit model: expensive
+        work happens optimistically outside the lock, the critical
+        section is a cheap pointer swap.
+
+        Validation (the shape of Iceberg's serializable-isolation
+        checks) against commits that landed after ``base_snapshot`` —
+        the head this writer READ when computing ``tables`` (defaults
+        to the head at call time, correct when the caller computes and
+        commits back-to-back):
+
+        - APPEND tables always merge: our delta appends to whatever
+          file list the latest head carries (Iceberg fast-append).
+        - REPLACE tables conflict if a concurrent commit changed the
+          same table's file list — our replacement was computed from a
+          state that no longer holds → :class:`CommitConflict`.
+        - New equality deletes on a table we append to also conflict
+          (our rows were derived without seeing those retractions).
+
+        Returns the published snapshot id. The staged data directory is
+        renamed to its final ``snap-{sid:06d}`` name inside the lock so
+        the `_file_sid` sequence-number invariant (delete scoping,
+        time-ordered maintenance) holds for OCC commits too.
+
+        Mixing concurrent `commit()` (caller-chosen ids, no lock) with
+        `commit_optimistic` writers is unsupported — like Iceberg, every
+        concurrent writer must go through the CAS path. Maintenance
+        (`expire_snapshots`) must not run while writers are in flight
+        (same caveat as Iceberg's orphan-file cleanup).
+        """
+        import fcntl
+        import uuid
+
+        if base_snapshot is None:
+            base_snapshot = self.head()
+        token = uuid.uuid4().hex[:12]
+        from concurrent.futures import ThreadPoolExecutor
+
+        to_write = {n: df for n, df in tables.items() if df is not None}
+
+        def write(name: str, df: DataFrame) -> tuple[str, str]:
+            path = self.root / "data" / name / f"occ-{token}"
+            df.coalesce(num_files).write.mode("overwrite").parquet(str(path))
+            return name, str(path)
+
+        with ThreadPoolExecutor(max_workers=max(len(to_write), 1)) as ex:
+            staged = dict(ex.map(lambda kv: write(*kv), to_write.items()))
+        new_stats = self._file_stats(tables, staged, stats_cols or {})
+        replace_names = {n for n in to_write if n not in APPEND_TABLES}
+        append_names = {n for n in to_write if n in APPEND_TABLES}
+
+        lock_path = self.root / "commit.lock"
+        base_m = (
+            self.manifest(base_snapshot) if base_snapshot is not None else None
+        )
+        for _ in range(max_retries + 1):
+            head = self.head()
+            prev = self.manifest(head) if head is not None else None
+            if head != base_snapshot:
+                # someone published since we read — serializable checks
+                for name in replace_names:
+                    b = ((base_m or {}).get("tables") or {}).get(name)
+                    c = ((prev or {}).get("tables") or {}).get(name)
+                    if b != c:
+                        raise CommitConflict(
+                            f"replace-table {name!r} changed by a concurrent "
+                            f"commit (base {base_snapshot} → head {head})"
+                        )
+                bdel = (base_m or {}).get("deletes") or {}
+                cdel = (prev or {}).get("deletes") or {}
+                for name in append_names:
+                    if cdel.get(name, []) != bdel.get(name, []):
+                        raise CommitConflict(
+                            f"equality deletes on {name!r} committed after "
+                            f"base {base_snapshot} conflict with this append"
+                        )
+            with open(lock_path, "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    if self.head() != head:
+                        continue  # lost the race while assembling; retry
+                    sid = self._next_sid()
+                    # final data-dir names: skip ids whose dir already
+                    # exists (a plain-commit writer may have staged one)
+                    while any(
+                        (self.root / "data" / n / f"snap-{sid:06d}").exists()
+                        for n in staged
+                    ):
+                        sid += 1
+                    written: dict[str, str] = {}
+                    for n, p in staged.items():
+                        final = self.root / "data" / n / f"snap-{sid:06d}"
+                        os.rename(p, final)
+                        written[n] = str(final)
+                    stats = {
+                        n: {written[n]: next(iter(fs.values()))}
+                        for n, fs in new_stats.items()
+                    }
+                    manifest = self._assemble_manifest(
+                        sid, head, prev, tables, written, state, stats
+                    )
+                    self._publish(manifest)
+                    return sid
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
+        raise CommitConflict(
+            f"commit_optimistic: head kept moving; gave up after "
+            f"{max_retries} retries"
+        )
 
     # ---------------------------------------------------------------- read
     def read_table(
