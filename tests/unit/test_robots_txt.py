@@ -57,7 +57,10 @@ def _parse(spark, pairs, agent="wfc-bot"):
     df = spark.createDataFrame(pairs, "host string, robots_txt string")
     rows = parse_robots_txt(df, agent=agent).collect()
     out: dict = {}
-    for r in rows:
+    # collect() row order is plan/partition-dependent; the parser's
+    # order contract is the line_no column — sort on it (the gate's
+    # longest-match evaluation is order-independent anyway)
+    for r in sorted(rows, key=lambda r: (r.host, r.line_no)):
         out.setdefault(r.host, []).append((r.directive, r.allow, r.value))
     return out
 
