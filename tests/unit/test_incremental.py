@@ -100,3 +100,77 @@ def test_remove_orphan_files(spark, catalog, tmp_path):
     assert sorted(r.batch for r in at1.collect()) == [0] * 5 + [1] * 5
     # idempotent
     assert catalog.remove_orphan_files()["removed"] == 0
+
+
+def _cl(df):
+    return sorted(
+        (r._change_type, r._change_snapshot_id, r.batch, r.host, r.fetched)
+        for r in df.collect()
+    )
+
+
+def test_changelog_scan_inserts_and_deletes(spark, catalog):
+    # window (1, head]: snapshots 2 and 3 appended 5 rows each
+    cl = catalog.changelog_scan(spark, "metrics", SCHEMA, from_snapshot=1)
+    assert _cl(cl) == sorted(
+        ("insert", b, b, f"h{i}", b * 10 + i) for b in (2, 3) for i in range(5)
+    )
+    # delete two of batch 0's rows (committed at snapshot 4)
+    keys = spark.createDataFrame([(0, "h0"), (0, "h3")], "batch long, host string")
+    dsid = catalog.delete_where(spark, "metrics", keys)["snapshot_id"]
+    # incremental_scan refuses this window; changelog answers it
+    with pytest.raises(ValueError, match="deletes"):
+        catalog.incremental_scan(spark, "metrics", SCHEMA, from_snapshot=3)
+    cl = catalog.changelog_scan(spark, "metrics", SCHEMA, from_snapshot=3)
+    assert _cl(cl) == sorted(
+        [("delete", dsid, 0, "h0", 0), ("delete", dsid, 0, "h3", 3)]
+    )
+    # full window: appends AND the retraction, each stamped with its commit
+    cl = catalog.changelog_scan(spark, "metrics", SCHEMA, from_snapshot=0)
+    assert _cl(cl) == sorted(
+        [("insert", b, b, f"h{i}", b * 10 + i) for b in (1, 2, 3) for i in range(5)]
+        + [("delete", dsid, 0, "h0", 0), ("delete", dsid, 0, "h3", 3)]
+    )
+
+
+def test_changelog_scan_second_delete_skips_dead_rows(spark, catalog):
+    # first delete kills h0 of EVERY batch; second delete targets
+    # (batch<=1) broadly — rows h0 already dead must NOT re-emit
+    d1 = catalog.delete_where(
+        spark, "metrics",
+        spark.createDataFrame([(b, "h0") for b in range(4)],
+                              "batch long, host string"),
+    )["snapshot_id"]
+    d2 = catalog.delete_where(
+        spark, "metrics",
+        spark.createDataFrame([(b, f"h{i}") for b in (0, 1) for i in range(5)],
+                              "batch long, host string"),
+    )["snapshot_id"]
+    cl = catalog.changelog_scan(spark, "metrics", SCHEMA, from_snapshot=3)
+    expect = [("delete", d1, b, "h0", b * 10) for b in range(4)] + [
+        ("delete", d2, b, f"h{i}", b * 10 + i)
+        for b in (0, 1)
+        for i in range(1, 5)  # h0 rows died at d1, not re-emitted at d2
+    ]
+    assert _cl(cl) == sorted(expect)
+    # a row inserted AND deleted inside one window emits both records
+    sid = catalog._next_sid()
+    catalog.commit(sid, {"metrics": _mk(spark, 7, n=1)}, state={"b": 7})
+    d3 = catalog.delete_where(
+        spark, "metrics", spark.createDataFrame([(7, "h0")],
+                                                "batch long, host string")
+    )["snapshot_id"]
+    cl = catalog.changelog_scan(spark, "metrics", SCHEMA, from_snapshot=d2)
+    assert _cl(cl) == sorted(
+        [("insert", sid, 7, "h0", 70), ("delete", d3, 7, "h0", 70)]
+    )
+
+
+def test_changelog_scan_refuses_compaction_and_empty_is_none(spark, catalog):
+    assert (
+        catalog.changelog_scan(spark, "metrics", SCHEMA, from_snapshot=3)
+        is None
+    )
+    catalog.compact_table(spark, "metrics", SCHEMA)
+    with pytest.raises(ValueError, match="compaction"):
+        catalog.changelog_scan(spark, "metrics", SCHEMA, from_snapshot=1)

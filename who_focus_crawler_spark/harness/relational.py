@@ -1705,6 +1705,56 @@ QUERIES["r_branch_wap"] = (r_branch_wap, R_BRANCH_WAP_SQL)
 
 
 # --------------------------------------------------------------------------
+# Changelog scan (checkpoint/snapshot.py::changelog_scan — Iceberg CDC /
+# create_changelog_view): three deterministic append commits + one
+# equality delete, then every row-level change after snapshot 0 with its
+# change type and causing commit. The oracle reconstructs the same
+# insert/delete records relationally: inserts = the two post-window
+# thirds stamped with their commit id (= doc_id % 3 by construction);
+# deletes = the rows the snapshot-3 delete killed (all doc_id % 7 == 0,
+# since every data file predates the delete).
+
+
+def r_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from who_focus_crawler_spark.checkpoint.snapshot import SnapshotCatalog
+
+    base = tempfile.mkdtemp(prefix="wfc_cdc_")
+    cat = SnapshotCatalog(base)
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+    for i in range(3):
+        cat.commit(
+            i, {"documents": docs.filter(F.col("doc_id") % 3 == i)}, state={}
+        )
+    cat.delete_where(
+        spark,
+        "documents",
+        docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+    )
+    return cat.changelog_scan(
+        spark, "documents", docs.schema, from_snapshot=0
+    )
+
+
+R_CHANGELOG_SQL = """
+SELECT doc_id, md5(text) AS text_md5,
+       'insert' AS _change_type,
+       CAST(doc_id % 3 AS BIGINT) AS _change_snapshot_id
+FROM documents WHERE doc_id % 3 IN (1, 2)
+UNION ALL
+SELECT doc_id, md5(text) AS text_md5,
+       'delete' AS _change_type,
+       CAST(3 AS BIGINT) AS _change_snapshot_id
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+QUERIES["r_changelog"] = (r_changelog, R_CHANGELOG_SQL)
+
+
+# --------------------------------------------------------------------------
 # R23+ — event-time RANGE window frame: a true sliding-by-value frame
 # (all events of the PRECEDING hour, not the preceding N rows). Spark's
 # rangeBetween needs a numeric ordering key, so the frame is expressed
