@@ -1755,6 +1755,52 @@ QUERIES["r_changelog"] = (r_changelog, R_CHANGELOG_SQL)
 
 
 # --------------------------------------------------------------------------
+# Optimistic-concurrency commit merging (checkpoint/snapshot.py::
+# commit_optimistic — Iceberg's commit model): two writers append
+# disjoint halves of the corpus from the SAME base snapshot; the second
+# publish must land on a stale head, pass serializable validation
+# (append-append always merges), and retry its metadata CAS — the final
+# table is the union of both deltas plus the base. In-query asserts pin
+# that the race actually happened (B's parent is A's snapshot, not the
+# shared base) and that history is a linear chain.
+
+
+def r_occ_merge(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from who_focus_crawler_spark.checkpoint.snapshot import SnapshotCatalog
+
+    base_dir = tempfile.mkdtemp(prefix="wfc_occ_")
+    cat = SnapshotCatalog(base_dir)
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+    cat.commit(0, {"documents": docs.filter(F.col("doc_id") % 3 == 0)}, state={})
+    base = cat.head()
+    sid_a = cat.commit_optimistic(
+        {"documents": docs.filter(F.col("doc_id") % 3 == 1)},
+        state={"writer": "a"},
+        base_snapshot=base,
+    )
+    # writer B computed from the SAME (now stale) base — must merge
+    sid_b = cat.commit_optimistic(
+        {"documents": docs.filter(F.col("doc_id") % 3 == 2)},
+        state={"writer": "b"},
+        base_snapshot=base,
+    )
+    assert cat.manifest(sid_b)["parent"] == sid_a, "CAS retry did not happen"
+    assert cat.manifest(sid_a)["parent"] == base
+    return cat.read_table(spark, "documents", docs.schema)
+
+
+R_OCC_MERGE_SQL = """
+SELECT doc_id, md5(text) AS text_md5 FROM documents
+"""
+
+QUERIES["r_occ_merge"] = (r_occ_merge, R_OCC_MERGE_SQL)
+
+
+# --------------------------------------------------------------------------
 # R23+ — event-time RANGE window frame: a true sliding-by-value frame
 # (all events of the PRECEDING hour, not the preceding N rows). Spark's
 # rangeBetween needs a numeric ordering key, so the frame is expressed
