@@ -160,3 +160,28 @@ def test_dedup_keep_best_string_ids(spark):
     assert out["http://b/3"] == ("http://a/1", False)
     assert out["http://a/1"] == ("http://a/1", False)
     assert out["http://c/9"] == ("http://c/9", True)  # unpaired keeps itself
+
+
+def test_dedup_keep_best_null_scores_never_beat_scored(spark):
+    """ADVICE r3: struct ordering sorts NULLs FIRST under min, so an
+    unguarded min(struct(-score, id)) would elect a NULL-scored doc over
+    every scored sibling — the inversion of keep-best. The coalesce(+inf)
+    guard sends missing scores to the back; an all-null cluster still
+    elects deterministically (lowest id)."""
+    from who_focus_crawler_spark.corpus.clusters import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, 5), (3, None), (4, None)],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: r.keep
+        for r in dedup_keep_best(docs, pairs, "quality", n_iters=4).collect()
+    }
+    assert out[2] is True   # the only scored member wins its cluster
+    assert out[1] is False  # null score loses to ANY score
+    assert out[3] is True   # all-null cluster: lowest id, deterministic
+    assert out[4] is False

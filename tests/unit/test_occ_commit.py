@@ -196,3 +196,70 @@ def test_crash_between_rename_and_publish_recovers(spark, tmp_path):
     # maintenance reclaims the orphan without touching live files
     cat.expire_snapshots(keep_last=10)
     assert _rows(spark, cat, "url_seen") == [(100, "u"), (101, "a")]
+
+
+def test_occ_state_keys_merge_over_head(spark, tmp_path):
+    """ADVICE r3: concurrent writers each carry only their own state
+    keys; a retried commit must merge per key over the head's state, not
+    replace the dict wholesale (which silently discards keys a first
+    writer published after our base)."""
+    cat = _cat(spark, tmp_path)
+    base = cat.head()
+    cat.commit_optimistic(
+        {"url_seen": spark.createDataFrame([(101, "a")], SCHEMA)},
+        state={"from_a": 1},
+        base_snapshot=base,
+    )
+    cat.commit_optimistic(
+        {"url_seen": spark.createDataFrame([(102, "b")], SCHEMA)},
+        state={"from_b": 2},
+        base_snapshot=base,  # stale: retries against A's head
+    )
+    st = cat.state()
+    assert st["from_a"] == 1  # NOT lost to B's wholesale replace
+    assert st["from_b"] == 2
+    assert st["n"] == 0  # root commit's key carried through both
+
+
+def test_occ_conflict_cleans_staged_dirs(spark, tmp_path):
+    """ADVICE r3: a conflicted writer must not leak its occ-<token>
+    staging dirs — the data is recomputed against the new head anyway."""
+    cat = _cat(spark, tmp_path)
+    base = cat.head()
+    cat.commit_optimistic(
+        {"t": spark.createDataFrame([(5, "x")], SCHEMA)},
+        state={},
+        base_snapshot=base,
+    )
+    with pytest.raises(CommitConflict):
+        cat.commit_optimistic(
+            {"t": spark.createDataFrame([(6, "y")], SCHEMA)},
+            state={},
+            base_snapshot=base,  # replace-replace: serializable conflict
+        )
+    leftovers = list((cat.root / "data").rglob("occ-*"))
+    assert leftovers == []
+
+
+def test_orphan_cleanup_spares_inflight_occ_staging(spark, tmp_path):
+    """ADVICE r3 (medium): remove_orphan_files must treat unparsable
+    occ-* names as potentially in-flight — delete only past the mtime
+    grace window, never unconditionally (a writer between staging and
+    its lock-held rename would crash on os.rename otherwise)."""
+    import os
+
+    cat = _cat(spark, tmp_path)
+    staging = cat.root / "data" / "t" / "occ-deadbeef0123"
+    staging.mkdir(parents=True)
+    (staging / "part-0.parquet").write_bytes(b"xx")
+
+    out = cat.remove_orphan_files()  # default 3-day grace
+    assert staging.exists()
+    assert out["kept_inflight"] >= 1
+
+    # age the dir past the grace window -> now genuinely orphaned debris
+    old = 1_000_000_000.0
+    os.utime(staging, (old, old))
+    out2 = cat.remove_orphan_files()
+    assert not staging.exists()
+    assert str(staging) in out2["paths"]

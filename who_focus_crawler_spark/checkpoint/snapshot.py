@@ -409,60 +409,83 @@ class SnapshotCatalog:
         base_m = (
             self.manifest(base_snapshot) if base_snapshot is not None else None
         )
-        for _ in range(max_retries + 1):
-            head = self.head()
-            prev = self.manifest(head) if head is not None else None
-            if head != base_snapshot:
-                # someone published since we read — serializable checks
-                for name in replace_names:
-                    b = ((base_m or {}).get("tables") or {}).get(name)
-                    c = ((prev or {}).get("tables") or {}).get(name)
-                    if b != c:
-                        raise CommitConflict(
-                            f"replace-table {name!r} changed by a concurrent "
-                            f"commit (base {base_snapshot} → head {head})"
+        try:
+            for _ in range(max_retries + 1):
+                head = self.head()
+                prev = self.manifest(head) if head is not None else None
+                if head != base_snapshot:
+                    # someone published since we read — serializable checks
+                    for name in replace_names:
+                        b = ((base_m or {}).get("tables") or {}).get(name)
+                        c = ((prev or {}).get("tables") or {}).get(name)
+                        if b != c:
+                            raise CommitConflict(
+                                f"replace-table {name!r} changed by a "
+                                f"concurrent commit (base {base_snapshot} → "
+                                f"head {head})"
+                            )
+                    bdel = (base_m or {}).get("deletes") or {}
+                    cdel = (prev or {}).get("deletes") or {}
+                    for name in append_names:
+                        if cdel.get(name, []) != bdel.get(name, []):
+                            raise CommitConflict(
+                                f"equality deletes on {name!r} committed "
+                                f"after base {base_snapshot} conflict with "
+                                f"this append"
+                            )
+                with open(lock_path, "w") as lf:
+                    fcntl.flock(lf, fcntl.LOCK_EX)
+                    try:
+                        if self.head() != head:
+                            continue  # lost the race while assembling; retry
+                        sid = self._next_sid()
+                        # final data-dir names: skip ids whose dir already
+                        # exists (a plain-commit writer may have staged one)
+                        while any(
+                            (
+                                self.root / "data" / n / f"snap-{sid:06d}"
+                            ).exists()
+                            for n in staged
+                        ):
+                            sid += 1
+                        written: dict[str, str] = {}
+                        for n, p in staged.items():
+                            final = self.root / "data" / n / f"snap-{sid:06d}"
+                            os.rename(p, final)
+                            written[n] = str(final)
+                        stats = {
+                            n: {written[n]: next(iter(fs.values()))}
+                            for n, fs in new_stats.items()
+                        }
+                        # merge this writer's state keys over the head's:
+                        # concurrent writers each carry only their own keys,
+                        # and a retried commit must not wipe state another
+                        # writer published after our base (last-writer-wins
+                        # PER KEY, not per dict)
+                        merged_state = dict((prev or {}).get("state") or {})
+                        merged_state.update(state)
+                        manifest = self._assemble_manifest(
+                            sid, head, prev, tables, written, merged_state,
+                            stats,
                         )
-                bdel = (base_m or {}).get("deletes") or {}
-                cdel = (prev or {}).get("deletes") or {}
-                for name in append_names:
-                    if cdel.get(name, []) != bdel.get(name, []):
-                        raise CommitConflict(
-                            f"equality deletes on {name!r} committed after "
-                            f"base {base_snapshot} conflict with this append"
-                        )
-            with open(lock_path, "w") as lf:
-                fcntl.flock(lf, fcntl.LOCK_EX)
-                try:
-                    if self.head() != head:
-                        continue  # lost the race while assembling; retry
-                    sid = self._next_sid()
-                    # final data-dir names: skip ids whose dir already
-                    # exists (a plain-commit writer may have staged one)
-                    while any(
-                        (self.root / "data" / n / f"snap-{sid:06d}").exists()
-                        for n in staged
-                    ):
-                        sid += 1
-                    written: dict[str, str] = {}
-                    for n, p in staged.items():
-                        final = self.root / "data" / n / f"snap-{sid:06d}"
-                        os.rename(p, final)
-                        written[n] = str(final)
-                    stats = {
-                        n: {written[n]: next(iter(fs.values()))}
-                        for n, fs in new_stats.items()
-                    }
-                    manifest = self._assemble_manifest(
-                        sid, head, prev, tables, written, state, stats
-                    )
-                    self._publish(manifest)
-                    return sid
-                finally:
-                    fcntl.flock(lf, fcntl.LOCK_UN)
-        raise CommitConflict(
-            f"commit_optimistic: head kept moving; gave up after "
-            f"{max_retries} retries"
-        )
+                        self._publish(manifest)
+                        staged = {}  # renamed away — nothing to clean up
+                        return sid
+                    finally:
+                        fcntl.flock(lf, fcntl.LOCK_UN)
+            raise CommitConflict(
+                f"commit_optimistic: head kept moving; gave up after "
+                f"{max_retries} retries"
+            )
+        finally:
+            # conflicted/aborted writers must not leak staged data: the
+            # occ-<token> dirs are useless after a CommitConflict (the
+            # data would be recomputed against the new head anyway)
+            if staged:
+                import shutil
+
+                for p in staged.values():
+                    shutil.rmtree(p, ignore_errors=True)
 
     # ---------------------------------------------------------------- read
     def read_table(
@@ -1381,7 +1404,7 @@ class SnapshotCatalog:
         return out
 
     # ---------------------------------------------------- orphan cleanup
-    def remove_orphan_files(self) -> dict:
+    def remove_orphan_files(self, grace_seconds: float = 3 * 86400.0) -> dict:
         """Delete data file-sets referenced by NO existing manifest —
         the debris of a crash between data write and manifest publish
         (Iceberg's remove_orphan_files maintenance action).
@@ -1394,6 +1417,16 @@ class SnapshotCatalog:
         manifest's id can never become referenced later; file-sets with
         ids beyond every known manifest are left alone (they may belong
         to an in-flight commit).
+
+        File-sets whose names carry no snapshot id — ``occ-<token>``
+        staging dirs from :meth:`commit_optimistic` — may belong to a
+        writer between staging and its lock-held rename, so they are
+        only removed when older than ``grace_seconds`` (Iceberg's
+        remove_orphan_files has the same mtime-based ``older_than``
+        guard, default 3 days). Successful OCC commits rename their
+        staging dir away and conflicted ones clean up after themselves,
+        so anything still named ``occ-*`` after the grace window is a
+        crashed writer's debris.
         """
         import shutil
 
@@ -1408,6 +1441,7 @@ class SnapshotCatalog:
                 referenced.update(str(Path(d["path"])) for d in ds)
         removed: list[str] = []
         kept_inflight = 0
+        now = time.time()
         data_root = self.root / "data"
         if data_root.exists():
             for table_dir in sorted(data_root.iterdir()):
@@ -1424,6 +1458,16 @@ class SnapshotCatalog:
                     if sid is not None and sid > max_known:
                         kept_inflight += 1  # possibly an in-flight commit
                         continue
+                    if sid is None:
+                        # unparsable name (occ-* staging): in-flight
+                        # unless demonstrably stale
+                        try:
+                            age = now - file_set.stat().st_mtime
+                        except OSError:
+                            age = 0.0
+                        if age < grace_seconds:
+                            kept_inflight += 1
+                            continue
                     shutil.rmtree(file_set)
                     removed.append(p)
         return {

@@ -246,10 +246,19 @@ def dedup_keep_best(
         *docs.columns,
         F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
     )
+    # NULL guard: struct ordering sorts nulls FIRST under min, so a bare
+    # -score would let a NULL-scored doc always win its election — the
+    # exact inversion of intent. coalesce to +inf sends missing scores to
+    # the back of the line (they win only a cluster where every member's
+    # score is null, and then by lowest id — deterministic).
     best = members.groupBy("cluster_id").agg(
         F.min(
             F.struct(
-                (-F.col(score_col)).alias("ns"), F.col(id_col).alias("i")
+                F.coalesce(
+                    (-F.col(score_col)).cast("double"),
+                    F.lit(float("inf")),
+                ).alias("ns"),
+                F.col(id_col).alias("i"),
             )
         ).alias("_b")
     ).select("cluster_id", F.col("_b.i").alias("_winner"))

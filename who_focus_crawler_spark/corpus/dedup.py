@@ -41,20 +41,58 @@ def _spread(df: DataFrame) -> DataFrame:
     and oversplitting measurably hurts (128 slices of a 60k-doc corpus
     ran ~2× slower than 32 on 32 cores).
 
-    Width probe: ``inputFiles()`` (pure scan metadata) — a file-backed
-    frame with ≥ cores files is already wide (file splits only add
-    partitions), everything else gets the spread. This replaces the
-    earlier ``df.rdd.getNumPartitions()`` probe, which forced the
-    deprecated DataFrame→RDD conversion path just to read a number; a
-    non-file frame (in-memory test input) now always spreads — the
-    exchange is (id, text) at test scale, a no-op in cost."""
-    n = df.sparkSession.sparkContext.defaultParallelism
+    Width probe: ``inputFiles()`` (pure scan metadata) + file SIZES, not
+    raw file count — Spark bin-packs small files (a pile of tiny files
+    can land in fewer partitions than cores yet count ≥ cores) and
+    splits big ones (4 × 1 GB files give 32 scan partitions at the
+    default 128 MB split yet count 4), so the count alone mispredicts in
+    both directions. The estimate replays Spark's own FilePartition
+    sizing (`FilePartition.maxSplitBytes` + greedy packing): pad each
+    file by openCostInBytes, maxSplit = min(maxPartitionBytes,
+    max(openCost, paddedTotal / defaultParallelism)), partitions ≈
+    ceil(paddedTotal / maxSplit). Local paths only — a remote URI whose
+    size we can't stat falls back to the file count, and a non-file
+    frame (in-memory test input) always spreads — the exchange is
+    (id, text) at test scale, a no-op in cost. This replaces the earlier
+    ``df.rdd.getNumPartitions()`` probe, which forced the deprecated
+    DataFrame→RDD conversion path just to read a number."""
+    import os
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
         files = []
-    if len(files) >= n:
-        return df
+    if files:
+
+        def _bytes_conf(key: str, default: int) -> int:
+            try:
+                return int(str(spark.conf.get(key)).lower().rstrip("b"))
+            except Exception:
+                return default
+
+        max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", 134217728)
+        open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4194304)
+        padded = 0
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("", "file"):
+                padded = None  # un-stat-able (remote) — fall back to count
+                break
+            try:
+                padded += os.path.getsize(u.path or f) + open_cost
+            except OSError:
+                padded = None
+                break
+        if padded is None:
+            est = len(files)
+        else:
+            max_split = min(max_pb, max(open_cost, padded // max(n, 1)))
+            est = -(-padded // max(max_split, 1))
+        if est >= n:
+            return df
     return df.repartition(n)
 
 
