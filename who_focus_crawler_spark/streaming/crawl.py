@@ -1,17 +1,19 @@
 """Streaming crawl variant — the batch loop's C1→C14 pipeline recomposed
 as a SELF-FEEDING Structured Streaming query (SURVEY.md §1.3 "variant
-mode"; VERDICT r2 backlog item 3).
+mode"; VERDICT r2 backlog item 3, scale-hardened per VERDICT r3 item 1).
 
-Topology: the frontier lives in a parquet-directory INBOX that is both
-the stream source and the discovery sink —
+Topology: NEW discoveries flow through a parquet-directory INBOX that is
+both the stream source and the discovery sink; the politeness BACKLOG
+(deferred rows) lives in the committed ``frontier`` table, exactly like
+the batch loop —
 
-    inbox ──readStream──▶ foreachBatch(epoch):
-        robots gate (C8, TTL'd cache)  →  politeness (C7)  →
-        C9 seq  →  C10+C11 fetch+extract  →  C12 discovery  →
-        C4 dedup (exact anti-join vs committed url_seen)  →
-        ├─ new uniques + politeness-deferred rows ──▶ inbox (next epoch)
-        └─ url_seen/crawl_order/documents/host_state ──▶ ONE atomic
-           snapshot commit (exactly-once, idempotent epoch guard)
+    inbox ──readStream(inbox/*)──▶ foreachBatch(epoch):
+        arrivals ∪ frontier table (backlog)  →  robots gate (C8) →
+        politeness (C7)  →  C9 seq  →  C10+C11 fetch+extract  →
+        C12 discovery  →  C4 dedup (exact anti-join vs url_seen)  →
+        ├─ NEW uniques ──▶ inbox (next epoch's arrivals)
+        └─ url_seen/crawl_order/documents/robots_cache/host_state/
+           frontier(=deferred backlog) ──▶ ONE atomic snapshot commit
 
 Each availableNow cycle drains the files present at its start; links it
 discovers land as NEW inbox files picked up by the next cycle. The
@@ -20,29 +22,67 @@ equivalent of "frontier drained". At cluster scale the inbox is a
 Kafka topic or an Iceberg append stream; the per-epoch body is
 unchanged (it only sees a DataFrame of frontier rows).
 
+Scale shape of the write-back (VERDICT r3 "What's wrong" #1, both
+halves):
+
+- **No single-task exchange.** Each epoch publishes a DIRECTORY of
+  per-partition part files written by every task in parallel, made
+  atomic by ONE ``os.rename`` of the staged directory into the inbox
+  (the previous design funneled the epoch through ``coalesce(1)`` to
+  get a single renameable file). The stream source reads the glob
+  ``inbox/*``, so a renamed directory's files appear all-or-nothing;
+  the ``.staging`` scratch dir is dot-prefixed and therefore invisible
+  to the glob and to Spark's hidden-file filter.
+- **Deferred rows never recirculate through the inbox.** Politeness-
+  deferred rows are committed to the snapshot's ``frontier`` table
+  (replace-table, same as the batch loop) and unioned back in at the
+  next epoch's start. Inbox traffic is now bounded by DISCOVERY volume
+  per epoch, not by backlog size — a host with a deep backlog no
+  longer rewrites its entire backlog to the inbox every cycle
+  (previously O(backlog × epochs) write amplification). When an epoch
+  discovers nothing new but still holds a backlog, it publishes a
+  ZERO-ROW tick directory (an empty parquet write still emits one
+  0-row part file) so the file source fires the next epoch.
+
 Equivalence contract (tests/streaming/test_crawl_streaming.py): on a
 fully-drained fixture web the final ``url_seen`` set and the
 ``documents`` corpus (doc_id → span sequence) are EQUAL to the batch
-loop's; ``crawl_order`` relaxes to the epoch-local deterministic order
-(global seq numbering differs because microbatch boundaries replace
-fetch batches — the schedule-key order within an epoch is the frozen
-C9 order).
+loop's. ``crawl_order``:
+
+- **Saturated regime (politeness_k and select_k ≥ every host's
+  in-wave fanout): EXACT global equality**, seq for seq. Both loops
+  then process exactly one BFS wave per batch/epoch — the batch loop's
+  top-k selection takes the whole frontier and politeness admits all of
+  it, so batch b and epoch b fetch the same row set, rank it by the
+  same frozen C9 key (priority = -depth in both stores), and continue
+  seq from the same base. Tested exact in
+  ``test_streaming_crawl_order_equality_saturated``.
+- **General regime: epoch-local order only** — and this is structural,
+  not an implementation gap. With select_k smaller than the frontier,
+  batch b's C6 selection draws the top-k of the ENTIRE accumulated
+  frontier, so it can schedule a wave-3 URL before a still-pending
+  wave-2 URL on priority grounds. A self-feeding stream sees rows in
+  discovery waves; reproducing cross-wave selection would require
+  re-ranking arrivals against the full backlog AND the not-yet-arrived
+  future discoveries of the same batch — i.e. knowing batch b's
+  discovery closure before fetching it, which is exactly the barrier
+  microbatching removes. Within an epoch the schedule-key order IS the
+  frozen C9 order, and seq remains a contiguous global total order.
 
 Exactly-once across restarts, two halves:
 - catalog writes: the committed state records (checkpoint id, last
   applied epoch); a re-delivered epoch is skipped — the
   stream_frontier_to_catalog contract.
-- inbox write-back: each epoch writes ONE deterministically-named
-  parquet file (coalesce(1) → atomic rename) BEFORE the catalog
-  commit and skips the write if the file exists. A crash between the
-  two re-delivers the epoch, which recomputes bit-identically from
-  the unchanged catalog state (fetch, ranks, canonicalization are all
-  deterministic), finds the file present, and proceeds to commit.
+- inbox write-back: each epoch publishes ONE deterministically-named
+  directory BEFORE the catalog commit and skips the publish if the
+  directory exists. A crash between the two re-delivers the epoch,
+  which recomputes bit-identically from the unchanged catalog state
+  (fetch, ranks, canonicalization are all deterministic), finds the
+  directory present, and proceeds to commit.
 """
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 
@@ -93,34 +133,54 @@ INBOX_SCHEMA = T.StructType(
 _FRONTIER_COLS = [f.name for f in INBOX_SCHEMA.fields]
 
 # tables THIS loop owns per epoch; everything else in the snapshot is
-# carried forward untouched (commit() keeps a table on None)
-_OWNED = {"url_seen", "crawl_order", "documents", "robots_cache", "host_state"}
+# carried forward untouched (commit() keeps a table on None). frontier
+# = the politeness-deferred backlog (replace-table, like the batch loop)
+_OWNED = {
+    "url_seen",
+    "crawl_order",
+    "documents",
+    "robots_cache",
+    "host_state",
+    "frontier",
+}
 
 
-def _write_inbox_file(rows: DataFrame, inbox: str, name: str) -> None:
-    """Atomically materialize one epoch's enqueue set as ONE parquet
-    file with a deterministic name; idempotent (exists ⇒ no-op). The
-    single-file form is what makes crash-replay safe with a file-stream
-    source: a re-delivered epoch can never leave a MIX of old and new
-    part files. (Kafka/Iceberg sinks make this moot in production.)"""
+def inbox_glob(inbox: str) -> str:
+    """The stream-source path: epoch DIRECTORIES one level under the
+    inbox root. Dot-prefixed entries (``.staging``) never match."""
+    return os.path.join(inbox, "*")
+
+
+def publish_epoch_dir(rows: DataFrame, inbox: str, name: str) -> None:
+    """Atomically publish one epoch's enqueue set as a DIRECTORY of
+    per-partition parquet files with a deterministic name; idempotent
+    (exists ⇒ no-op).
+
+    Every write task emits its own part file in parallel — there is no
+    single-task exchange anywhere in the write-back (the zero-row tick
+    is the only single-file case, and only because it has zero rows).
+    Atomicity comes from staging under the dot-prefixed ``.staging``
+    scratch dir (invisible to the ``inbox/*`` source glob) and ONE
+    ``os.rename`` of the completed directory into place: a re-delivered
+    epoch can never expose a MIX of old and new part files. (A
+    Kafka/Iceberg sink makes this moot in production.)"""
     final = os.path.join(inbox, name)
     if os.path.exists(final):
         return
-    tmp = os.path.join(inbox, f"_tmp_{name}")
+    stg_root = os.path.join(inbox, ".staging")
+    os.makedirs(stg_root, exist_ok=True)
+    tmp = os.path.join(stg_root, name)
     shutil.rmtree(tmp, ignore_errors=True)
-    rows.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = glob.glob(os.path.join(tmp, "part-*.parquet"))
-    assert len(part) == 1, part
-    os.replace(part[0], final)
-    shutil.rmtree(tmp, ignore_errors=True)
+    rows.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, final)
 
 
 def bootstrap_streaming(
     spark: SparkSession, cfg: CrawlConfig, inbox: str, catalog_root: str
 ) -> SnapshotCatalog:
-    """Snapshot 0 + the seed inbox file: seeds enter url_seen (exactly
-    as the batch bootstrap does) and the inbox as the first enqueued
-    frontier rows."""
+    """Snapshot 0 + the seed inbox directory: seeds enter url_seen
+    (exactly as the batch bootstrap does) and the inbox as the first
+    enqueued frontier rows; the deferred backlog starts empty."""
     os.makedirs(inbox, exist_ok=True)
     cat = SnapshotCatalog(catalog_root)
     frontier = bootstrap_frontier(spark, seed_urls(cfg.web), cfg.num_buckets)
@@ -138,6 +198,7 @@ def bootstrap_streaming(
             "host_state": empty(schemas.HOST_STATE),
             "crawl_order": empty(schemas.CRAWL_ORDER),
             "documents": empty(schemas.DOCUMENTS_OUT),
+            "frontier": empty(INBOX_SCHEMA),
         },
         state={
             "stream_next_seq": 1,
@@ -145,7 +206,7 @@ def bootstrap_streaming(
             "stream_fetched": 0,
         },
     )
-    _write_inbox_file(frontier.select(*_FRONTIER_COLS), inbox, "seed.parquet")
+    publish_epoch_dir(frontier.select(*_FRONTIER_COLS), inbox, "seed")
     return cat
 
 
@@ -158,7 +219,8 @@ def _commit_epoch(
     checkpoint: str,
 ) -> None:
     """One streaming epoch = one atomic snapshot (the run_batch body,
-    minus frontier scan/top-k select — arrivals ARE the selection)."""
+    minus frontier scan/top-k select — arrivals + the committed backlog
+    ARE the selection)."""
     spark = df.sparkSession
     head = cat.head()
     assert head is not None, "bootstrap_streaming must run first"
@@ -179,10 +241,19 @@ def _commit_epoch(
     url_seen = cat.read_table(spark, "url_seen", schemas.URL_SEEN)
     robots_cache = cat.read_table(spark, "robots_cache", schemas.ROBOTS_CACHE)
     host_state = cat.read_table(spark, "host_state", schemas.HOST_STATE)
+    backlog = cat.read_table(spark, "frontier", INBOX_SCHEMA)
 
-    # C8 + C7 — arrivals are already unique (enqueue-side dedup), the
-    # dropDuplicates is a defensive no-op on identical rows
-    sel = df.dropDuplicates(["canon_url"]).localCheckpoint(eager=True)
+    # C8 + C7 — candidates = this epoch's arrivals (new discoveries)
+    # plus the committed politeness backlog. The two sets are disjoint
+    # by construction (a URL enters the inbox exactly once, at
+    # discovery; deferred rows only ever live in the frontier table),
+    # so dropDuplicates is a defensive no-op on identical rows
+    sel = (
+        df.select(*_FRONTIER_COLS)
+        .unionByName(backlog)
+        .dropDuplicates(["canon_url"])
+        .localCheckpoint(eager=True)
+    )
     robots_cache2 = refresh_robots_cache(
         sel, robots_cache, cfg.web, ecount
     ).localCheckpoint(eager=True)
@@ -194,8 +265,12 @@ def _commit_epoch(
     _c = cand.agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("a"),
+        F.sum(
+            F.when(F.col("robots_ok") & ~F.col("admitted"), 1).otherwise(0)
+        ).alias("d"),
     ).collect()[0]
     n_fetched = int(_c["a"] or 0)
+    n_deferred = int(_c["d"] or 0)
 
     # C9 + C10/C11 — epoch-local deterministic order, seq continues
     admitted = assign_seq(
@@ -211,7 +286,11 @@ def _commit_epoch(
     winners = dedup_in_batch(events)
     new_unique = dedup_against_seen(winners, url_seen, None, P).persist()
 
-    # write-back BEFORE the catalog commit (see module docstring)
+    # write-back BEFORE the catalog commit (see module docstring): the
+    # inbox carries ONLY new discoveries; deferred rows go to the
+    # frontier table in the snapshot commit below. A zero-row directory
+    # still gets published while a backlog remains — the tick that
+    # keeps the file source firing until the backlog drains.
     enqueue = new_unique.select(
         F.col("target_url").alias("canon_url"),
         "url_hash",
@@ -221,19 +300,16 @@ def _commit_epoch(
         "depth",
         "seed_id",
         "parent_hash",
-    )
-    deferred = cand.filter(
-        F.col("robots_ok") & ~F.col("admitted")
-    ).select(*_FRONTIER_COLS)
-    out_rows = enqueue.unionByName(deferred).persist()
-    n_out = out_rows.count()
+    ).persist()
+    n_new = enqueue.count()
     ck_id = prev_state.get("crawl_ck_id") or os.path.basename(
         checkpoint.rstrip("/")
     )
-    if n_out > 0:
-        _write_inbox_file(
-            out_rows, inbox, f"epoch_{ck_id}_{int(epoch_id)}.parquet"
-        )
+    if n_new > 0 or n_deferred > 0:
+        publish_epoch_dir(enqueue, inbox, f"epoch_{ck_id}_{int(epoch_id)}")
+    deferred_next = cand.filter(
+        F.col("robots_ok") & ~F.col("admitted")
+    ).select(*_FRONTIER_COLS)
 
     url_seen_delta = new_unique.select(
         "url_hash",
@@ -273,6 +349,7 @@ def _commit_epoch(
             "documents": documents_delta,  # append
             "robots_cache": robots_cache2,
             "host_state": host_state2,
+            "frontier": deferred_next,  # replace: the remaining backlog
         },
         state={
             **prev_state,
@@ -288,7 +365,7 @@ def _commit_epoch(
     cand.unpersist()
     fetched.unpersist()
     new_unique.unpersist()
-    out_rows.unpersist()
+    enqueue.unpersist()
 
 
 def run_crawl_streaming(
@@ -300,10 +377,10 @@ def run_crawl_streaming(
     max_cycles: int | None = None,
 ) -> SnapshotCatalog:
     """Drive the self-feeding loop: availableNow cycles until one
-    applies zero epochs (inbox drained — every enqueued URL fetched or
-    robots-dropped). ``max_cycles`` stops early for restart tests; a
-    later call with the same (inbox, checkpoint, catalog_root) resumes
-    exactly where the stream left off."""
+    applies zero epochs (inbox drained AND backlog empty — every
+    enqueued URL fetched or robots-dropped). ``max_cycles`` stops early
+    for restart tests; a later call with the same (inbox, checkpoint,
+    catalog_root) resumes exactly where the stream left off."""
     cat = SnapshotCatalog(catalog_root)
     if cat.head() is None:
         cat = bootstrap_streaming(spark, cfg, inbox, catalog_root)
@@ -312,7 +389,7 @@ def run_crawl_streaming(
         before = int((cat.state() or {}).get("crawl_epochs", 0))
         q = (
             spark.readStream.schema(INBOX_SCHEMA)
-            .parquet(inbox)
+            .parquet(inbox_glob(inbox))
             .writeStream.foreachBatch(
                 lambda bdf, eid: _commit_epoch(
                     bdf, eid, cfg, cat, inbox, checkpoint
