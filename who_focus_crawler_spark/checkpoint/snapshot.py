@@ -28,17 +28,41 @@ field-id → physical-column-name mapping of the files it wrote;
 and `read_table_evolved` resolves every historical file through its own
 mapping — no data file is ever rewritten for a schema change.
 
-Row-level deletes are Iceberg v2 merge-on-read EQUALITY deletes:
-`delete_where` writes a small parquet file of key tuples and publishes a
-metadata commit — no data file is rewritten. Each delete file carries the
-snapshot id it was committed at, and `read_table` anti-joins a data
-file-set only against deletes COMMITTED AFTER that file-set was written
-(Iceberg's sequence-number rule), so a key re-appended after its delete
-is visible while the pre-delete row stays dead. `compact_table` folds
-live deletes into the rewrite and clears them; `expire_snapshots` keeps
-delete files any retained manifest references. Position deletes are not
-modeled (the shim has no stable row ordinal); equality deletes are the
-shape a crawl/corpus pipeline needs (retract by doc_id / canon_url).
+Row-level deletes are Iceberg v2 merge-on-read deletes, BOTH kinds:
+
+- EQUALITY deletes (`delete_where`): a small parquet file of key tuples
+  plus a metadata commit — no data file is rewritten. Each delete file
+  carries the snapshot id it was committed at, and `read_table`
+  anti-joins a data file-set only against deletes COMMITTED AFTER that
+  file-set was written (Iceberg's sequence-number rule: eq deletes apply
+  to files with a STRICTLY SMALLER sequence number), so a key
+  re-appended after its delete is visible while the pre-delete row
+  stays dead.
+- POSITIONAL deletes (`delete_positions` / `delete_matching_positions`):
+  a parquet file of (file_path, pos) pairs addressing physical parquet
+  files (as Spark's `_metadata.file_path` reports them) and 0-based row
+  ordinals within each file (`_metadata.row_index` — stable for
+  immutable parquet). Readers attach the hidden `_metadata` columns and
+  anti-join on the pair; per the Iceberg spec, pos deletes apply to
+  files with sequence number ≤ the delete's (they name exact paths, so
+  a re-appended row — a NEW file — can never be over-deleted).
+
+`compact_table` folds live deletes of both kinds into the rewrite and
+clears them; `expire_snapshots` keeps delete files any retained manifest
+references. Positional deletes survive compaction semantics trivially:
+the compacted file-set has new paths, so stale pairs address nothing.
+
+Partition-spec evolution (Iceberg `update_spec`) is modeled in
+`set_partition_spec` + the commit write path: the manifest records the
+CURRENT spec per table and, per file-set, the spec it was written under.
+Writes lay data out in Hive-style value directories (the partition value
+is ALSO kept as a data column, so reads never depend on directory
+inference); a read plans one scan per distinct layout, and
+`scan_table_partitions` prunes partition directories from the manifest
+the way Iceberg prunes on manifest partition tuples — Spark only ever
+sees the surviving leaf directories. Evolving the spec is a
+metadata-only commit: old file-sets keep their layout, new writes use
+the new one.
 """
 
 from __future__ import annotations
@@ -62,6 +86,14 @@ def _stat_json(v):
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return None
+
+def _as_struct(schema) -> T.StructType:
+    """Readers accept a StructType OR a DDL string ("id bigint, ...") —
+    the same contract as spark.read.schema()."""
+    if isinstance(schema, str):
+        return T._parse_datatype_string(schema)
+    return schema
+
 
 APPEND_TABLES = {
     "crawl_order",
@@ -164,9 +196,12 @@ class SnapshotCatalog:
             prev = self.manifest(head)
         else:
             prev = self.manifest(snapshot_id - 1) if snapshot_id > 0 else None
+        pspecs = (prev or {}).get("partition_specs", {})
+
         def write(name: str, df: DataFrame) -> tuple[str, str]:
             path = self.root / "data" / name / f"snap-{snapshot_id:06d}"
-            df.coalesce(num_files).write.mode("overwrite").parquet(str(path))
+            spec = (pspecs.get(name) or {}).get("current")
+            self._write_fileset(df, path, spec, num_files)
             return name, str(path)
 
         # write table files concurrently — Spark supports multi-threaded
@@ -191,6 +226,98 @@ class SnapshotCatalog:
             self.set_ref(branch, snapshot_id)
         else:
             self._publish(manifest)
+
+    @staticmethod
+    def _write_fileset(
+        df: DataFrame, path: Path, spec: list[dict] | None, num_files: int
+    ) -> None:
+        """Write one file-set. Unpartitioned: plain coalesced parquet.
+        Under a partition spec: compute each partition value, keep it as
+        a DATA column (reads never depend on Spark's directory
+        inference — multiple file-set roots can't share a discovery
+        base), and lay files out in Hive-style ``_d_<name>=<value>``
+        directories via a duplicate column so the catalog's scan planner
+        can prune whole directories from the manifest."""
+        if not spec:
+            df.coalesce(num_files).write.mode("overwrite").parquet(str(path))
+            return
+        from who_focus_crawler_spark.checkpoint.partition import (
+            transform_expr,
+            validate_spec,
+        )
+
+        validate_spec(spec, df.columns)
+        types = dict(df.dtypes)
+        out = df
+        dir_cols = []
+        for f in spec:
+            val = transform_expr(f, F.col(f["source"]), types[f["source"]])
+            out = out.withColumn(f["name"], val).withColumn(
+                f"_d_{f['name']}", F.col(f["name"])
+            )
+            dir_cols.append(f"_d_{f['name']}")
+        out.coalesce(num_files).write.mode("overwrite").partitionBy(
+            *dir_cols
+        ).parquet(str(path))
+
+    def _read_files(
+        self,
+        spark: SparkSession,
+        schema: T.StructType,
+        paths: list[str],
+        spec: list[dict] | None = None,
+        keep_fields: list[dict] | None = None,
+        with_pos: bool = False,
+    ) -> DataFrame:
+        """One scan over file-sets sharing one partition layout,
+        normalized to ``schema`` (+ requested partition columns typed
+        NULL where this layout lacks them, + ``_file_path``/``_row_pos``
+        lineage when positional deletes need them). Partitioned layouts
+        read with recursiveFileLookup — partition values live in the
+        data files, the ``_d_*`` directories exist only for pruning."""
+        from who_focus_crawler_spark.checkpoint.partition import (
+            transform_output_type,
+        )
+
+        schema = _as_struct(schema)
+        lineage = (
+            [
+                F.col("_metadata.file_path").alias("_file_path"),
+                F.col("_metadata.row_index").alias("_row_pos"),
+            ]
+            if with_pos
+            else []
+        )
+        src_types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        if not spec:
+            df = spark.read.schema(schema).parquet(*paths)
+            have: set[str] = set(df.columns)
+        else:
+            full = T.StructType(list(schema.fields))
+            for f in spec:
+                full = full.add(
+                    f["name"],
+                    T._parse_datatype_string(  # DDL names ("int", "bigint")
+                        transform_output_type(f, src_types[f["source"]])
+                    ),
+                )
+            df = (
+                spark.read.schema(full)
+                .option("recursiveFileLookup", "true")
+                .parquet(*paths)
+            )
+            have = {f.name for f in full.fields}
+        cols = [F.col(f.name) for f in schema.fields]
+        for f in keep_fields or []:
+            if f["name"] in have:
+                cols.append(F.col(f["name"]))
+            else:
+                cols.append(
+                    F.lit(None)
+                    .cast(transform_output_type(f, src_types[f["source"]]))
+                    .alias(f["name"])
+                )
+        return df.select(*cols, *lineage)
 
     def _file_stats(
         self,
@@ -301,6 +428,27 @@ class SnapshotCatalog:
             stats[name] = {
                 p: s for p, s in stats[name].items() if p in live
             }
+        # partition specs: new file-sets record the spec they were
+        # written under (write() consulted the same prev manifest);
+        # superseded file-sets drop their layout mapping like schemas
+        pspecs: dict = (
+            json.loads(json.dumps(prev.get("partition_specs", {})))
+            if prev
+            else {}
+        )
+        for name, df in tables.items():
+            if df is None or name not in written:
+                continue
+            ent = pspecs.get(name)
+            if ent and ent.get("current"):
+                ent.setdefault("file_spec", {})[written[name]] = ent["current"]
+        for name, ent in pspecs.items():
+            live = set(entry.get(name, []))
+            ent["file_spec"] = {
+                p: s
+                for p, s in (ent.get("file_spec") or {}).items()
+                if p in live
+            }
         return {
             "snapshot_id": snapshot_id,
             "committed_at": time.time(),
@@ -309,6 +457,7 @@ class SnapshotCatalog:
             "schemas": schemas,
             "deletes": dict(prev.get("deletes", {})) if prev else {},
             "stats": stats,
+            "partition_specs": pspecs,
             "parent": head,
         }
 
@@ -393,10 +542,15 @@ class SnapshotCatalog:
         from concurrent.futures import ThreadPoolExecutor
 
         to_write = {n: df for n, df in tables.items() if df is not None}
+        base_for_spec = (
+            self.manifest(base_snapshot) if base_snapshot is not None else None
+        )
+        base_pspecs = (base_for_spec or {}).get("partition_specs", {})
 
         def write(name: str, df: DataFrame) -> tuple[str, str]:
             path = self.root / "data" / name / f"occ-{token}"
-            df.coalesce(num_files).write.mode("overwrite").parquet(str(path))
+            spec = (base_pspecs.get(name) or {}).get("current")
+            self._write_fileset(df, path, spec, num_files)
             return name, str(path)
 
         with ThreadPoolExecutor(max_workers=max(len(to_write), 1)) as ex:
@@ -429,9 +583,22 @@ class SnapshotCatalog:
                     for name in append_names:
                         if cdel.get(name, []) != bdel.get(name, []):
                             raise CommitConflict(
-                                f"equality deletes on {name!r} committed "
+                                f"row-level deletes on {name!r} committed "
                                 f"after base {base_snapshot} conflict with "
                                 f"this append"
+                            )
+                    # our staged data was laid out under the BASE spec;
+                    # a concurrent spec evolution would make the recorded
+                    # file_spec lie about the directory layout
+                    cspec = (prev or {}).get("partition_specs") or {}
+                    for name in to_write:
+                        if (base_pspecs.get(name) or {}).get("current") != (
+                            cspec.get(name) or {}
+                        ).get("current"):
+                            raise CommitConflict(
+                                f"partition spec of {name!r} evolved after "
+                                f"base {base_snapshot} — restage under the "
+                                "new layout"
                             )
                 with open(lock_path, "w") as lf:
                     fcntl.flock(lf, fcntl.LOCK_EX)
@@ -494,7 +661,16 @@ class SnapshotCatalog:
         name: str,
         schema: T.StructType,
         snapshot_id: int | str | None = None,
+        keep_partition_cols: bool = False,
+        keep_pos: bool = False,
     ) -> DataFrame | None:
+        """Merge-on-read view of a table at a snapshot: one scan per
+        distinct partition layout (unpartitioned tables: exactly one),
+        row-level deletes of both kinds applied per the sequence-number
+        rules. ``keep_partition_cols`` appends the CURRENT spec's
+        partition columns (typed NULL for file-sets predating them);
+        ``keep_pos`` appends ``_file_path``/``_row_pos`` lineage —
+        the address space positional deletes use."""
         sid = self._resolve(snapshot_id)
         if sid is None:
             return None
@@ -503,9 +679,36 @@ class SnapshotCatalog:
         if not files:
             return None
         deletes = manifest.get("deletes", {}).get(name, [])
-        if not deletes:
-            return spark.read.schema(schema).parquet(*files)
-        return self._read_with_deletes(spark, schema, files, deletes)
+        pentry = manifest.get("partition_specs", {}).get(name, {})
+        fspec = pentry.get("file_spec", {}) or {}
+        keep_fields = (
+            list(pentry.get("current") or []) if keep_partition_cols else []
+        )
+        groups: dict[str, list[str]] = {}
+        for p in files:
+            key = json.dumps(fspec.get(p) or [], sort_keys=True)
+            groups.setdefault(key, []).append(p)
+        parts = []
+        for key, paths in sorted(groups.items()):
+            spec = json.loads(key) or None
+            if deletes:
+                parts.append(
+                    self._read_with_deletes(
+                        spark, schema, paths, deletes,
+                        spec=spec, keep_fields=keep_fields, keep_pos=keep_pos,
+                    )
+                )
+            else:
+                parts.append(
+                    self._read_files(
+                        spark, schema, paths,
+                        spec=spec, keep_fields=keep_fields, with_pos=keep_pos,
+                    )
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ------------------------------------------------------ row-level deletes
     @staticmethod
@@ -520,16 +723,21 @@ class SnapshotCatalog:
         schema: T.StructType,
         files: list[str],
         deletes: list[dict],
+        spec: list[dict] | None = None,
+        keep_fields: list[dict] | None = None,
+        keep_pos: bool = False,
     ) -> DataFrame:
         """Merge-on-read: group data file-sets by WHICH delete files apply
-        (only deletes committed after the file-set — Iceberg sequence
-        numbers), anti-join each group against its applicable keys, union.
+        (Iceberg sequence numbers: equality deletes apply to file-sets
+        with strictly smaller sequence number, positional deletes to ≤),
+        anti-join each group against its applicable keys/positions, union.
 
         In practice there are few groups (often just "all deletes apply"
         for old files and "none" for newer ones), so this stays at one or
-        two scans. Delete sets are tiny next to data, so the key side
-        broadcasts; NULL key values match NULL (eqNullSafe), per the
-        Iceberg equality-delete spec.
+        two scans. Delete sets are tiny next to data, so the delete side
+        broadcasts; NULL equality-key values match NULL (eqNullSafe), per
+        the Iceberg equality-delete spec. ``files`` must share one
+        partition layout (``spec``) — read_table groups by layout first.
         """
         from functools import reduce
 
@@ -538,21 +746,50 @@ class SnapshotCatalog:
         groups: dict[tuple, list[str]] = {}
         for p in files:
             dsid = self._file_sid(p)
-            appl = tuple(
-                sorted(d["path"] for d in deletes if d["sid"] > dsid)
+            eq = tuple(
+                sorted(
+                    d["path"]
+                    for d in deletes
+                    if d.get("kind", "eq") == "eq" and d["sid"] > dsid
+                )
             )
-            groups.setdefault(appl, []).append(p)
-        key_cols = deletes[0]["keys"]
+            pos = tuple(
+                sorted(
+                    d["path"]
+                    for d in deletes
+                    if d.get("kind") == "pos" and d["sid"] >= dsid
+                )
+            )
+            groups.setdefault((eq, pos), []).append(p)
+        eq_keys = next(
+            (d["keys"] for d in deletes if d.get("kind", "eq") == "eq"), None
+        )
         parts = []
-        for appl, paths in sorted(groups.items()):
-            df = spark.read.schema(schema).parquet(*paths)
-            if appl:
-                kdf = spark.read.parquet(*appl).select(*key_cols).distinct()
+        for (eq, pos), paths in sorted(groups.items()):
+            with_pos = bool(pos) or keep_pos
+            df = self._read_files(
+                spark, schema, paths,
+                spec=spec, keep_fields=keep_fields, with_pos=with_pos,
+            )
+            if pos:
+                pdf = (
+                    spark.read.parquet(*pos)
+                    .select("file_path", "pos")
+                    .distinct()
+                )
+                cond = (df["_file_path"] == pdf["file_path"]) & (
+                    df["_row_pos"] == pdf["pos"]
+                )
+                df = df.join(F.broadcast(pdf), cond, "left_anti")
+            if eq:
+                kdf = spark.read.parquet(*eq).select(*eq_keys).distinct()
                 cond = reduce(
                     lambda a, b: a & b,
-                    [df[k].eqNullSafe(kdf[k]) for k in key_cols],
+                    [df[k].eqNullSafe(kdf[k]) for k in eq_keys],
                 )
                 df = df.join(F.broadcast(kdf), cond, "left_anti")
+            if with_pos and not keep_pos:
+                df = df.drop("_file_path", "_row_pos")
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -586,7 +823,11 @@ class SnapshotCatalog:
             raise ValueError("delete_where: no snapshot to delete from")
         manifest = self.manifest(head)
         key_cols = list(keys_df.columns)
-        existing = manifest.get("deletes", {}).get(name, [])
+        existing = [
+            d
+            for d in manifest.get("deletes", {}).get(name, [])
+            if d.get("kind", "eq") == "eq"
+        ]
         if existing and existing[0]["keys"] != key_cols:
             raise ValueError(
                 f"delete_where: table {name!r} already has deletes keyed "
@@ -597,15 +838,30 @@ class SnapshotCatalog:
         keys_df.distinct().coalesce(1).write.mode("overwrite").parquet(
             str(path)
         )
+        return self._publish_delete(
+            manifest,
+            name,
+            {
+                "path": str(path),
+                "sid": new_sid,
+                "keys": key_cols,
+                "kind": "eq",
+            },
+        )
+
+    def _publish_delete(self, manifest: dict, name: str, record: dict) -> dict:
+        """Metadata commit adding one delete file to ``name`` — tables,
+        state, schemas, partition specs and stats all carry forward
+        (deletes only remove rows, so recorded min/max stay valid
+        conservative bounds)."""
+        head = manifest["snapshot_id"]
         deletes = {
             t: list(ds) for t, ds in manifest.get("deletes", {}).items()
         }
-        deletes.setdefault(name, []).append(
-            {"path": str(path), "sid": new_sid, "keys": key_cols}
-        )
+        deletes.setdefault(name, []).append(record)
         self._publish(
             {
-                "snapshot_id": new_sid,
+                "snapshot_id": record["sid"],
                 "committed_at": time.time(),
                 "tables": {
                     n: list(fs) for n, fs in manifest["tables"].items()
@@ -613,13 +869,79 @@ class SnapshotCatalog:
                 "state": manifest["state"],
                 "schemas": manifest.get("schemas", {}),
                 "deletes": deletes,
-                # deletes only remove rows: recorded min/max remain valid
-                # conservative bounds, so stats carry forward unchanged
                 "stats": manifest.get("stats", {}),
+                "partition_specs": manifest.get("partition_specs", {}),
                 "parent": head,
             }
         )
-        return {"snapshot_id": new_sid, "delete_file": str(path)}
+        return {"snapshot_id": record["sid"], "delete_file": record["path"]}
+
+    def delete_positions(
+        self,
+        spark: SparkSession,
+        name: str,
+        pos_df: DataFrame,
+    ) -> dict:
+        """Positional delete (Iceberg v2, merge-on-read): publish a
+        snapshot in which the rows of append table ``name`` addressed by
+        ``pos_df`` — columns exactly ``(file_path: string, pos: long)``,
+        a physical parquet file path as ``_metadata.file_path`` reports
+        it plus the 0-based row ordinal within that file
+        (``_metadata.row_index``) — are dead, WITHOUT rewriting any data
+        file. Readers anti-join on the pair; a file appended after this
+        delete has a new path, so it can never be over-deleted
+        (the sequence-number rule holds by construction)."""
+        if name not in APPEND_TABLES:
+            raise ValueError(
+                f"delete_positions: {name!r} is a replace table — filter "
+                "its next commit instead of issuing a delete"
+            )
+        if list(pos_df.columns) != ["file_path", "pos"]:
+            raise ValueError(
+                "delete_positions: pos_df must have exactly the columns "
+                f"(file_path, pos) — got {pos_df.columns}"
+            )
+        head = self.head()
+        if head is None:
+            raise ValueError("delete_positions: no snapshot to delete from")
+        manifest = self.manifest(head)
+        new_sid = head + 1
+        path = self.root / "data" / name / f"delete-{new_sid:06d}"
+        pos_df.distinct().coalesce(1).write.mode("overwrite").parquet(
+            str(path)
+        )
+        return self._publish_delete(
+            manifest,
+            name,
+            {"path": str(path), "sid": new_sid, "kind": "pos"},
+        )
+
+    def delete_matching_positions(
+        self,
+        spark: SparkSession,
+        name: str,
+        schema: T.StructType,
+        condition,
+    ) -> dict:
+        """Predicate delete through the POSITIONAL path: one scan of the
+        table's current live rows (with file/ordinal lineage attached)
+        finds the positions matching ``condition``; they become one
+        positional-delete file. Unlike `delete_matching` this needs no
+        key column — it retracts exact physical rows, duplicates and
+        all. No-op (no commit) when nothing matches."""
+        live = self.read_table(spark, name, schema, keep_pos=True)
+        if live is None:
+            return {"deleted": 0}
+        pos = live.filter(condition).select(
+            F.col("_file_path").alias("file_path"),
+            F.col("_row_pos").alias("pos"),
+        )
+        n = pos.count()
+        if n == 0:
+            return {"deleted": 0}
+        res = self.delete_positions(spark, name, pos)
+        res["deleted"] = n
+        return res
 
     def delete_matching(
         self,
@@ -696,14 +1018,138 @@ class SnapshotCatalog:
             return None
         deletes = manifest.get("deletes", {}).get(name, [])
         if deletes:
-            df = self._read_with_deletes(spark, schema, kept, deletes)
+            fspec = (
+                manifest.get("partition_specs", {}).get(name, {}) or {}
+            ).get("file_spec", {}) or {}
+            groups: dict[str, list[str]] = {}
+            for p in kept:
+                key = json.dumps(fspec.get(p) or [], sort_keys=True)
+                groups.setdefault(key, []).append(p)
+            parts = [
+                self._read_with_deletes(
+                    spark, schema, ps, deletes, spec=json.loads(k) or None
+                )
+                for k, ps in sorted(groups.items())
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
         else:
-            df = spark.read.schema(schema).parquet(*kept)
+            df = self._read_filesets(spark, schema, kept, manifest, name)
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
+
+    def scan_table_partitions(
+        self,
+        spark: SparkSession,
+        name: str,
+        schema: T.StructType,
+        col: str,
+        value,
+        snapshot_id: int | str | None = None,
+        stats_out: dict | None = None,
+    ) -> DataFrame | None:
+        """Point scan (``col == value``) with PARTITION pruning planned
+        from the manifest — the way Iceberg prunes on manifest partition
+        tuples, not via Spark's directory discovery. For every file-set
+        written under a spec that transforms ``col``, only the one
+        ``_d_<pcol>=<v>`` value directory that can hold matching rows is
+        read; the transform of ``value`` is computed once per distinct
+        spec field with a 1-row job (bucket needs xxhash64 — the engine's
+        hash, evaluated where it is defined). A file-set whose value
+        directory is absent contributes NOTHING — it is pruned without
+        opening a single file. File-sets with no transform on ``col``
+        (older layouts, unpartitioned) are read in full, conservatively.
+        The exact predicate re-applies to surviving rows.
+
+        Tables with live row-level deletes fall back to the unpruned
+        merge-on-read scan (correctness first; delete applicability is
+        tracked per file-set root, not per value directory).
+
+        ``stats_out``: {"filesets", "pruned_filesets", "dirs_candidates",
+        "dirs_read"}. Returns None when nothing survives pruning.
+        """
+        from urllib.parse import unquote
+
+        from who_focus_crawler_spark.checkpoint.partition import (
+            partition_value_expr,
+        )
+
+        sid = self._resolve(snapshot_id)
+        if sid is None:
+            return None
+        manifest = self.manifest(sid)
+        files = manifest["tables"].get(name, [])
+        if not files:
+            return None
+        if manifest.get("deletes", {}).get(name):
+            df = self.read_table(spark, name, schema, sid)
+            return df.filter(F.col(col) == F.lit(value)) if df is not None else None
+        fspec = (
+            manifest.get("partition_specs", {}).get(name, {}) or {}
+        ).get("file_spec", {}) or {}
+        schema = _as_struct(schema)
+        src_types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        tval_cache: dict[str, object] = {}
+        # (layout json) -> list of paths to hand Spark (leaf dirs or roots)
+        survivors: dict[str, list[str]] = {}
+        n_pruned = dirs_cand = dirs_read = 0
+        for p in files:
+            spec = fspec.get(p) or []
+            field = next((f for f in spec if f["source"] == col), None)
+            key = json.dumps(spec, sort_keys=True)
+            if field is None:
+                survivors.setdefault(key, []).append(p)
+                continue
+            fkey = json.dumps(field, sort_keys=True)
+            if fkey not in tval_cache:
+                tval_cache[fkey] = spark.range(1).select(
+                    partition_value_expr(field, value, src_types[col])
+                ).collect()[0][0]
+            tval = str(tval_cache[fkey])
+            prefix = f"_d_{field['name']}="
+            # the field's value directories may sit below other spec
+            # fields' directories — prune at the field's own level,
+            # keeping every matching subtree
+            cands = [
+                d
+                for d in Path(p).rglob(f"{prefix}*")
+                if d.is_dir()
+            ]
+            if not cands:  # empty/odd layout: read the root, conservative
+                survivors.setdefault(key, []).append(p)
+                continue
+            dirs_cand += len(cands)
+            hits = [
+                str(d)
+                for d in cands
+                if unquote(d.name[len(prefix):]) == tval
+            ]
+            if not hits:
+                n_pruned += 1
+                continue
+            dirs_read += len(hits)
+            survivors.setdefault(key, []).extend(hits)
+        if stats_out is not None:
+            stats_out.update(
+                filesets=len(files),
+                pruned_filesets=n_pruned,
+                dirs_candidates=dirs_cand,
+                dirs_read=dirs_read,
+            )
+        if not survivors:
+            return None
+        parts = [
+            self._read_files(spark, schema, ps, spec=json.loads(k) or None)
+            for k, ps in sorted(survivors.items())
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.filter(F.col(col) == F.lit(value))
 
     def state(self, snapshot_id: int | str | None = None) -> dict | None:
         sid = self._resolve(snapshot_id)
@@ -979,10 +1425,61 @@ class SnapshotCatalog:
                     for t, st in manifest.get("stats", {}).items()
                     if t != name
                 },
+                "partition_specs": manifest.get("partition_specs", {}),
                 "parent": head,
             }
         )
         return {"snapshot_id": new_sid, "schema": entry["current"]}
+
+    # ------------------------------------------------- partition evolution
+    def set_partition_spec(
+        self, name: str, spec: list[dict] | None
+    ) -> dict:
+        """Iceberg `update_spec`: a METADATA-ONLY commit changing how
+        FUTURE file-sets of ``name`` are laid out. Each spec field is
+        ``{"source": col, "transform": t, "name": partition_col}`` with
+        transforms identity / bucket[N] / truncate[W] / year / month /
+        day / hour (checkpoint/partition.py). Old file-sets keep the
+        layout they were written under and stay readable — a read plans
+        one scan per distinct layout, exactly like `read_table_evolved`
+        plans one scan per physical schema. ``spec=None`` reverts to
+        unpartitioned writes."""
+        head = self.head()
+        if head is None:
+            raise ValueError("set_partition_spec: no snapshot to evolve")
+        manifest = self.manifest(head)
+        pspecs = json.loads(
+            json.dumps(manifest.get("partition_specs", {}))
+        )
+        if spec is not None:
+            sch = manifest.get("schemas", {}).get(name)
+            if sch is not None:
+                from who_focus_crawler_spark.checkpoint.partition import (
+                    validate_spec,
+                )
+
+                validate_spec(spec, [f["name"] for f in sch["current"]])
+            ent = pspecs.setdefault(name, {"current": None, "file_spec": {}})
+            ent["current"] = spec
+        elif name in pspecs:
+            pspecs[name]["current"] = None
+        new_sid = head + 1
+        self._publish(
+            {
+                "snapshot_id": new_sid,
+                "committed_at": time.time(),
+                "tables": {
+                    n: list(fs) for n, fs in manifest["tables"].items()
+                },
+                "state": manifest["state"],
+                "schemas": manifest.get("schemas", {}),
+                "deletes": manifest.get("deletes", {}),
+                "stats": manifest.get("stats", {}),
+                "partition_specs": pspecs,
+                "parent": head,
+            }
+        )
+        return {"snapshot_id": new_sid, "spec": spec}
 
     def read_table_evolved(
         self,
@@ -1130,6 +1627,17 @@ class SnapshotCatalog:
             raise ValueError("compact_table: sort_by and zorder_by are exclusive")
         new_sid = head + 1
         path = self.root / "data" / name / f"compact-{new_sid:06d}"
+        pentry = manifest.get("partition_specs", {}).get(name, {}) or {}
+        cur_spec = pentry.get("current")
+        partitioned = bool(cur_spec) or any(
+            (pentry.get("file_spec") or {}).get(p) for p in files
+        )
+        if partitioned and (sort_by or zorder_by):
+            raise ValueError(
+                "compact_table: sort/zorder rewrites are not supported on "
+                "partitioned tables — revert the spec first "
+                "(set_partition_spec(name, None))"
+            )
         sch = manifest.get("schemas", {}).get(name)
         # a table is EVOLVED (not merely schema-tracked — commit() records
         # a schemas entry for every table) iff some live file was written
@@ -1142,20 +1650,26 @@ class SnapshotCatalog:
                 for p in files
             )
         if evolved:
-            if live_deletes:
-                # per-file-set delete applicability and per-layout field-id
-                # resolution would have to be intersected; keep the shim
-                # simple — fold deletes before or after evolving, not both
-                # in one rewrite
+            if live_deletes or partitioned:
+                # per-file-set delete applicability / partition layout and
+                # per-layout field-id resolution would have to be
+                # intersected; keep the shim simple — normalize one axis
+                # at a time
                 raise ValueError(
-                    f"compact_table: {name!r} has both schema evolution and "
-                    "live deletes — compact before evolving (or apply "
-                    "deletes first with a plain-schema compaction)"
+                    f"compact_table: {name!r} has schema evolution combined "
+                    "with live deletes or partition layouts — compact "
+                    "before evolving (or fold deletes/layouts first)"
                 )
             # evolved tables must be read through the field-id mapping
             # (old files may carry pre-rename physical names); the
             # rewrite then normalizes every file to the current schema
             df = self.read_table_evolved(spark, name, head)
+        elif partitioned:
+            # layout-aware merge-on-read view (one scan per layout, both
+            # delete kinds applied); the rewrite below re-lays everything
+            # out under the CURRENT spec — Iceberg's rewrite_data_files
+            # migrating old-spec files to the new spec
+            df = self.read_table(spark, name, schema, head)
         elif live_deletes:
             # Iceberg rewrite-with-deletes: the compacted file-set is the
             # merge-on-read view, and the delete files are cleared below
@@ -1203,9 +1717,16 @@ class SnapshotCatalog:
             else:
                 df = df.coalesce(1)
             df = df.sortWithinPartitions(*sort_by)
+        if zorder_by or sort_by:
+            df.write.mode("overwrite").parquet(str(path))
         else:
-            df = df.coalesce(num_files)
-        df.write.mode("overwrite").parquet(str(path))
+            # plain rewrite — for partitioned tables this re-lays
+            # everything out under the CURRENT spec (or unpartitioned
+            # when the spec was reverted): Iceberg's rewrite_data_files
+            # migrating old-spec files to the new layout
+            self._write_fileset(
+                df, path, cur_spec if partitioned else None, num_files
+            )
         entry = {n: list(fs) for n, fs in manifest["tables"].items()}
         entry[name] = [str(path)]
         schemas = json.loads(json.dumps(manifest.get("schemas", {})))
@@ -1221,6 +1742,15 @@ class SnapshotCatalog:
             for t, ds in manifest.get("deletes", {}).items()
             if t != name  # folded into the rewrite
         }
+        pspecs = json.loads(
+            json.dumps(manifest.get("partition_specs", {}))
+        )
+        if name in pspecs:
+            # the compacted file-set is the table's only one; it was
+            # written under the current spec (or unpartitioned)
+            pspecs[name]["file_spec"] = (
+                {str(path): cur_spec} if (partitioned and cur_spec) else {}
+            )
         self._publish(
             {
                 "snapshot_id": new_sid,
@@ -1236,6 +1766,7 @@ class SnapshotCatalog:
                     for t, st in manifest.get("stats", {}).items()
                     if t != name
                 },
+                "partition_specs": pspecs,
                 "parent": head,
             }
         )
@@ -1246,6 +1777,37 @@ class SnapshotCatalog:
             "files_after": num_files,
             "deletes_applied": len(live_deletes),
         }
+
+    def _read_filesets(
+        self,
+        spark: SparkSession,
+        schema: T.StructType,
+        paths: list[str],
+        manifest: dict,
+        name: str,
+        with_pos: bool = False,
+    ) -> DataFrame:
+        """Delete-free read of specific file-sets, one scan per distinct
+        partition layout — the shared reader for incremental/changelog
+        scans, which pick their own file lists."""
+        fspec = (
+            manifest.get("partition_specs", {}).get(name, {}) or {}
+        ).get("file_spec", {}) or {}
+        groups: dict[str, list[str]] = {}
+        for p in paths:
+            key = json.dumps(fspec.get(p) or [], sort_keys=True)
+            groups.setdefault(key, []).append(p)
+        parts = [
+            self._read_files(
+                spark, schema, ps, spec=json.loads(k) or None,
+                with_pos=with_pos,
+            )
+            for k, ps in sorted(groups.items())
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # --------------------------------------------------- incremental scan
     def incremental_scan(
@@ -1301,7 +1863,7 @@ class SnapshotCatalog:
             )
         if not new:
             return None
-        return spark.read.schema(schema).parquet(*new)
+        return self._read_filesets(spark, schema, new, manifest, name)
 
     def changelog_scan(
         self,
@@ -1370,31 +1932,69 @@ class SnapshotCatalog:
 
         parts = [
             tag(
-                spark.read.schema(schema).parquet(f),
+                self._read_filesets(spark, schema, [f], manifest, name),
                 "insert",
                 self._file_sid(f),
             )
             for f in in_window
         ]
+        fspec = (
+            manifest.get("partition_specs", {}).get(name, {}) or {}
+        ).get("file_spec", {}) or {}
         for d in win_dels:
             # rows visible just before this delete: file-sets older than
             # it, minus what EARLIER deletes already killed
             base = [f for f in files if self._file_sid(f) < d["sid"]]
             if not base:
                 continue
+            is_pos = d.get("kind") == "pos"
             earlier = [e for e in all_dels if e["sid"] < d["sid"]]
-            if earlier:
-                visible = self._read_with_deletes(spark, schema, base, earlier)
+            groups: dict[str, list[str]] = {}
+            for p in base:
+                key = json.dumps(fspec.get(p) or [], sort_keys=True)
+                groups.setdefault(key, []).append(p)
+            vis_parts = []
+            for key, ps in sorted(groups.items()):
+                sp = json.loads(key) or None
+                if earlier:
+                    vis_parts.append(
+                        self._read_with_deletes(
+                            spark, schema, ps, earlier,
+                            spec=sp, keep_pos=is_pos,
+                        )
+                    )
+                else:
+                    vis_parts.append(
+                        self._read_files(
+                            spark, schema, ps, spec=sp, with_pos=is_pos
+                        )
+                    )
+            visible = vis_parts[0]
+            for p in vis_parts[1:]:
+                visible = visible.unionByName(p)
+            if is_pos:
+                pairs = (
+                    spark.read.parquet(d["path"])
+                    .select("file_path", "pos")
+                    .distinct()
+                )
+                cond = (visible["_file_path"] == pairs["file_path"]) & (
+                    visible["_row_pos"] == pairs["pos"]
+                )
+                removed = visible.join(
+                    F.broadcast(pairs), cond, "left_semi"
+                ).drop("_file_path", "_row_pos")
             else:
-                visible = spark.read.schema(schema).parquet(*base)
-            keys = (
-                spark.read.parquet(d["path"]).select(*d["keys"]).distinct()
-            )
-            cond = reduce(
-                lambda a, b: a & b,
-                [visible[k].eqNullSafe(keys[k]) for k in d["keys"]],
-            )
-            removed = visible.join(F.broadcast(keys), cond, "left_semi")
+                keys = (
+                    spark.read.parquet(d["path"])
+                    .select(*d["keys"])
+                    .distinct()
+                )
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [visible[k].eqNullSafe(keys[k]) for k in d["keys"]],
+                )
+                removed = visible.join(F.broadcast(keys), cond, "left_semi")
             parts.append(tag(removed, "delete", d["sid"]))
         if not parts:
             return None

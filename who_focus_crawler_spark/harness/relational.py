@@ -2021,3 +2021,138 @@ JOIN (SELECT r_name, nullif(r_regionkey, 2) AS rk FROM region) r
 """
 
 QUERIES["r_join_null_safe"] = (r_join_null_safe, R_JOIN_NULL_SAFE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Iceberg v2 POSITIONAL deletes (snapshot shim): rows are retracted by
+# (physical file path, row ordinal) — the _metadata.file_path/row_index
+# address space — not by key. The scenario plants a duplicated slice of
+# documents, then (a) predicate-deletes doc_id%7==0 through the
+# positional path and (b) surgically kills the SECOND copy of every
+# duplicated row (positions of the dup file-set only) — the retraction
+# no equality delete can express. A final append re-introduces ids the
+# predicate delete named; they must survive (new file, new path: the
+# sequence rule holds by construction). Oracle states the survivors
+# analytically: one copy of every doc with doc_id%7!=0, plus the
+# re-appended %7==0 slice at a shifted hash.
+
+
+def r_delete_positional(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from who_focus_crawler_spark.checkpoint.snapshot import SnapshotCatalog
+
+    base_dir = tempfile.mkdtemp(prefix="wfc_posdel_")
+    cat = SnapshotCatalog(base_dir)
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+    cat.commit(0, {"documents": docs}, state={})
+    cat.commit(1, {"documents": docs.filter(F.col("doc_id") % 2 == 0)},
+               state={})  # duplicate every even doc
+    # (a) positional predicate delete — kills %7==0 rows in BOTH copies
+    cat.delete_matching_positions(
+        spark, "documents", docs.schema, F.col("doc_id") % 7 == 0
+    )
+    # (b) kill ONLY the duplicate copies: the positions of the snap-000001
+    # file-set (still alive after (a): evens with %7!=0)
+    dup_pos = (
+        cat.read_table(spark, "documents", docs.schema, keep_pos=True)
+        .filter(F.col("_file_path").contains("snap-000001"))
+        .select(
+            F.col("_file_path").alias("file_path"),
+            F.col("_row_pos").alias("pos"),
+        )
+    )
+    cat.delete_positions(spark, "documents", dup_pos)
+    # re-append the %7==0 ids with a marker hash — must be visible
+    cat.commit(
+        4,
+        {
+            "documents": t(spark, sf, "documents")
+            .filter(F.col("doc_id") % 7 == 0)
+            .select(
+                "doc_id",
+                F.md5(F.concat(F.lit("re:"), "text")).alias("text_md5"),
+            )
+        },
+        state={},
+    )
+    return cat.read_table(spark, "documents", docs.schema)
+
+
+R_DELETE_POSITIONAL_SQL = """
+SELECT doc_id, md5(text) AS text_md5 FROM documents WHERE doc_id % 7 <> 0
+UNION ALL
+SELECT doc_id, md5('re:' || text) AS text_md5 FROM documents
+WHERE doc_id % 7 = 0
+"""
+
+QUERIES["r_delete_positional"] = (r_delete_positional, R_DELETE_POSITIONAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Partition-spec evolution (Iceberg update_spec on the snapshot shim):
+# orders lands unpartitioned, the spec evolves to bucket[8](o_custkey),
+# more orders land bucketed, the spec evolves again to month(o_orderdate)
+# — three co-existing layouts, each file-set planned under the spec it
+# was written with (one scan per layout, directory pruning from the
+# manifest). The result is a partition-pruned point read on one customer
+# UNION a month-pruned slice — in-query asserts pin that pruning
+# actually skipped directories. Oracle states both slices analytically.
+
+
+def r_partition_evolve(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from who_focus_crawler_spark.checkpoint.snapshot import SnapshotCatalog
+
+    base_dir = tempfile.mkdtemp(prefix="wfc_pspec_")
+    cat = SnapshotCatalog(base_dir)
+    orders = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    third = F.col("o_orderkey") % 3
+    cat.commit(0, {"documents": orders.filter(third == 0)}, state={})
+    cat.set_partition_spec(
+        "documents",
+        [{"source": "o_custkey", "transform": "bucket[8]",
+          "name": "cust_bucket"}],
+    )
+    cat.commit(2, {"documents": orders.filter(third == 1)}, state={})
+    cat.set_partition_spec(
+        "documents",
+        [{"source": "o_orderdate", "transform": "month", "name": "o_month"}],
+    )
+    cat.commit(4, {"documents": orders.filter(third == 2)}, state={})
+
+    stats = {}
+    by_cust = cat.scan_table_partitions(
+        spark, "documents", orders.schema, "o_custkey", 7, stats_out=stats
+    )
+    # the bucketed file-set must have been narrowed to ONE of its 8
+    # value directories (the month layout can't prune a custkey and is
+    # read whole; the unpartitioned set likewise)
+    assert stats["dirs_read"] == 1 and stats["dirs_candidates"] >= 8, stats
+    mstats = {}
+    by_month = cat.scan_table_partitions(
+        spark, "documents", orders.schema, "o_orderdate",
+        "1995-06-15", stats_out=mstats,
+    )
+    # the month layout narrowed to one yyyy-MM directory
+    assert mstats["dirs_read"] == 1, mstats
+    return by_cust.withColumn("slice", F.lit("cust")).unionByName(
+        (by_month if by_month is not None else by_cust.limit(0))
+        .withColumn("slice", F.lit("month"))
+    )
+
+
+R_PARTITION_EVOLVE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate, 'cust' AS slice
+FROM orders WHERE o_custkey = 7
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderdate, 'month' AS slice
+FROM orders WHERE o_orderdate = DATE '1995-06-15'
+"""
+
+QUERIES["r_partition_evolve"] = (r_partition_evolve, R_PARTITION_EVOLVE_SQL)
