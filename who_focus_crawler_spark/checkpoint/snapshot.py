@@ -123,9 +123,19 @@ class CommitConflict(Exception):
 
 
 class SnapshotCatalog:
-    def __init__(self, root: str | Path):
+    def __init__(self, root: str | Path, cas=None):
+        """``cas``: the backend's atomic conditional-update primitive
+        for optimistic commits (checkpoint/cas.py). Defaults to the
+        flock-based single-filesystem implementation; a networked
+        deployment passes the adapter for its real catalog (Iceberg
+        REST etc.) and NOTHING else changes."""
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        if cas is None:
+            from who_focus_crawler_spark.checkpoint.cas import FlockCAS
+
+            cas = FlockCAS(self.root / "commit.lock", self.head)
+        self.cas = cas
 
     # ------------------------------------------------------------ pointers
     @property
@@ -533,7 +543,6 @@ class SnapshotCatalog:
         (`expire_snapshots`) must not run while writers are in flight
         (same caveat as Iceberg's orphan-file cleanup).
         """
-        import fcntl
         import uuid
 
         if base_snapshot is None:
@@ -542,10 +551,10 @@ class SnapshotCatalog:
         from concurrent.futures import ThreadPoolExecutor
 
         to_write = {n: df for n, df in tables.items() if df is not None}
-        base_for_spec = (
+        base_m = (
             self.manifest(base_snapshot) if base_snapshot is not None else None
         )
-        base_pspecs = (base_for_spec or {}).get("partition_specs", {})
+        base_pspecs = (base_m or {}).get("partition_specs", {})
 
         def write(name: str, df: DataFrame) -> tuple[str, str]:
             path = self.root / "data" / name / f"occ-{token}"
@@ -559,10 +568,6 @@ class SnapshotCatalog:
         replace_names = {n for n in to_write if n not in APPEND_TABLES}
         append_names = {n for n in to_write if n in APPEND_TABLES}
 
-        lock_path = self.root / "commit.lock"
-        base_m = (
-            self.manifest(base_snapshot) if base_snapshot is not None else None
-        )
         try:
             for _ in range(max_retries + 1):
                 head = self.head()
@@ -600,46 +605,49 @@ class SnapshotCatalog:
                                 f"base {base_snapshot} — restage under the "
                                 "new layout"
                             )
-                with open(lock_path, "w") as lf:
-                    fcntl.flock(lf, fcntl.LOCK_EX)
-                    try:
-                        if self.head() != head:
-                            continue  # lost the race while assembling; retry
-                        sid = self._next_sid()
-                        # final data-dir names: skip ids whose dir already
-                        # exists (a plain-commit writer may have staged one)
-                        while any(
-                            (
-                                self.root / "data" / n / f"snap-{sid:06d}"
-                            ).exists()
-                            for n in staged
-                        ):
-                            sid += 1
-                        written: dict[str, str] = {}
-                        for n, p in staged.items():
-                            final = self.root / "data" / n / f"snap-{sid:06d}"
-                            os.rename(p, final)
-                            written[n] = str(final)
-                        stats = {
-                            n: {written[n]: next(iter(fs.values()))}
-                            for n, fs in new_stats.items()
-                        }
-                        # merge this writer's state keys over the head's:
-                        # concurrent writers each carry only their own keys,
-                        # and a retried commit must not wipe state another
-                        # writer published after our base (last-writer-wins
-                        # PER KEY, not per dict)
-                        merged_state = dict((prev or {}).get("state") or {})
-                        merged_state.update(state)
-                        manifest = self._assemble_manifest(
-                            sid, head, prev, tables, written, merged_state,
-                            stats,
-                        )
-                        self._publish(manifest)
-                        staged = {}  # renamed away — nothing to clean up
-                        return sid
-                    finally:
-                        fcntl.flock(lf, fcntl.LOCK_UN)
+                published: list[int] = []
+
+                def attempt() -> None:
+                    # runs INSIDE the backend's conditional-update
+                    # critical section: the head is proven == `head`
+                    nonlocal staged
+                    sid = self._next_sid()
+                    # final data-dir names: skip ids whose dir already
+                    # exists (a plain-commit writer may have staged one)
+                    while any(
+                        (
+                            self.root / "data" / n / f"snap-{sid:06d}"
+                        ).exists()
+                        for n in staged
+                    ):
+                        sid += 1
+                    written: dict[str, str] = {}
+                    for n, p in staged.items():
+                        final = self.root / "data" / n / f"snap-{sid:06d}"
+                        os.rename(p, final)
+                        written[n] = str(final)
+                    stats = {
+                        n: {written[n]: next(iter(fs.values()))}
+                        for n, fs in new_stats.items()
+                    }
+                    # merge this writer's state keys over the head's:
+                    # concurrent writers each carry only their own keys,
+                    # and a retried commit must not wipe state another
+                    # writer published after our base (last-writer-wins
+                    # PER KEY, not per dict)
+                    merged_state = dict((prev or {}).get("state") or {})
+                    merged_state.update(state)
+                    manifest = self._assemble_manifest(
+                        sid, head, prev, tables, written, merged_state,
+                        stats,
+                    )
+                    self._publish(manifest)
+                    staged = {}  # renamed away — nothing to clean up
+                    published.append(sid)
+
+                if self.cas.try_publish(head, attempt):
+                    return published[0]
+                # lost the race while assembling; revalidate and retry
             raise CommitConflict(
                 f"commit_optimistic: head kept moving; gave up after "
                 f"{max_retries} retries"
