@@ -122,3 +122,36 @@ def test_bpe_local_equals_distributed_rounds(spark):
         assert bpe_train(v, num_merges=k, min_count=mc) == bpe_train_rounds(
             v, num_merges=k, min_count=mc
         ), (k, mc)
+
+
+def test_bpe_train_auto_picks_local_and_rounds(spark):
+    """The auto-router measures the vocab, takes the collect-once local
+    path under budget, the distributed per-round path over it — and
+    both produce the identical merge list."""
+    from who_focus_crawler_spark.corpus.bpe import bpe_train_auto
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    vocab = word_vocab(docs)
+    big, small = {}, {}
+    local = bpe_train_auto(
+        vocab, num_merges=8, max_driver_vocab_bytes=1 << 30, stats_out=big
+    )
+    rounds = bpe_train_auto(
+        vocab, num_merges=8, max_driver_vocab_bytes=1, stats_out=small
+    )
+    assert big["path"] == "local" and small["path"] == "rounds"
+    assert small["est_bytes"] == big["est_bytes"] > small["budget"]
+    assert local == rounds == bpe_train(vocab, num_merges=8)
+
+
+def test_bpe_train_auto_env_budget(spark, monkeypatch):
+    from who_focus_crawler_spark.corpus.bpe import bpe_train_auto
+
+    docs = spark.createDataFrame([(1, "aa ab aa")], "doc_id long, text string")
+    monkeypatch.setenv("WFC_BPE_DRIVER_VOCAB_BYTES", "1")
+    st = {}
+    bpe_train_auto(word_vocab(docs), num_merges=2, stats_out=st)
+    assert st["path"] == "rounds" and st["budget"] == 1

@@ -139,6 +139,58 @@ def bpe_train(
     return merges
 
 
+def bpe_train_auto(
+    vocab: DataFrame,
+    num_merges: int,
+    min_count: int = 2,
+    max_driver_vocab_bytes: int | None = None,
+    stats_out: dict | None = None,
+) -> list[tuple[str, str]]:
+    """Route training by MEASURED vocab size: one tiny agg (row count +
+    summed word bytes) estimates the driver-side footprint of the
+    collected vocab; under the budget → `bpe_train` (collect once, all
+    merges local — the fast path), over it → `bpe_train_rounds` (the
+    distributed per-round form; the vocab never leaves the cluster).
+
+    The footprint model is deliberately conservative: each collected
+    word becomes a Python list of 1-char strings plus a count —
+    ~``_SYM_OVERHEAD`` bytes per character and ``_WORD_OVERHEAD`` per
+    word (CPython object headers dominate the raw bytes). Budget
+    defaults to $WFC_BPE_DRIVER_VOCAB_BYTES or 512 MiB — far below any
+    real driver heap, so the fallback only fires when the vocab is
+    genuinely pathological (e.g. no tokenization upstream).
+
+    ``stats_out`` (optional) records {"path", "est_bytes", "budget",
+    "vocab_rows"} for tests and ops visibility.
+    """
+    import os
+
+    _SYM_OVERHEAD = 96  # 1-char str object + list slot, CPython 3.11
+    _WORD_OVERHEAD = 160  # outer [syms, n] list + row overhead
+    if max_driver_vocab_bytes is None:
+        max_driver_vocab_bytes = int(
+            os.environ.get(
+                "WFC_BPE_DRIVER_VOCAB_BYTES", str(512 * 1024 * 1024)
+            )
+        )
+    m = vocab.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.sum(F.length("word")), F.lit(0)).alias("chars"),
+    ).collect()[0]
+    est = int(m["rows"]) * _WORD_OVERHEAD + int(m["chars"]) * _SYM_OVERHEAD
+    path = "local" if est <= max_driver_vocab_bytes else "rounds"
+    if stats_out is not None:
+        stats_out.update(
+            path=path,
+            est_bytes=est,
+            budget=max_driver_vocab_bytes,
+            vocab_rows=int(m["rows"]),
+        )
+    if path == "local":
+        return bpe_train(vocab, num_merges, min_count=min_count)
+    return bpe_train_rounds(vocab, num_merges, min_count=min_count)
+
+
 def bpe_train_rounds(
     vocab: DataFrame, num_merges: int, min_count: int = 2
 ) -> list[tuple[str, str]]:

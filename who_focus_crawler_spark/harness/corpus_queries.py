@@ -1965,10 +1965,14 @@ def d_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     rounds as an unrolled CTE chain — value-exact, not rows-only; exact
     train/apply semantics are additionally pinned against an independent
     reference in tests/unit/test_bpe.py."""
-    from who_focus_crawler_spark.corpus.bpe import bpe_apply, bpe_train, word_vocab
+    from who_focus_crawler_spark.corpus.bpe import (
+        bpe_apply,
+        bpe_train_auto,
+        word_vocab,
+    )
 
     d = t(spark, sf, "documents")
-    merges = bpe_train(
+    merges = bpe_train_auto(
         word_vocab(d), num_merges=_BPE_MERGES, min_count=_BPE_MIN_COUNT
     )
     return bpe_apply(d, merges).select(
