@@ -360,8 +360,11 @@ def test_multimodal_stub(spark, docs):
     rows = frames.collect()
     assert len(rows) == 40 * 3
     assert all(len(r.feature) == 4 for r in rows)
-    with pytest.raises(NotImplementedError):
-        decode_media(media, fake=False)
+    # attach_media payloads are raw utf-8 blobs, not PNG — the real
+    # path refuses them at execution (the error surfaces through the
+    # Python worker, so match the message, not the exception class)
+    with pytest.raises(Exception, match="PNG only"):
+        decode_media(media, fake=False).collect()
 
 
 def test_canonicalize_df_differential_fuzz(spark):
@@ -690,7 +693,8 @@ def test_decode_media_arrow_matches_pandas_path(spark):
         for r in decode_media_pandas(media, fake=True).collect()
     )
     assert a == p and len(a) == 180  # 60 items x 3 frames
-    with pytest.raises(NotImplementedError):
+    # non-PNG payloads refuse real decode at execution time
+    with pytest.raises(Exception, match="PNG only"):
         decode_media_arrow(media).collect()
 
 

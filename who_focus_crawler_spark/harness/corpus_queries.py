@@ -3384,3 +3384,46 @@ FROM members m JOIN best b USING (cluster_id)
 
 
 QUERIES["d_dedup_keep_best"] = (d_dedup_keep_best, _keep_best_sql())
+
+
+# --------------------------------------------------------------------------
+# REAL PNG decode end-to-end (corpus/png.py + multimodal.attach_png_media
+# / decode_png_stats): every document becomes a genuine 16x8 grayscale
+# PNG — signature, CRC'd chunks, deflate, the all-five filter cycle —
+# with pixel(r, c) = (md5(text)[c] + r) mod 256; the engine then decodes
+# the compressed bytes (inflate + unfilter) and reports exact geometry +
+# pixel sums. The pixel rule is analytic, so the DuckDB twin states the
+# decoded statistics directly from md5(text) — if any unfilter path or
+# the inflate plumbing were wrong, the sums would diverge.
+
+
+def d_media_decode_png(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.multimodal import (
+        attach_png_media,
+        decode_png_stats,
+    )
+
+    media = attach_png_media(t(spark, sf, "documents"))
+    return decode_png_stats(media)
+
+
+D_MEDIA_DECODE_PNG_SQL = """
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, md5(text) AS h
+  FROM documents
+),
+b AS (
+  SELECT media_id,
+         list_transform(generate_series(0, 15), c ->
+           CAST(('0x' || substring(h, c*2 + 1, 2)) AS INTEGER)) AS bytes
+  FROM m
+)
+SELECT media_id,
+       16 AS width, 8 AS height, 1 AS channels,
+       CAST(list_sum(list_transform(generate_series(0, 7), r ->
+         list_sum(list_transform(generate_series(1, 16), c ->
+           (bytes[c] + r) % 256)))) AS BIGINT) AS pixel_sum
+FROM b
+"""
+
+QUERIES["d_media_decode_png"] = (d_media_decode_png, D_MEDIA_DECODE_PNG_SQL)
