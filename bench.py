@@ -71,12 +71,19 @@ BENCH_QUERIES = [
 ]
 
 
-def synth_frontier(spark: SparkSession, sf_dir: str, expand: int) -> DataFrame:
-    """Deterministic messy-URL frontier: `expand` URLs per order row."""
+def synth_frontier(
+    spark: SparkSession, sf_dir: str, expand: int, uid_offset: int = 0
+) -> DataFrame:
+    """Deterministic messy-URL frontier: `expand` URLs per order row.
+    ``uid_offset`` shifts the id space so a disk-streamed generator
+    (tools/stress_bench.py) can emit a 10^9-row frontier in bounded
+    disjoint slices without ever holding it in memory."""
     o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     rep = F.explode(F.sequence(F.lit(0), F.lit(expand - 1))).alias("rep")
     base = o.select("o_orderkey", "o_custkey", "o_totalprice", rep)
-    uid = (F.col("o_orderkey") * expand + F.col("rep")).cast("long")
+    uid = (
+        F.col("o_orderkey") * expand + F.col("rep") + F.lit(uid_offset)
+    ).cast("long")
     host = F.concat(
         F.lit("h"), (uid % 997).cast("string"), F.lit(".example.org")
     )

@@ -19,6 +19,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))  # idleness guard
 
 
 def run_once(cpus: int, sf_dir: str, expand: int) -> dict:
@@ -52,7 +53,16 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     expand = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    from idleness import wait_until_idle
+
+    # idleness guard (machine-readable): each leg records loadavg +
+    # hypervisor steal sampled immediately before it; contaminated
+    # draws are waited out and every discarded sample is kept in the
+    # JSON, so a noisy run (like the recorded 0.777 outlier) is
+    # auditable instead of a silent pollutant
+    g_n = wait_until_idle()
     r_n = run_once(n, sf_dir, expand)
+    g_4n = wait_until_idle()
     r_4n = run_once(4 * n, sf_dir, expand)
     eff = (r_4n["value"] / r_n["value"]) / 4.0
     result = {
@@ -66,6 +76,8 @@ def main() -> None:
         "scaling_efficiency_N_to_4N": round(eff, 3),
         "criterion": ">= 0.8",
         "pass": eff >= 0.8,
+        "idleness_N": g_n,
+        "idleness_4N": g_4n,
     }
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
         json.dump(result, f, indent=2)
