@@ -85,10 +85,13 @@ def _run(cpus: int, data: str, partitions: int = 128) -> dict:
     extra = {"spark.ui.enabled": "true"}
     codec = os.environ.get("WFC_SHUFFLE_CODEC")
     if codec:
-        # zstd shrinks shuffle files ~30% vs lz4 — at 10^9 rows that is
-        # the difference between fitting this box's disk and not; a
-        # production cluster would set the same knob
+        # zstd shrinks shuffle files ~30% vs lz4 (more at higher levels)
+        # — at 10^9 rows that is the difference between fitting this
+        # box's disk and not; a production cluster sets the same knobs
         extra["spark.io.compression.codec"] = codec
+        level = os.environ.get("WFC_ZSTD_LEVEL")
+        if codec == "zstd" and level:
+            extra["spark.io.compression.zstd.level"] = level
     spark = get_spark(
         app_name=f"wfc-stress-{cpus}",
         master=f"local[{cpus}]",
@@ -96,7 +99,14 @@ def _run(cpus: int, data: str, partitions: int = 128) -> dict:
         extra_conf=extra,
     )
     frontier = spark.read.parquet(data)
-    run_frontier_pipeline(spark, frontier.limit(2000))  # warm Python workers
+    # warm the Python UDF workers on ONE part file: a limit() over the
+    # full multi-hundred-file scan schedules hundreds of tasks through
+    # ArrowEvalPython just to throw them away (and proved fragile under
+    # disk pressure); one file is a single task and the same warm-up
+    import glob as _glob
+
+    one = sorted(_glob.glob(os.path.join(data, "*.parquet")))[0]
+    run_frontier_pipeline(spark, spark.read.parquet(one).limit(2000))
     t0 = time.time()
     n_admitted = run_frontier_pipeline(spark, frontier)
     wall = time.time() - t0
@@ -174,12 +184,47 @@ def main() -> None:
                     help="shuffle codec override (e.g. zstd for 1e9 runs)")
     ap.add_argument("--max-load", type=float, default=4.0)
     ap.add_argument("--max-steal", type=float, default=5.0)
+    ap.add_argument("--mem-n", default=None,
+                    help="driver heap for the local[N] leg. On a real "
+                         "cluster each executor brings its own memory, "
+                         "so the faithful N-vs-4N substitute gives the "
+                         "small leg N/4N of the big leg's heap (equal "
+                         "per-core memory); a fixed shared heap is only "
+                         "fair while neither leg spills")
+    ap.add_argument("--mem-4n", default=None,
+                    help="driver heap for the local[4N] leg")
+    ap.add_argument("--reuse-data", action="store_true",
+                    help="skip generation; --data already holds the "
+                         "frontier parquet (counts read from footers)")
+    ap.add_argument("--codec-level", default=None,
+                    help="zstd compression level for shuffle files")
     a = ap.parse_args()
 
     from idleness import wait_until_idle
 
     env_codec = {"WFC_SHUFFLE_CODEC": a.codec} if a.codec else {}
-    gen = _sub("_gen", str(int(a.urls)), a.sf, a.data)
+    if a.codec_level:
+        env_codec["WFC_ZSTD_LEVEL"] = a.codec_level
+    if a.reuse_data and os.path.isdir(a.data):
+        import pyarrow.parquet as pq
+
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(a.data)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        gen = {
+            "frontier_urls": sum(
+                pq.ParquetFile(f).metadata.num_rows for f in files
+            ),
+            "expand": None,
+            "gen_slices": None,
+            "parquet_bytes": sum(os.path.getsize(f) for f in files),
+            "reused": True,
+        }
+    else:
+        gen = _sub("_gen", str(int(a.urls)), a.sf, a.data)
     print("generated:", json.dumps(gen))
 
     def leg(tag: str, *args: str, env: dict | None = None) -> dict:
@@ -193,9 +238,12 @@ def main() -> None:
         return r
 
     try:
+        env4 = {"WFC_DRIVER_MEM": a.mem_4n} if a.mem_4n else {}
+        envn = {"WFC_DRIVER_MEM": a.mem_n} if a.mem_n else {}
         r4n = leg(f"local[{4 * a.n}]", str(4 * a.n), a.data,
-                  str(a.partitions))
-        rn = leg(f"local[{a.n}]", str(a.n), a.data, str(a.partitions))
+                  str(a.partitions), env=env4)
+        rn = leg(f"local[{a.n}]", str(a.n), a.data, str(a.partitions),
+                 env=envn)
         # forced-spill leg: capped heap + wide per-task slices so the
         # C4 anti-join / C6 window sorters MUST spill — proves the
         # pipeline degrades to disk instead of OOMing. Spill writes
