@@ -2,12 +2,14 @@
 `binary` columns with typed metadata.
 
 The container has no external image/audio codecs, but PNG needs only
-stdlib zlib — so PNG is decoded FOR REAL (corpus/png.py: signature,
-chunk CRCs, inflate, all five scanline unfilters) through the Arrow
-batch path: `decode_media(fake=False)` on PNG payloads, plus
-`attach_png_media`/`decode_png_stats` for exact pixel statistics over
-deterministic real-PNG fixtures. Formats that genuinely need external
-codecs (JPEG entropy decode, video) raise NotImplementedError;
+stdlib zlib and PCM WAV only stdlib struct — so BOTH are decoded FOR
+REAL through the Arrow batch path: `decode_media(fake=False)` on
+PNG/WAV payloads (corpus/png.py: signature, chunk CRCs, inflate, all
+five scanline unfilters; corpus/wav.py: RIFF walk, fmt validation,
+PCM 8/16-bit frames), plus `attach_png_media`/`decode_png_stats` and
+`attach_wav_media`/`decode_wav_stats` for exact pixel/sample statistics
+over deterministic real-codec fixtures. Formats that genuinely need
+external codecs (JPEG entropy decode, video) raise NotImplementedError;
 `fake=True` keeps the deterministic stand-in that exercises the same
 plumbing (schema, Arrow batch shape, mapInPandas partitioning) for
 those kinds.
@@ -97,9 +99,11 @@ def decode_media(media: DataFrame, frames_per_item: int = 3, fake: bool = False)
 
     With fake=False, PNG payloads decode FOR REAL (stdlib zlib,
     corpus/png.py) and 'frames' are horizontal bands with exact pixel
-    statistics; other formats need external codecs and raise
-    NotImplementedError. fake=True runs the deterministic stand-in
-    through the identical Spark plumbing for any payload kind."""
+    statistics, and PCM WAV payloads decode FOR REAL (stdlib struct,
+    corpus/wav.py) with 'frames' as equal time slices; other formats
+    need external codecs and raise NotImplementedError. fake=True runs
+    the deterministic stand-in through the identical Spark plumbing for
+    any payload kind."""
     return decode_media_arrow(media, frames_per_item=frames_per_item, fake=fake)
 
 
@@ -137,32 +141,48 @@ def decode_media_arrow(
     import pyarrow as pa
 
     def _real_decode(payload: bytes, n_frames: int) -> list[list[float]]:
-        """REAL decode for the one format stdlib can handle: PNG
-        (corpus/png.py — zlib inflate + full unfilter). 'Frames' of a
-        still image are horizontal bands; each feature carries the
-        geometry plus the band's exact pixel sum/count — integers, so
-        float32 is exact at thumbnail sizes. Formats that genuinely
-        need external codecs (JPEG entropy decode, video) keep the
-        explicit NotImplementedError."""
-        from who_focus_crawler_spark.corpus.png import decode_png
+        """REAL decode for the formats stdlib can handle: PNG
+        (corpus/png.py — zlib inflate + full unfilter) and PCM WAV
+        (corpus/wav.py — RIFF walk + 8/16-bit frames). 'Frames' of a
+        still image are horizontal bands and of an audio clip equal
+        time slices; each feature carries the geometry plus the band's
+        exact sum/count — integers, so float32 is exact at fixture
+        sizes. Formats that genuinely need external codecs (JPEG
+        entropy decode, video) keep the explicit NotImplementedError."""
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            from who_focus_crawler_spark.corpus.png import decode_png
 
-        if payload[:8] != b"\x89PNG\r\n\x1a\n":
-            raise NotImplementedError(
-                "real decode supports PNG only in this environment "
-                "(stdlib zlib); JPEG/audio/video need external codecs — "
-                "pass fake=True for the deterministic test decoder"
-            )
-        w, h, ch, px = decode_png(payload)
-        stride = w * ch
-        out = []
-        for b in range(n_frames):
-            r0 = b * h // n_frames
-            r1 = (b + 1) * h // n_frames
-            band = px[r0 * stride:r1 * stride]
-            out.append(
-                [float(w), float(h), float(sum(band)), float(len(band))]
-            )
-        return out
+            w, h, ch, px = decode_png(payload)
+            stride = w * ch
+            out = []
+            for b in range(n_frames):
+                r0 = b * h // n_frames
+                r1 = (b + 1) * h // n_frames
+                band = px[r0 * stride:r1 * stride]
+                out.append(
+                    [float(w), float(h), float(sum(band)), float(len(band))]
+                )
+            return out
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            from who_focus_crawler_spark.corpus.wav import decode_wav
+
+            rate, ch, _bits, samples = decode_wav(payload)
+            n = len(samples)
+            out = []
+            for b in range(n_frames):
+                s0 = (b * n // n_frames) // ch * ch  # frame-aligned
+                s1 = ((b + 1) * n // n_frames) // ch * ch
+                band = samples[s0:s1]
+                out.append(
+                    [float(rate), float(n), float(sum(band)),
+                     float(len(band))]
+                )
+            return out
+        raise NotImplementedError(
+            "real decode supports PNG and PCM WAV in this environment "
+            "(stdlib only); JPEG/compressed-audio/video need external "
+            "codecs — pass fake=True for the deterministic test decoder"
+        )
 
     decode_one = _fake_decode if fake else _real_decode
 
@@ -290,6 +310,111 @@ def decode_png_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInArrow(
         dec, PNG_STATS_SCHEMA
+    )
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("bits", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("sample_sum", T.LongType(), False),
+    ]
+)
+
+
+def attach_wav_media(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_samples: int = 64,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic REAL-WAV media table: each document becomes a mono
+    16-bit PCM clip with sample(i) = ((md5(text)[i mod 16] * 257 +
+    i * 31) mod 65536) - 32768, encoded through corpus/wav.py — genuine
+    RIFF bytes whose decode exercises the full container walk. Encoding
+    runs distributed in mapInArrow (hashlib + struct per Arrow batch;
+    the driver never sees a payload). The sample rule is analytic, so a
+    SQL twin can state the decoded statistics exactly."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from who_focus_crawler_spark.corpus.wav import encode_wav
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            mids, kinds, payloads, lens, metas = [], [], [], [], []
+            for did, text in zip(ids, texts):
+                dig = hashlib.md5((text or "").encode("utf-8")).digest()
+                samples = [
+                    ((dig[i % 16] * 257 + i * 31) % 65536) - 32768
+                    for i in range(n_samples)
+                ]
+                payload = encode_wav(samples, sample_rate, channels=1)
+                mids.append(f"m{did}")
+                kinds.append("audio")
+                payloads.append(payload)
+                lens.append(len(payload))
+                metas.append(
+                    f'{{"rate":{sample_rate},"n":{n_samples}}}'
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.string()),
+                    pa.array(kinds, pa.string()),
+                    pa.array(payloads, pa.binary()),
+                    pa.array(lens, pa.int64()),
+                    pa.array(metas, pa.string()),
+                ],
+                names=[f.name for f in MEDIA_SCHEMA.fields],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(enc, MEDIA_SCHEMA)
+
+
+def decode_wav_stats(media: DataFrame) -> DataFrame:
+    """Decode REAL WAV payloads (corpus/wav.py) in the Arrow batch path
+    and emit exact per-clip statistics — format geometry plus the
+    integer sample sum. The audio twin of decode_png_stats: the
+    end-to-end proof that real PCM data flows through the engine —
+    RIFF walk, fmt validation, frame unpack, then arithmetic over the
+    recovered samples."""
+    import pyarrow as pa
+
+    from who_focus_crawler_spark.corpus.wav import decode_wav
+
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            mids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            r_, c_, b_, n_, s_ = [], [], [], [], []
+            for payload in payloads:
+                rate, ch, bits, samples = decode_wav(bytes(payload))
+                r_.append(rate)
+                c_.append(ch)
+                b_.append(bits)
+                n_.append(len(samples))
+                s_.append(sum(samples))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.string()),
+                    pa.array(r_, pa.int32()),
+                    pa.array(c_, pa.int32()),
+                    pa.array(b_, pa.int32()),
+                    pa.array(n_, pa.int32()),
+                    pa.array(s_, pa.int64()),
+                ],
+                names=[f.name for f in WAV_STATS_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(
+        dec, WAV_STATS_SCHEMA
     )
 
 

@@ -3427,3 +3427,47 @@ FROM b
 """
 
 QUERIES["d_media_decode_png"] = (d_media_decode_png, D_MEDIA_DECODE_PNG_SQL)
+
+
+# --------------------------------------------------------------------------
+# REAL WAV decode end-to-end (corpus/wav.py + multimodal.attach_wav_media
+# / decode_wav_stats): every document becomes a genuine mono 16-bit PCM
+# RIFF clip — container header, fmt validation, little-endian frames —
+# with sample(i) = ((md5(text)[i mod 16] * 257 + i * 31) mod 65536) -
+# 32768; the engine then decodes the RIFF bytes and reports exact format
+# geometry + sample sums. The sample rule is analytic, so the DuckDB
+# twin states the decoded statistics directly from md5(text) — if the
+# chunk walk, the signed 16-bit unpack or the frame accounting were
+# wrong, the sums would diverge. Audio twin of d_media_decode_png.
+
+
+def d_media_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.multimodal import (
+        attach_wav_media,
+        decode_wav_stats,
+    )
+
+    media = attach_wav_media(t(spark, sf, "documents"))
+    return decode_wav_stats(media)
+
+
+D_MEDIA_DECODE_WAV_SQL = """
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, md5(text) AS h
+  FROM documents
+),
+b AS (
+  SELECT media_id,
+         list_transform(generate_series(0, 15), c ->
+           CAST(('0x' || substring(h, c*2 + 1, 2)) AS INTEGER)) AS bytes
+  FROM m
+)
+SELECT media_id,
+       8000 AS sample_rate, 1 AS channels, 16 AS bits, 64 AS n_samples,
+       CAST(list_sum(list_transform(generate_series(0, 63), i ->
+         ((bytes[(i % 16) + 1] * 257 + i * 31) % 65536) - 32768))
+         AS BIGINT) AS sample_sum
+FROM b
+"""
+
+QUERIES["d_media_decode_wav"] = (d_media_decode_wav, D_MEDIA_DECODE_WAV_SQL)
