@@ -360,10 +360,10 @@ def test_multimodal_stub(spark, docs):
     rows = frames.collect()
     assert len(rows) == 40 * 3
     assert all(len(r.feature) == 4 for r in rows)
-    # attach_media payloads are raw utf-8 blobs, not PNG — the real
+    # attach_media payloads are raw utf-8 blobs, not PNG/WAV — the real
     # path refuses them at execution (the error surfaces through the
     # Python worker, so match the message, not the exception class)
-    with pytest.raises(Exception, match="PNG only"):
+    with pytest.raises(Exception, match="PNG and PCM WAV"):
         decode_media(media, fake=False).collect()
 
 
