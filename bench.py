@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "d_dedup_lines_global",
     "d_text_unescape",
     "c_mime_sniff",
+    # round-4 ops: real-codec media decode + Iceberg v2 positional deletes
+    "d_media_decode_png",
+    "d_media_mixed_decode",
+    "r_delete_positional",
 ]
 
 

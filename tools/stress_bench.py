@@ -53,6 +53,10 @@ def _gen(n_urls: int, sf_dir: str, data: str) -> dict:
     slice_rows = int(os.environ.get("WFC_GEN_SLICE_ROWS", str(250_000_000)))
     slice_expand = max(1, min(total_expand, math.ceil(slice_rows / n_orders)))
     n_slices = math.ceil(total_expand / slice_expand)
+    # at-rest codec knob: zstd shrinks the frontier parquet ~35% vs the
+    # snappy default — at 10^9 rows that headroom is what lets the same
+    # box hold BOTH the input table and a timing leg's shuffle files
+    codec = os.environ.get("WFC_GEN_PARQUET_CODEC", "snappy")
     shutil.rmtree(data, ignore_errors=True)
     done = 0
     for i in range(n_slices):
@@ -60,7 +64,7 @@ def _gen(n_urls: int, sf_dir: str, data: str) -> dict:
         off = i * (max_key + 1) * slice_expand
         synth_frontier(spark, sf_dir, e, uid_offset=off).write.mode(
             "append"
-        ).parquet(data)
+        ).option("compression", codec).parquet(data)
         done += e
     n = spark.read.parquet(data).count()
     size = sum(
