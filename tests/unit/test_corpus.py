@@ -693,8 +693,9 @@ def test_decode_media_arrow_matches_pandas_path(spark):
         for r in decode_media_pandas(media, fake=True).collect()
     )
     assert a == p and len(a) == 180  # 60 items x 3 frames
-    # non-PNG payloads refuse real decode at execution time
-    with pytest.raises(Exception, match="PNG only"):
+    # payloads that are neither PNG nor WAV refuse real decode at
+    # execution time
+    with pytest.raises(Exception, match="PNG and PCM WAV"):
         decode_media_arrow(media).collect()
 
 
