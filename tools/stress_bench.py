@@ -299,20 +299,22 @@ def main() -> None:
         "forced_spill_leg": rsp,
     }
     # STRESS.json accumulates runs (multi-scale evidence); a legacy
-    # single-run file becomes runs[0]
+    # single-run file becomes runs[0]. Other sections (streaming_runs,
+    # membw_probe, ...) are preserved, not clobbered.
     out_path = os.path.join(REPO, "STRESS.json")
-    runs: list = []
+    result: dict = {}
     if os.path.exists(out_path):
         with open(out_path) as f:
             prior = json.load(f)
-        runs = prior.get("runs", [prior] if "input" in prior else [])
-    runs.append(run)
-    result = {
-        "protocol": "frontier at-rest parquet -> full C1-C9 pipeline; "
-                    "idleness-guarded legs at local[N] and local[4N]; "
-                    "forced-spill leg unless disk-bound (recorded)",
-        "runs": runs,
-    }
+        result = prior if "runs" in prior or "protocol" in prior else {}
+        if "input" in prior and "runs" not in prior:
+            result = {"runs": [prior]}
+    result["protocol"] = (
+        "frontier at-rest parquet -> full C1-C9 pipeline; "
+        "idleness-guarded legs at local[N] and local[4N]; "
+        "forced-spill leg unless disk-bound (recorded)"
+    )
+    result.setdefault("runs", []).append(run)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(run, indent=2))
