@@ -86,13 +86,126 @@ def test_hostile_bytes_rejected():
         decode_png(bytes(corrupt))
     with pytest.raises(PngError, match="truncated|missing"):
         decode_png(good[:-20])
-    # 16-bit depth and Adam7 are out of scope, loudly
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    bad = SIG + struct.pack(">I", 13) + b"IHDR" + ihdr16 + struct.pack(
-        ">I", zlib.crc32(b"IHDR" + ihdr16) & 0xFFFFFFFF
+    # illegal depth/color combos are rejected loudly (4-bit RGB)
+    ihdr4rgb = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    bad = SIG + struct.pack(">I", 13) + b"IHDR" + ihdr4rgb + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr4rgb) & 0xFFFFFFFF
     )
     with pytest.raises(PngError, match="bit depth"):
         decode_png(bad)
+
+
+_PAL = bytes(
+    b for i in range(16) for b in (i * 17 & 0xFF, i * 33 & 0xFF, i * 53 & 0xFF)
+)
+_TRNS = bytes(255 - i * 16 for i in range(16))
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (5, 3), (8, 8), (13, 11)])
+@pytest.mark.parametrize("ch", [1, 3, 4])
+def test_adam7_equals_progressive(w, h, ch):
+    """Adam7 decode reproduces the same pixels as the non-interlaced
+    encoding of the same image — including sizes below one 8×8 tile,
+    where several passes are EMPTY and must consume no stream bytes."""
+    px = _px(w, h, ch, lambda r, c, k: (r + 1) * (c + 3) * (k + 7))
+    assert decode_png(encode_png(px, w, h, channels=ch, interlace=True)) == (
+        w, h, ch, px,
+    )
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_sub_byte_gray_scales_to_full_range(depth):
+    """1/2/4-bit grayscale unpacks MSB-first and scales by
+    255/(2^depth-1) — so 1-bit decodes to exactly {0, 255}."""
+    mx = (1 << depth) - 1
+    vals = bytes((r + c) % (mx + 1) for r in range(5) for c in range(9))
+    got = decode_png(encode_png(vals, 9, 5, depth=depth))
+    assert got == (9, 5, 1, bytes(v * 255 // mx for v in vals))
+
+
+def test_16bit_high_byte_reduction():
+    """16-bit samples (gray and RGB) reduce to the high byte — the
+    standard 8-bit approximation of v·255/65535."""
+    for ch in (1, 3):
+        vals = [
+            ((r * 4099 + c * 259 + k * 33) * 97) & 0xFFFF
+            for r in range(4) for c in range(6) for k in range(ch)
+        ]
+        buf = b"".join(struct.pack(">H", v) for v in vals)
+        assert decode_png(encode_png(buf, 6, 4, channels=ch, depth=16)) == (
+            6, 4, ch, bytes(v >> 8 for v in vals),
+        )
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_palette_expansion(depth):
+    """Indexed color at every legal depth expands through PLTE to RGB;
+    out-of-range indices are impossible by construction here, so the
+    result is the exact palette triple per pixel."""
+    n = min(16, 1 << depth)
+    pal = _PAL[:n * 3]
+    idx = bytes((r * 7 + c) % n for r in range(6) for c in range(10))
+    got = decode_png(encode_png(idx, 10, 6, depth=depth, palette=pal))
+    want = bytes(b for i in idx for b in pal[i * 3:i * 3 + 3])
+    assert got == (10, 6, 3, want)
+
+
+def test_palette_trns_alpha_and_short_trns():
+    """tRNS adds a per-entry alpha channel (RGBA output); entries past
+    the tRNS length default to opaque 255."""
+    idx = bytes((r + c) % 16 for r in range(8) for c in range(16))
+    full = decode_png(
+        encode_png(idx, 16, 8, depth=4, palette=_PAL, trns=_TRNS)
+    )
+    assert full[:3] == (16, 8, 4)
+    want = bytes(
+        b
+        for i in idx
+        for b in (_PAL[i * 3], _PAL[i * 3 + 1], _PAL[i * 3 + 2], _TRNS[i])
+    )
+    assert full[3] == want
+    short = decode_png(
+        encode_png(idx, 16, 8, depth=4, palette=_PAL, trns=_TRNS[:4])
+    )
+    for i, v in enumerate(idx):
+        assert short[3][i * 4 + 3] == (_TRNS[v] if v < 4 else 255)
+
+
+def test_palette_adam7_combined():
+    """The harness fixture shape: 4-bit palette + tRNS + Adam7 + the
+    all-five filter cycle, decoded against the analytic rule."""
+    idx = bytes((r * 3 + c) % 16 for r in range(8) for c in range(16))
+    data = encode_png(
+        idx, 16, 8, depth=4, palette=_PAL, trns=_TRNS, interlace=True
+    )
+    w, h, ch, px = decode_png(data)
+    assert (w, h, ch) == (16, 8, 4)
+    want = bytes(
+        b
+        for i in idx
+        for b in (_PAL[i * 3], _PAL[i * 3 + 1], _PAL[i * 3 + 2], _TRNS[i])
+    )
+    assert px == want
+
+
+def test_palette_and_trns_errors():
+    idx = bytes(16)
+    with pytest.raises(PngError, match="illegal"):
+        encode_png(idx, 4, 4, depth=16, palette=_PAL)
+    with pytest.raises(PngError, match="tRNS"):
+        encode_png(idx, 4, 4, channels=1, trns=b"\x00")
+    # palette image whose PLTE chunk is missing
+    data = bytearray(encode_png(idx, 4, 4, depth=8, palette=_PAL[:48]))
+    plte_at = data.find(b"PLTE") - 4
+    (plen,) = struct.unpack(">I", data[plte_at:plte_at + 4])
+    del data[plte_at:plte_at + 12 + plen]
+    with pytest.raises(PngError, match="missing PLTE"):
+        decode_png(bytes(data))
+    # index beyond the palette: 8-bit index 200 into a 16-entry PLTE
+    hot = bytearray(idx)
+    hot[5] = 200
+    with pytest.raises(PngError, match="out of range"):
+        decode_png(encode_png(bytes(hot), 4, 4, depth=8, palette=_PAL))
 
 
 def test_attach_and_decode_png_stats_spark(spark):
@@ -148,3 +261,47 @@ def test_decode_media_real_path_png_and_refusal(spark):
     )
     with pytest.raises(Exception, match="PNG only|NotImplementedError"):
         decode_media(jpeg, fake=False).collect()
+
+
+def test_attach_palette_media_full_stats_spark(spark):
+    """Distributed palette/Adam7 fixture → distributed full decode: the
+    RGBA pixel sum AND the position-weighted sum equal the analytic
+    rule (the weighted sum is what a wrong deinterlace would break),
+    and the payloads are genuine interlaced palette PNGs."""
+    from who_focus_crawler_spark.corpus.multimodal import (
+        attach_png_palette_media,
+        decode_png_full_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"palette doc {i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    media = attach_png_palette_media(docs)
+    for r in media.collect():
+        payload = bytes(r.payload)
+        assert payload[:8] == SIG
+        assert payload[28] == 1  # IHDR interlace byte (sig+len+type+12)
+        assert b"PLTE" in payload and b"tRNS" in payload
+    got = {r.media_id: r for r in decode_png_full_stats(media).collect()}
+    import hashlib
+
+    for i in range(12):
+        dig = hashlib.md5(f"palette doc {i}".encode()).digest()
+        tot = wtot = 0
+        for r in range(8):
+            for c in range(16):
+                v = (dig[c] + r) % 16
+                s = (
+                    v * 17
+                    + (v * 33) % 256
+                    + (v * 53) % 256
+                    + 255
+                    - v * 16
+                )
+                tot += s
+                wtot += (r * 16 + c + 1) * s
+        g = got[f"m{i}"]
+        assert (
+            g.width, g.height, g.channels, g.pixel_sum, g.weighted_sum
+        ) == (16, 8, 4, tot, wtot)

@@ -313,6 +313,131 @@ def decode_png_stats(media: DataFrame) -> DataFrame:
     )
 
 
+PNG_FULL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("pixel_sum", T.LongType(), False),
+        T.StructField("weighted_sum", T.LongType(), False),
+    ]
+)
+
+
+def attach_png_palette_media(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 8,
+) -> DataFrame:
+    """Deterministic REAL-PNG media table exercising the full static-PNG
+    decode surface in one payload: 4-bit PALETTE color (PLTE + tRNS
+    alpha) with ADAM7 interlacing and the all-five filter cycle across
+    every pass. Index(r, c) = (md5(text)[c mod 16] + r) mod 16 over a
+    fixed 16-entry palette (entry i = (i*17, i*33 mod 256, i*53 mod 256),
+    alpha 255 - i*16) — analytic, so a SQL twin can state the decoded
+    RGBA statistics exactly. Encoding runs distributed in mapInArrow
+    (hashlib + zlib per Arrow batch)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from who_focus_crawler_spark.corpus.png import encode_png
+
+    palette = bytes(
+        b
+        for i in range(16)
+        for b in (i * 17 & 0xFF, i * 33 & 0xFF, i * 53 & 0xFF)
+    )
+    trns = bytes(255 - i * 16 for i in range(16))
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            mids, kinds, payloads, lens, metas = [], [], [], [], []
+            for did, text in zip(ids, texts):
+                dig = hashlib.md5((text or "").encode("utf-8")).digest()
+                idx = bytes(
+                    (dig[c % 16] + r) % 16
+                    for r in range(height)
+                    for c in range(width)
+                )
+                payload = encode_png(
+                    idx,
+                    width,
+                    height,
+                    depth=4,
+                    palette=palette,
+                    trns=trns,
+                    interlace=True,
+                )
+                mids.append(f"m{did}")
+                kinds.append("image")
+                payloads.append(payload)
+                lens.append(len(payload))
+                metas.append(f'{{"w":{width},"h":{height},"pal":16}}')
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.string()),
+                    pa.array(kinds, pa.string()),
+                    pa.array(payloads, pa.binary()),
+                    pa.array(lens, pa.int64()),
+                    pa.array(metas, pa.string()),
+                ],
+                names=[f.name for f in MEDIA_SCHEMA.fields],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(enc, MEDIA_SCHEMA)
+
+
+def decode_png_full_stats(media: DataFrame) -> DataFrame:
+    """decode_png_stats plus a POSITION-WEIGHTED pixel sum
+    (Σ (linear_pixel_index + 1) × Σ_channel value): a plain pixel sum
+    is permutation-invariant, so it cannot catch an Adam7 deinterlace
+    that scatters pass pixels to the wrong coordinates — the weighted
+    sum can. This is the proof query for the palette/interlace decode
+    surface (corpus/png.py round-4 completion)."""
+    import pyarrow as pa
+
+    from who_focus_crawler_spark.corpus.png import decode_png
+
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            mids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            w_, h_, c_, s_, ws_ = [], [], [], [], []
+            for payload in payloads:
+                w, h, ch, px = decode_png(bytes(payload))
+                tot = wtot = 0
+                for pi in range(w * h):
+                    s = sum(px[pi * ch:(pi + 1) * ch])
+                    tot += s
+                    wtot += (pi + 1) * s
+                w_.append(w)
+                h_.append(h)
+                c_.append(ch)
+                s_.append(tot)
+                ws_.append(wtot)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.string()),
+                    pa.array(w_, pa.int32()),
+                    pa.array(h_, pa.int32()),
+                    pa.array(c_, pa.int32()),
+                    pa.array(s_, pa.int64()),
+                    pa.array(ws_, pa.int64()),
+                ],
+                names=[f.name for f in PNG_FULL_STATS_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(
+        dec, PNG_FULL_STATS_SCHEMA
+    )
+
+
 WAV_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),

@@ -3545,3 +3545,62 @@ QUERIES["d_media_mixed_decode"] = (
     d_media_mixed_decode,
     D_MEDIA_MIXED_DECODE_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# FULL static-PNG decode surface in one payload (corpus/png.py round-4
+# completion): every document becomes a 4-bit PALETTE PNG (PLTE + tRNS
+# alpha) with ADAM7 interlacing and the all-five filter cycle across
+# every pass — index(r, c) = (md5(text)[c] + r) mod 16 over the fixed
+# palette entry i = (i*17, i*33 mod 256, i*53 mod 256), alpha 255-i*16.
+# The engine inflates, unfilters each of the 7 passes independently,
+# scatters pass pixels to frame coordinates, unpacks 4-bit indices and
+# expands RGBA. The twin states the decoded statistics analytically;
+# the POSITION-WEIGHTED sum (Σ (r*W+c+1)·pixel) is what catches a
+# deinterlace that lands pixels at the wrong coordinates — a plain sum
+# is permutation-invariant and would not.
+
+
+def d_media_decode_palette(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.multimodal import (
+        attach_png_palette_media,
+        decode_png_full_stats,
+    )
+
+    media = attach_png_palette_media(t(spark, sf, "documents"))
+    return decode_png_full_stats(media)
+
+
+D_MEDIA_DECODE_PALETTE_SQL = """
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, md5(text) AS h
+  FROM documents
+),
+b AS (
+  SELECT media_id,
+         list_transform(generate_series(0, 15), c ->
+           CAST(('0x' || substring(h, c*2 + 1, 2)) AS INTEGER)) AS bytes
+  FROM m
+),
+px AS (  -- per-pixel RGBA sum for index i = (bytes[c]+r)%16
+  SELECT media_id, r, c,
+         ((bytes[c] + r) % 16) * 17
+         + (((bytes[c] + r) % 16) * 33) % 256
+         + (((bytes[c] + r) % 16) * 53) % 256
+         + 255 - ((bytes[c] + r) % 16) * 16 AS s
+  FROM b,
+       (SELECT unnest(generate_series(0, 7)) AS r) rr,
+       (SELECT unnest(generate_series(1, 16)) AS c) cc
+)
+SELECT media_id,
+       16 AS width, 8 AS height, 4 AS channels,
+       CAST(sum(s) AS BIGINT) AS pixel_sum,
+       CAST(sum((r * 16 + c) * s) AS BIGINT) AS weighted_sum
+FROM px
+GROUP BY media_id
+"""
+
+QUERIES["d_media_decode_palette"] = (
+    d_media_decode_palette,
+    D_MEDIA_DECODE_PALETTE_SQL,
+)
