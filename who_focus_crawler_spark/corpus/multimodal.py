@@ -543,6 +543,120 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
     )
 
 
+WAV_FULL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("bits", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("sample_sum", T.LongType(), False),
+        T.StructField("weighted_sum", T.LongType(), False),
+    ]
+)
+
+
+def attach_wav24_media(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_frames: int = 64,
+    sample_rate: int = 48000,
+) -> DataFrame:
+    """Deterministic REAL-WAV media table exercising the full
+    uncompressed-audio decode surface in one payload: STEREO 24-bit
+    integer PCM wrapped in WAVE_FORMAT_EXTENSIBLE (the layout studio
+    recorders emit). Interleaved sample(i) = ((md5(text)[i mod 16] ×
+    65793 + i × 4099) mod 2^24) - 2^23 for i in 0..2·n_frames-1 —
+    analytic, so a SQL twin can state the decoded statistics exactly."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from who_focus_crawler_spark.corpus.wav import encode_wav
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            mids, kinds, payloads, lens, metas = [], [], [], [], []
+            for did, text in zip(ids, texts):
+                dig = hashlib.md5((text or "").encode("utf-8")).digest()
+                samples = [
+                    ((dig[i % 16] * 65793 + i * 4099) % (1 << 24))
+                    - (1 << 23)
+                    for i in range(2 * n_frames)
+                ]
+                payload = encode_wav(
+                    samples,
+                    sample_rate,
+                    channels=2,
+                    bits=24,
+                    extensible=True,
+                )
+                mids.append(f"m{did}")
+                kinds.append("audio")
+                payloads.append(payload)
+                lens.append(len(payload))
+                metas.append(
+                    f'{{"rate":{sample_rate},"frames":{n_frames},"bits":24}}'
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.string()),
+                    pa.array(kinds, pa.string()),
+                    pa.array(payloads, pa.binary()),
+                    pa.array(lens, pa.int64()),
+                    pa.array(metas, pa.string()),
+                ],
+                names=[f.name for f in MEDIA_SCHEMA.fields],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(enc, MEDIA_SCHEMA)
+
+
+def decode_wav_full_stats(media: DataFrame) -> DataFrame:
+    """decode_wav_stats plus a POSITION-WEIGHTED sample sum
+    (Σ (i+1)·sample_i over the interleaved stream): a plain sum is
+    permutation-invariant, so it cannot catch a frame unpack that
+    swaps channels or reorders bytes within the packed 24-bit triples
+    — the weighted sum can. Proof query for the extensible/24-bit
+    decode surface (corpus/wav.py round-4 completion)."""
+    import pyarrow as pa
+
+    from who_focus_crawler_spark.corpus.wav import decode_wav
+
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            mids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            r_, c_, b_, n_, s_, ws_ = [], [], [], [], [], []
+            for payload in payloads:
+                rate, ch, bits, samples = decode_wav(bytes(payload))
+                r_.append(rate)
+                c_.append(ch)
+                b_.append(bits)
+                n_.append(len(samples))
+                s_.append(sum(samples))
+                ws_.append(sum((i + 1) * v for i, v in enumerate(samples)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.string()),
+                    pa.array(r_, pa.int32()),
+                    pa.array(c_, pa.int32()),
+                    pa.array(b_, pa.int32()),
+                    pa.array(n_, pa.int32()),
+                    pa.array(s_, pa.int64()),
+                    pa.array(ws_, pa.int64()),
+                ],
+                names=[f.name for f in WAV_FULL_STATS_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(
+        dec, WAV_FULL_STATS_SCHEMA
+    )
+
+
 # --------------------------------------------------------------------------
 # Content-type sniffing: magic-byte dispatch over the opaque payload,
 # entirely native (hex prefix compares — whole-stage codegen; the blob

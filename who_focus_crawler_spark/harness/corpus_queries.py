@@ -3604,3 +3604,54 @@ QUERIES["d_media_decode_palette"] = (
     d_media_decode_palette,
     D_MEDIA_DECODE_PALETTE_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# FULL uncompressed-audio decode surface (corpus/wav.py round-4
+# completion): every document becomes a STEREO 24-bit integer-PCM clip
+# wrapped in WAVE_FORMAT_EXTENSIBLE (GUID sub-format resolution, packed
+# 3-byte signed frames) — interleaved sample(i) = ((md5(text)[i mod 16]
+# * 65793 + i*4099) mod 2^24) - 2^23. The POSITION-WEIGHTED sum is what
+# catches a wrong channel interleave or a byte-order slip inside the
+# 3-byte triples — a plain sum is permutation-invariant and would not.
+
+
+def d_media_decode_wav24(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.multimodal import (
+        attach_wav24_media,
+        decode_wav_full_stats,
+    )
+
+    media = attach_wav24_media(t(spark, sf, "documents"))
+    return decode_wav_full_stats(media)
+
+
+D_MEDIA_DECODE_WAV24_SQL = """
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, md5(text) AS h
+  FROM documents
+),
+b AS (
+  SELECT media_id,
+         list_transform(generate_series(0, 15), c ->
+           CAST(('0x' || substring(h, c*2 + 1, 2)) AS INTEGER)) AS bytes
+  FROM m
+),
+s AS (
+  SELECT media_id, i,
+         ((bytes[(i % 16) + 1] * 65793 + i * 4099) % 16777216)
+           - 8388608 AS v
+  FROM b, (SELECT unnest(generate_series(0, 127)) AS i) ii
+)
+SELECT media_id,
+       48000 AS sample_rate, 2 AS channels, 24 AS bits, 128 AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sample_sum,
+       CAST(sum((i + 1) * v) AS BIGINT) AS weighted_sum
+FROM s
+GROUP BY media_id
+"""
+
+QUERIES["d_media_decode_wav24"] = (
+    d_media_decode_wav24,
+    D_MEDIA_DECODE_WAV24_SQL,
+)
