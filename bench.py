@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "d_media_decode_png",
     "d_media_mixed_decode",
     "r_delete_positional",
+    # round-4 codec completion: palette/Adam7 PNG + extensible 24-bit WAV
+    "d_media_decode_palette",
+    "d_media_decode_wav24",
 ]
 
 
