@@ -73,8 +73,10 @@ BENCH_QUERIES = [
     "d_media_mixed_decode",
     "r_delete_positional",
     # round-4 codec completion: palette/Adam7 PNG + extensible 24-bit WAV
+    # + real baseline JPEG (bounded-error oracle)
     "d_media_decode_palette",
     "d_media_decode_wav24",
+    "d_media_decode_jpeg",
 ]
 
 

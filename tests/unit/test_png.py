@@ -256,11 +256,14 @@ def test_decode_media_real_path_png_and_refusal(spark):
     for f, want in zip(frames, sums):
         assert f.feature == [16.0, 8.0, want, 64.0]
 
-    jpeg = spark.createDataFrame(
-        [("j1", b"\xff\xd8\xff\xe0 not really")], "media_id string, payload binary"
+    # JPEG is real now (corpus/jpeg.py) — the refusal path belongs to
+    # formats that genuinely need external codecs, e.g. Ogg Vorbis
+    ogg = spark.createDataFrame(
+        [("o1", b"OggS\x00\x02 not a real stream")],
+        "media_id string, payload binary",
     )
-    with pytest.raises(Exception, match="PNG only|NotImplementedError"):
-        decode_media(jpeg, fake=False).collect()
+    with pytest.raises(Exception, match="external codecs|NotImplementedError"):
+        decode_media(ogg, fake=False).collect()
 
 
 def test_attach_palette_media_full_stats_spark(spark):

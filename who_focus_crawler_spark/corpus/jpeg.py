@@ -1,0 +1,560 @@
+"""Real baseline-JPEG decode (and a deterministic encoder), stdlib-only.
+
+PNG (corpus/png.py) and WAV (corpus/wav.py) made lossless image and
+audio real; this module makes the web's dominant LOSSY image format
+real. Baseline sequential JPEG (ITU-T T.81) needs no external codec —
+only arithmetic: marker segments, quantization tables, canonical
+Huffman entropy coding with 0xFF byte stuffing, zigzag scan, 8×8
+DCT/IDCT, and YCbCr↔RGB conversion. All of that is ~arithmetic over
+``struct``-parsed bytes, implemented here; what stays behind the
+explicit NotImplementedError in corpus/multimodal.py is now only
+video and compressed audio (entropy formats that genuinely need
+ffmpeg-class decoders).
+
+Scope: baseline DCT (SOF0), 8-bit precision, grayscale or YCbCr with
+1×1 sampling (4:4:4). Progressive (SOF2), chroma subsampling, restart
+intervals, arithmetic coding and 12-bit precision raise ``JpegError``
+with a precise message — a crawler decodes hostile bytes and must say
+exactly why it refused.
+
+JPEG is lossy, so round-trip equality is bounded, not exact: the
+decoder recovers pixels within a quantization-error bound of the
+encoder's input (tests pin the empirical bound; the harness oracle
+states the bound as value-exact booleans, the same pattern as the HLL
+error-bound queries). Both directions are deterministic — same bytes
+in, same bytes out, across runs and machines.
+
+The Huffman tables written by the encoder follow the T.81 Annex K
+layout; correctness does not depend on that choice, because the
+decoder always rebuilds its codes from the DHT segments in the file
+itself (any well-formed prefix code round-trips).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+__all__ = ["JpegError", "decode_jpeg", "encode_jpeg"]
+
+
+class JpegError(ValueError):
+    """Malformed or out-of-scope JPEG."""
+
+
+# ----------------------------------------------------------------- tables
+# zigzag scan order, generated (not transcribed): anti-diagonal d = r+c,
+# even diagonals walk bottom-left→top-right, odd ones the reverse
+_ZIGZAG: list[int] = []
+for _d in range(15):
+    _rng = range(max(0, _d - 7), min(_d, 7) + 1)
+    for _r in (reversed(_rng) if _d % 2 == 0 else _rng):
+        _ZIGZAG.append(_r * 8 + (_d - _r))
+del _d, _rng, _r
+
+# T.81 Annex K base quantization tables (quality ~50), row-major
+_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# DCT basis: _COS[u][x] = cos((2x+1)uπ/16); _C[u] = 1/√2 for u=0 else 1
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+    for u in range(8)
+]
+_C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+
+
+def _fdct_1d(v: list[float]) -> list[float]:
+    return [
+        0.5 * _C[u] * sum(v[x] * _COS[u][x] for x in range(8))
+        for u in range(8)
+    ]
+
+
+def _idct_1d(f: list[float]) -> list[float]:
+    return [
+        sum(0.5 * _C[u] * f[u] * _COS[u][x] for u in range(8))
+        for x in range(8)
+    ]
+
+
+def _dct_2d(block: list[float], one_d) -> list[float]:
+    rows = [one_d(block[r * 8:r * 8 + 8]) for r in range(8)]
+    cols = [one_d([rows[r][c] for r in range(8)]) for c in range(8)]
+    return [cols[c][r] for r in range(8) for c in range(8)]
+
+
+# ----------------------------------------------------------------- huffman
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) via the T.81 canonical walk."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _canonical_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for bit-serial decoding."""
+    if sum(bits) != len(vals):
+        raise JpegError(
+            f"DHT counts {sum(bits)} != {len(vals)} symbols"
+        )
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        if code > (1 << ln):
+            raise JpegError("DHT is not a prefix code (Kraft overflow)")
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (val & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise JpegError("entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise JpegError("entropy stream truncated at 0xFF")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                elif 0xD0 <= nxt <= 0xD7:
+                    raise JpegError("restart markers (DRI/RSTn) unsupported")
+                else:
+                    raise JpegError(
+                        f"marker 0xff{nxt:02x} inside entropy stream"
+                    )
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise JpegError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1: sign-extend an s-bit magnitude value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+# ----------------------------------------------------------------- encode
+def _encode_block(
+    samples: list[float],
+    qt: list[int],
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    prev_dc: int,
+    w: _BitWriter,
+) -> int:
+    coef = _dct_2d([s - 128.0 for s in samples], _fdct_1d)
+    q = [int(round(coef[i] / qt[i])) for i in range(64)]
+    zz = [q[_ZIGZAG[i]] for i in range(64)]
+    diff = zz[0] - prev_dc
+    s = _category(diff)
+    code, ln = dc_codes[s]
+    w.write(code, ln)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for i in range(1, 64):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]  # ZRL
+            w.write(zc, zl)
+            run -= 16
+        size = _category(zz[i])
+        code, ln = ac_codes[(run << 4) | size]
+        w.write(code, ln)
+        w.write(zz[i] if zz[i] >= 0 else zz[i] + (1 << size) - 1, size)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]  # EOB
+        w.write(ec, el)
+    return zz[0]
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def encode_jpeg(
+    pixels: bytes, width: int, height: int, channels: int = 1
+) -> bytes:
+    """Deterministic baseline-JPEG encoder (fixtures + bounded
+    round-trip proofs): Annex K quant + Huffman tables, 4:4:4 (no
+    subsampling), no restart intervals, minimal JFIF APP0 —
+    byte-identical across runs and machines. ``pixels`` is row-major
+    8-bit gray (channels=1) or RGB (channels=3)."""
+    if channels not in (1, 3):
+        raise JpegError(f"channels {channels} unsupported (1 gray / 3 RGB)")
+    if len(pixels) != width * height * channels:
+        raise JpegError(
+            f"pixel buffer {len(pixels)} != {width * height * channels}"
+        )
+    if width < 1 or height < 1:
+        raise JpegError("empty image")
+    # component planes, level domain 0..255, edge-replicated to 8× blocks
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    if channels == 1:
+        planes = [[float(v) for v in pixels]]
+    else:
+        ys, cbs, crs = [], [], []
+        for i in range(width * height):
+            r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+            ys.append(0.299 * r + 0.587 * g + 0.114 * b)
+            cbs.append(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)
+            crs.append(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+        planes = [ys, cbs, crs]
+    qts = [_QT_LUMA] + ([_QT_CHROMA] if channels == 3 else [])
+    dc_specs = [_HUFF_DC_LUMA] + ([_HUFF_DC_CHROMA] if channels == 3 else [])
+    ac_specs = [_HUFF_AC_LUMA] + ([_HUFF_AC_CHROMA] if channels == 3 else [])
+    dc_codes = [_canonical_codes(*s) for s in dc_specs]
+    ac_codes = [_canonical_codes(*s) for s in ac_specs]
+
+    wtr = _BitWriter()
+    prev = [0] * channels
+    for by in range(bh):
+        for bx in range(bw):
+            for comp in range(channels):
+                t = 0 if comp == 0 else 1
+                plane = planes[comp]
+                block = []
+                for yy in range(8):
+                    sy = min(by * 8 + yy, height - 1)
+                    for xx in range(8):
+                        sx = min(bx * 8 + xx, width - 1)
+                        block.append(plane[sy * width + sx])
+                prev[comp] = _encode_block(
+                    block, qts[t], dc_codes[t], ac_codes[t], prev[comp], wtr
+                )
+    entropy = wtr.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for t, qt in enumerate(qts):
+        zz = bytes(qt[_ZIGZAG[i]] for i in range(64))
+        out += _seg(0xFFDB, bytes([t]) + zz)
+    comp_hdr = b"".join(
+        struct.pack("BBB", cid + 1, 0x11, 0 if cid == 0 else 1)
+        for cid in range(channels)
+    )
+    out += _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, channels) + comp_hdr,
+    )
+    for t, (bits, vals) in enumerate(dc_specs):
+        out += _seg(0xFFC4, bytes([t]) + bytes(bits) + bytes(vals))
+    for t, (bits, vals) in enumerate(ac_specs):
+        out += _seg(0xFFC4, bytes([0x10 | t]) + bytes(bits) + bytes(vals))
+    scan_hdr = b"".join(
+        struct.pack("BB", cid + 1, 0 if cid == 0 else 0x11)
+        for cid in range(channels)
+    )
+    out += _seg(0xFFDA, bytes([channels]) + scan_hdr + b"\x00\x3f\x00")
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ----------------------------------------------------------------- decode
+def _clamp(v: float) -> int:
+    iv = int(round(v))
+    return 0 if iv < 0 else 255 if iv > 255 else iv
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Parse markers + Huffman-decode + dequantize + IDCT (+ YCbCr→RGB):
+    returns (width, height, channels, pixels) row-major 8-bit. Tables
+    come from the file's own DQT/DHT segments. Baseline sequential
+    4:4:4 or grayscale only — everything else refuses precisely."""
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("bad JPEG signature (no SOI)")
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    dc_tabs: dict[int, dict[tuple[int, int], int]] = {}
+    ac_tabs: dict[int, dict[tuple[int, int], int]] = {}
+    width = height = -1
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan: list[tuple[int, int, int]] = []  # (comp idx, dc id, ac id)
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at {pos}, got {data[pos]:#x}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            raise JpegError("EOI before scan data")
+        (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise JpegError(f"truncated segment 0xff{marker:02x}")
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                if pq != 0:
+                    raise JpegError("16-bit quantization tables unsupported")
+                zz = body[bp + 1:bp + 65]
+                if len(zz) != 64:
+                    raise JpegError("truncated DQT table")
+                qt = [0] * 64
+                for i in range(64):
+                    qt[_ZIGZAG[i]] = zz[i]
+                qts[tq] = qt
+                bp += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1:bp + 17])
+                n = sum(bits)
+                vals = list(body[bp + 17:bp + 17 + n])
+                tab = _canonical_decoder(bits, vals)
+                (ac_tabs if tc else dc_tabs)[th] = tab
+                bp += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise JpegError(f"precision {prec} unsupported (8 only)")
+            if nc not in (1, 3):
+                raise JpegError(f"{nc} components unsupported (1 or 3)")
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
+                if samp != 0x11:
+                    raise JpegError(
+                        f"sampling factor {samp:#x} unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+            raise JpegError(f"{kind} JPEG unsupported (baseline only)")
+        elif marker == 0xDD:
+            raise JpegError("restart intervals (DRI) unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            if ns != len(comps):
+                raise JpegError("scan components != frame components")
+            for i in range(ns):
+                sid, tt = body[1 + 2 * i:3 + 2 * i]
+                idx = next(
+                    (j for j, (cid, _) in enumerate(comps) if cid == sid),
+                    None,
+                )
+                if idx is None:
+                    raise JpegError(f"scan references unknown component {sid}")
+                scan.append((idx, tt >> 4, tt & 0x0F))
+            break
+        # APPn / COM / others: skipped
+    if not comps or width < 0:
+        raise JpegError("missing SOF0 frame header")
+    if not scan:
+        raise JpegError("missing SOS scan header")
+    nc = len(comps)
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    planes = [[0] * (bw * 8 * bh * 8) for _ in range(nc)]
+    rdr = _BitReader(data, pos)
+    prev = [0] * nc
+    for by in range(bh):
+        for bx in range(bw):
+            for comp, dc_id, ac_id in scan:
+                try:
+                    dc_tab = dc_tabs[dc_id]
+                    ac_tab = ac_tabs[ac_id]
+                    qt = qts[comps[comp][1]]
+                except KeyError as e:
+                    raise JpegError(f"scan references missing table {e}")
+                zz = [0] * 64
+                s = rdr.decode(dc_tab)
+                prev[comp] += _extend(rdr.bits(s), s)
+                zz[0] = prev[comp]
+                k = 1
+                while k < 64:
+                    rs = rdr.decode(ac_tab)
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise JpegError("AC run exceeds block")
+                    zz[k] = _extend(rdr.bits(size), size)
+                    k += 1
+                coef = [0.0] * 64
+                for i in range(64):
+                    coef[_ZIGZAG[i]] = zz[i] * qt[_ZIGZAG[i]]
+                spatial = _dct_2d(coef, _idct_1d)
+                plane = planes[comp]
+                row0, col0 = by * 8, bx * 8
+                stride = bw * 8
+                for yy in range(8):
+                    o = (row0 + yy) * stride + col0
+                    for xx in range(8):
+                        plane[o + xx] = spatial[yy * 8 + xx] + 128.0
+    stride = bw * 8
+    out = bytearray(width * height * nc)
+    if nc == 1:
+        p = planes[0]
+        for y in range(height):
+            for x in range(width):
+                out[y * width + x] = _clamp(p[y * stride + x])
+    else:
+        py, pcb, pcr = planes
+        for y in range(height):
+            for x in range(width):
+                yv = py[y * stride + x]
+                cb = pcb[y * stride + x] - 128.0
+                cr = pcr[y * stride + x] - 128.0
+                o = (y * width + x) * 3
+                out[o] = _clamp(yv + 1.402 * cr)
+                out[o + 1] = _clamp(yv - 0.344136 * cb - 0.714136 * cr)
+                out[o + 2] = _clamp(yv + 1.772 * cb)
+    return width, height, nc, bytes(out)

@@ -6,10 +6,14 @@ stdlib zlib and PCM WAV only stdlib struct — so BOTH are decoded FOR
 REAL through the Arrow batch path: `decode_media(fake=False)` on
 PNG/WAV payloads (corpus/png.py: signature, chunk CRCs, inflate, all
 five scanline unfilters; corpus/wav.py: RIFF walk, fmt validation,
-PCM 8/16-bit frames), plus `attach_png_media`/`decode_png_stats` and
-`attach_wav_media`/`decode_wav_stats` for exact pixel/sample statistics
-over deterministic real-codec fixtures. Formats that genuinely need
-external codecs (JPEG entropy decode, video) raise NotImplementedError;
+PCM 8/16-bit frames) — and baseline JPEG needs only arithmetic, so it
+decodes for real as well (corpus/jpeg.py: marker walk, canonical
+Huffman, dequant, IDCT, YCbCr). `attach_png_media`/`decode_png_stats`,
+`attach_wav_media`/`decode_wav_stats` and `attach_jpeg_media`/
+`decode_jpeg_stats` give exact (or, for the lossy codec,
+bounded-error) statistics over deterministic real-codec fixtures.
+Formats that genuinely need external codecs (video, compressed audio)
+raise NotImplementedError;
 `fake=True` keeps the deterministic stand-in that exercises the same
 plumbing (schema, Arrow batch shape, mapInPandas partitioning) for
 those kinds.
@@ -100,8 +104,10 @@ def decode_media(media: DataFrame, frames_per_item: int = 3, fake: bool = False)
     With fake=False, PNG payloads decode FOR REAL (stdlib zlib,
     corpus/png.py) and 'frames' are horizontal bands with exact pixel
     statistics, and PCM WAV payloads decode FOR REAL (stdlib struct,
-    corpus/wav.py) with 'frames' as equal time slices; other formats
-    need external codecs and raise NotImplementedError. fake=True runs
+    corpus/wav.py) with 'frames' as equal time slices, and baseline
+    JPEG decodes FOR REAL (corpus/jpeg.py, stdlib arithmetic only)
+    with bands of recovered lossy pixels; other formats need external
+    codecs and raise NotImplementedError. fake=True runs
     the deterministic stand-in through the identical Spark plumbing for
     any payload kind."""
     return decode_media_arrow(media, frames_per_item=frames_per_item, fake=fake)
@@ -147,8 +153,11 @@ def decode_media_arrow(
         still image are horizontal bands and of an audio clip equal
         time slices; each feature carries the geometry plus the band's
         exact sum/count — integers, so float32 is exact at fixture
-        sizes. Formats that genuinely need external codecs (JPEG
-        entropy decode, video) keep the explicit NotImplementedError."""
+        sizes. Baseline JPEG (corpus/jpeg.py — marker walk, Huffman
+        entropy decode, dequant + IDCT) decodes for real too, its bands
+        carrying the RECOVERED (lossy) pixel sums. Formats that
+        genuinely need external codecs (video, compressed audio) keep
+        the explicit NotImplementedError."""
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             from who_focus_crawler_spark.corpus.png import decode_png
 
@@ -178,10 +187,25 @@ def decode_media_arrow(
                      float(len(band))]
                 )
             return out
+        if payload[:3] == b"\xff\xd8\xff":
+            from who_focus_crawler_spark.corpus.jpeg import decode_jpeg
+
+            w, h, ch, px = decode_jpeg(payload)
+            stride = w * ch
+            out = []
+            for b in range(n_frames):
+                r0 = b * h // n_frames
+                r1 = (b + 1) * h // n_frames
+                band = px[r0 * stride:r1 * stride]
+                out.append(
+                    [float(w), float(h), float(sum(band)), float(len(band))]
+                )
+            return out
         raise NotImplementedError(
-            "real decode supports PNG and PCM WAV in this environment "
-            "(stdlib only); JPEG/compressed-audio/video need external "
-            "codecs — pass fake=True for the deterministic test decoder"
+            "real decode supports PNG, baseline JPEG and PCM WAV in "
+            "this environment (stdlib only); video/compressed audio "
+            "need external codecs — pass fake=True for the "
+            "deterministic test decoder"
         )
 
     decode_one = _fake_decode if fake else _real_decode
@@ -654,6 +678,135 @@ def decode_wav_full_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInArrow(
         dec, WAV_FULL_STATS_SCHEMA
+    )
+
+
+JPEG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("max_err", T.IntegerType(), False),
+        T.StructField("within_tol", T.BooleanType(), False),
+    ]
+)
+
+# empirical max reconstruction error for the attach_jpeg_media fixture
+# rule is 13 over the sf0.01 corpus (measured; the rule is wrap-free so
+# the bound is stable); 24 leaves ~2× margin for other text corpora
+JPEG_FIXTURE_TOL = 24
+
+
+def attach_jpeg_media(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 8,
+) -> DataFrame:
+    """Deterministic REAL-JPEG media table: each document becomes a
+    grayscale baseline JPEG (corpus/jpeg.py — DCT, Annex-K quant,
+    canonical Huffman, byte stuffing) with source pixel(r, c) =
+    md5(text)[c mod 16] mod 240 + r. The mod-240 keeps the surface
+    wrap-free (no 255→0 cliffs), so the lossy reconstruction error is
+    small and stable — the property the bounded-error oracle relies
+    on. Encoding runs distributed in mapInArrow. The result carries
+    ``src_text`` alongside the MEDIA_SCHEMA columns so the decode
+    proof can recompute the source rule without a join."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from who_focus_crawler_spark.corpus.jpeg import encode_jpeg
+
+    out_schema = T.StructType(
+        MEDIA_SCHEMA.fields + [T.StructField("src_text", T.StringType(), True)]
+    )
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            mids, kinds, payloads, lens, metas = [], [], [], [], []
+            for did, text in zip(ids, texts):
+                dig = hashlib.md5((text or "").encode("utf-8")).digest()
+                px = bytes(
+                    dig[c % 16] % 240 + r
+                    for r in range(height)
+                    for c in range(width)
+                )
+                payload = encode_jpeg(px, width, height, channels=1)
+                mids.append(f"m{did}")
+                kinds.append("image")
+                payloads.append(payload)
+                lens.append(len(payload))
+                metas.append(f'{{"w":{width},"h":{height},"fmt":"jpeg"}}')
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.string()),
+                    pa.array(kinds, pa.string()),
+                    pa.array(payloads, pa.binary()),
+                    pa.array(lens, pa.int64()),
+                    pa.array(metas, pa.string()),
+                    pa.array(texts, pa.string()),
+                ],
+                names=[f.name for f in out_schema.fields],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(enc, out_schema)
+
+
+def decode_jpeg_stats(media: DataFrame) -> DataFrame:
+    """REAL-JPEG decode proof in the Arrow batch path: decode each
+    payload (marker walk, Huffman entropy decode, dequant, IDCT) and
+    compare the recovered pixels against the fixture's analytic source
+    rule recomputed from meta — JPEG is lossy, so the contract is a
+    BOUNDED-error boolean (the same value-exact-boolean pattern as the
+    HLL error-bound queries: the oracle states geometry and
+    within_tol=true; the engine must actually decode well enough to
+    satisfy it). max_err is exposed for tests; harness queries project
+    it away since an exact error value is not SQL-computable."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from who_focus_crawler_spark.corpus.jpeg import decode_jpeg
+
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            mids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            texts = batch.column(2).to_pylist()
+            w_, h_, c_, e_, t_ = [], [], [], [], []
+            for payload, text in zip(payloads, texts):
+                w, h, ch, px = decode_jpeg(bytes(payload))
+                dig = hashlib.md5((text or "").encode("utf-8")).digest()
+                want = bytes(
+                    dig[c % 16] % 240 + r
+                    for r in range(h)
+                    for c in range(w)
+                )
+                err = max(abs(a - b) for a, b in zip(px, want))
+                w_.append(w)
+                h_.append(h)
+                c_.append(ch)
+                e_.append(err)
+                t_.append(err <= JPEG_FIXTURE_TOL)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.string()),
+                    pa.array(w_, pa.int32()),
+                    pa.array(h_, pa.int32()),
+                    pa.array(c_, pa.int32()),
+                    pa.array(e_, pa.int32()),
+                    pa.array(t_, pa.bool_()),
+                ],
+                names=[f.name for f in JPEG_STATS_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "payload", "src_text").mapInArrow(
+        dec, JPEG_STATS_SCHEMA
     )
 
 

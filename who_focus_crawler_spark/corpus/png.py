@@ -7,8 +7,8 @@ deflate-compressed, and five per-scanline byte filters (None/Sub/Up/
 Average/Paeth). This module implements that — so ONE real media format
 is decoded end-to-end through the engine's Arrow batch plumbing with
 REAL pixel data, while formats that genuinely need external codecs
-(JPEG entropy coding, video) keep the explicit NotImplementedError in
-corpus/multimodal.py.
+(video, compressed audio) keep the explicit NotImplementedError in
+corpus/multimodal.py (baseline JPEG is real too — corpus/jpeg.py).
 
 Scope (completed round 4): ALL static-PNG layouts — color types 0
 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); bit depths

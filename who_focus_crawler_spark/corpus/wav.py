@@ -6,8 +6,9 @@ canonical PCM WAV needs nothing beyond ``struct``: the RIFF container
 channel count, sample rate, bit depth) and the raw little-endian sample
 frames in ``data``. Decoding that is a full, real audio codec for the
 format crawlers actually archive uncompressed audio in — while formats
-that genuinely need external codecs (MP3/AAC/Vorbis entropy decoding)
-keep the explicit NotImplementedError in corpus/multimodal.py.
+that genuinely need external codecs (MP3/AAC/Vorbis entropy decoding,
+video) keep the explicit NotImplementedError in corpus/multimodal.py
+(baseline JPEG is real too — corpus/jpeg.py).
 
 Scope (completed round 4): every uncompressed WAV layout —
 

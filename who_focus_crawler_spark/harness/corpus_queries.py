@@ -3655,3 +3655,42 @@ QUERIES["d_media_decode_wav24"] = (
     d_media_decode_wav24,
     D_MEDIA_DECODE_WAV24_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# REAL baseline-JPEG decode end-to-end (corpus/jpeg.py +
+# multimodal.attach_jpeg_media / decode_jpeg_stats): every document
+# becomes a genuine baseline JPEG — DCT, Annex-K quantization,
+# canonical Huffman with byte stuffing — from the wrap-free source rule
+# pixel(r, c) = md5(text)[c] mod 240 + r; the engine then decodes the
+# entropy stream (marker walk, Huffman, dequant, IDCT) and compares
+# the recovered pixels to the rule. JPEG is LOSSY, so the contract is
+# a bounded-error boolean: the oracle states geometry and
+# within_tol=true (tol 24, ~2x the measured max error 13), exactly the
+# value-exact-boolean pattern of the HLL error-bound queries — if the
+# entropy decode, dequant or IDCT were wrong the booleans flip.
+
+
+def d_media_decode_jpeg(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.multimodal import (
+        attach_jpeg_media,
+        decode_jpeg_stats,
+    )
+
+    media = attach_jpeg_media(t(spark, sf, "documents"))
+    return decode_jpeg_stats(media).select(
+        "media_id", "width", "height", "channels", "within_tol"
+    )
+
+
+D_MEDIA_DECODE_JPEG_SQL = """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       16 AS width, 8 AS height, 1 AS channels,
+       TRUE AS within_tol
+FROM documents
+"""
+
+QUERIES["d_media_decode_jpeg"] = (
+    d_media_decode_jpeg,
+    D_MEDIA_DECODE_JPEG_SQL,
+)
