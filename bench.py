@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "d_media_decode_palette",
     "d_media_decode_wav24",
     "d_media_decode_jpeg",
+    "d_media_decode_gif",
 ]
 
 
@@ -189,6 +190,34 @@ def main() -> None:
         total += dt
         _ = n
 
+    # the north rule's two-cluster-size criterion is measured by
+    # tools/scaling_bench.py / tools/stress_bench.py (idleness-guarded
+    # N vs 4N legs; committed to SCALING.json / STRESS.json); surface
+    # the committed evidence here so every BENCH_r*.json records
+    # throughput at both sizes plus the efficiency alongside the
+    # single-size headline
+    scaling = None
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "STRESS.json")) as f:
+            stress = json.load(f)
+        runs = [
+            r for r in stress.get("runs", [])
+            if r.get("pass") and not r.get("idleness_N", {}).get("contaminated")
+        ]
+        if runs:
+            big = max(runs, key=lambda r: r["input"]["frontier_urls"])
+            scaling = {
+                "source": "STRESS.json (idleness-guarded, at-rest parquet)",
+                "frontier_urls": big["input"]["frontier_urls"],
+                "N_cores": big["N_cores"],
+                "throughput_N": big["throughput_N"],
+                "throughput_4N": big["throughput_4N"],
+                "efficiency_N_to_4N": big["scaling_efficiency_N_to_4N"],
+                "criterion": big.get("criterion", ">= 0.8"),
+            }
+    except Exception:
+        scaling = None
     print(
         json.dumps(
             {
@@ -203,6 +232,7 @@ def main() -> None:
                 "frontier_wall_sec": round(frontier_wall, 3),
                 "query_total_sec": round(total, 3),
                 "cpus": int(cpus),
+                "scaling": scaling,
             }
         )
     )

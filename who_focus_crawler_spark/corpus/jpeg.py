@@ -22,7 +22,10 @@ decoder recovers pixels within a quantization-error bound of the
 encoder's input (tests pin the empirical bound; the harness oracle
 states the bound as value-exact booleans, the same pattern as the HLL
 error-bound queries). Both directions are deterministic — same bytes
-in, same bytes out, across runs and machines.
+in, same bytes out across runs (the only float dependency is libm's
+cosine of 64 fixed angles plus IEEE-754 arithmetic, so in practice
+across machines too; the bounded-error contract is robust to a
+last-ulp platform difference regardless).
 
 The Huffman tables written by the encoder follow the T.81 Annex K
 layout; correctness does not depend on that choice, because the

@@ -187,6 +187,20 @@ def decode_media_arrow(
                      float(len(band))]
                 )
             return out
+        if payload[:4] == b"GIF8":
+            from who_focus_crawler_spark.corpus.gif import decode_gif
+
+            w, h, ch, px = decode_gif(payload)
+            stride = w * ch
+            out = []
+            for b in range(n_frames):
+                r0 = b * h // n_frames
+                r1 = (b + 1) * h // n_frames
+                band = px[r0 * stride:r1 * stride]
+                out.append(
+                    [float(w), float(h), float(sum(band)), float(len(band))]
+                )
+            return out
         if payload[:3] == b"\xff\xd8\xff":
             from who_focus_crawler_spark.corpus.jpeg import decode_jpeg
 
@@ -202,8 +216,8 @@ def decode_media_arrow(
                 )
             return out
         raise NotImplementedError(
-            "real decode supports PNG, baseline JPEG and PCM WAV in "
-            "this environment (stdlib only); video/compressed audio "
+            "real decode supports PNG, GIF, baseline JPEG and PCM WAV "
+            "in this environment (stdlib only); video/compressed audio "
             "need external codecs — pass fake=True for the "
             "deterministic test decoder"
         )
@@ -678,6 +692,111 @@ def decode_wav_full_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInArrow(
         dec, WAV_FULL_STATS_SCHEMA
+    )
+
+
+def attach_gif_media(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 8,
+) -> DataFrame:
+    """Deterministic REAL-GIF media table exercising the full GIF
+    decode surface in one payload: INTERLACED image, 16-entry global
+    color table (entry i = (i*17, i*33 mod 256, i*53 mod 256) — the
+    same frozen formula as the palette-PNG fixture), GCE transparency
+    on index 5 (RGBA output), genuine variable-width LZW. Index(r, c)
+    = (md5(text)[c mod 16] + r) mod 16 — analytic, so a SQL twin can
+    state the decoded RGBA statistics exactly."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from who_focus_crawler_spark.corpus.gif import encode_gif
+
+    palette = bytes(
+        b
+        for i in range(16)
+        for b in (i * 17 & 0xFF, i * 33 & 0xFF, i * 53 & 0xFF)
+    )
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            mids, kinds, payloads, lens, metas = [], [], [], [], []
+            for did, text in zip(ids, texts):
+                dig = hashlib.md5((text or "").encode("utf-8")).digest()
+                idx = bytes(
+                    (dig[c % 16] + r) % 16
+                    for r in range(height)
+                    for c in range(width)
+                )
+                payload = encode_gif(
+                    idx, width, height, palette,
+                    transparent=5, interlace=True,
+                )
+                mids.append(f"m{did}")
+                kinds.append("image")
+                payloads.append(payload)
+                lens.append(len(payload))
+                metas.append(f'{{"w":{width},"h":{height},"fmt":"gif"}}')
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.string()),
+                    pa.array(kinds, pa.string()),
+                    pa.array(payloads, pa.binary()),
+                    pa.array(lens, pa.int64()),
+                    pa.array(metas, pa.string()),
+                ],
+                names=[f.name for f in MEDIA_SCHEMA.fields],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(enc, MEDIA_SCHEMA)
+
+
+def decode_gif_full_stats(media: DataFrame) -> DataFrame:
+    """GIF twin of decode_png_full_stats: real LZW decode in the Arrow
+    batch path, geometry + RGBA pixel sum + POSITION-WEIGHTED sum (the
+    weighted sum is what a wrong deinterlace row permutation would
+    break — interlaced GIF reorders whole rows, which a plain sum
+    cannot see)."""
+    import pyarrow as pa
+
+    from who_focus_crawler_spark.corpus.gif import decode_gif
+
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            mids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            w_, h_, c_, s_, ws_ = [], [], [], [], []
+            for payload in payloads:
+                w, h, ch, px = decode_gif(bytes(payload))
+                tot = wtot = 0
+                for pi in range(w * h):
+                    s = sum(px[pi * ch:(pi + 1) * ch])
+                    tot += s
+                    wtot += (pi + 1) * s
+                w_.append(w)
+                h_.append(h)
+                c_.append(ch)
+                s_.append(tot)
+                ws_.append(wtot)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.string()),
+                    pa.array(w_, pa.int32()),
+                    pa.array(h_, pa.int32()),
+                    pa.array(c_, pa.int32()),
+                    pa.array(s_, pa.int64()),
+                    pa.array(ws_, pa.int64()),
+                ],
+                names=[f.name for f in PNG_FULL_STATS_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(
+        dec, PNG_FULL_STATS_SCHEMA
     )
 
 

@@ -3694,3 +3694,60 @@ QUERIES["d_media_decode_jpeg"] = (
     d_media_decode_jpeg,
     D_MEDIA_DECODE_JPEG_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# REAL GIF decode end-to-end (corpus/gif.py + multimodal.attach_gif_media
+# / decode_gif_full_stats): every document becomes a genuine INTERLACED
+# GIF89a — variable-width LZW, 16-entry global color table (the same
+# frozen palette formula as the palette-PNG fixture), GCE transparency
+# on index 5 → RGBA. Index(r, c) = (md5(text)[c] + r) mod 16 is
+# analytic, so the twin states the decoded RGBA statistics directly;
+# the POSITION-WEIGHTED sum catches a wrong deinterlace row
+# permutation, which a plain (permutation-invariant) sum cannot.
+
+
+def d_media_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.multimodal import (
+        attach_gif_media,
+        decode_gif_full_stats,
+    )
+
+    media = attach_gif_media(t(spark, sf, "documents"))
+    return decode_gif_full_stats(media)
+
+
+D_MEDIA_DECODE_GIF_SQL = """
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, md5(text) AS h
+  FROM documents
+),
+b AS (
+  SELECT media_id,
+         list_transform(generate_series(0, 15), c ->
+           CAST(('0x' || substring(h, c*2 + 1, 2)) AS INTEGER)) AS bytes
+  FROM m
+),
+px AS (  -- per-pixel RGBA sum for index i = (bytes[c]+r)%16,
+         -- alpha 0 on the transparent index 5 and 255 otherwise
+  SELECT media_id, r, c,
+         ((bytes[c] + r) % 16) * 17
+         + (((bytes[c] + r) % 16) * 33) % 256
+         + (((bytes[c] + r) % 16) * 53) % 256
+         + CASE WHEN (bytes[c] + r) % 16 = 5 THEN 0 ELSE 255 END AS s
+  FROM b,
+       (SELECT unnest(generate_series(0, 7)) AS r) rr,
+       (SELECT unnest(generate_series(1, 16)) AS c) cc
+)
+SELECT media_id,
+       16 AS width, 8 AS height, 4 AS channels,
+       CAST(sum(s) AS BIGINT) AS pixel_sum,
+       CAST(sum((r * 16 + c) * s) AS BIGINT) AS weighted_sum
+FROM px
+GROUP BY media_id
+"""
+
+QUERIES["d_media_decode_gif"] = (
+    d_media_decode_gif,
+    D_MEDIA_DECODE_GIF_SQL,
+)
