@@ -360,10 +360,10 @@ def test_multimodal_stub(spark, docs):
     rows = frames.collect()
     assert len(rows) == 40 * 3
     assert all(len(r.feature) == 4 for r in rows)
-    # attach_media payloads are raw utf-8 blobs, not PNG/WAV — the real
-    # path refuses them at execution (the error surfaces through the
+    # attach_media payloads are raw utf-8 blobs, not a real format — the
+    # real path refuses them at execution (the error surfaces through the
     # Python worker, so match the message, not the exception class)
-    with pytest.raises(Exception, match="PNG and PCM WAV"):
+    with pytest.raises(Exception, match="external codecs"):
         decode_media(media, fake=False).collect()
 
 
@@ -693,9 +693,9 @@ def test_decode_media_arrow_matches_pandas_path(spark):
         for r in decode_media_pandas(media, fake=True).collect()
     )
     assert a == p and len(a) == 180  # 60 items x 3 frames
-    # payloads that are neither PNG nor WAV refuse real decode at
+    # payloads that match no real codec's magic refuse real decode at
     # execution time
-    with pytest.raises(Exception, match="PNG and PCM WAV"):
+    with pytest.raises(Exception, match="external codecs"):
         decode_media_arrow(media).collect()
 
 
