@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "d_media_decode_wav24",
     "d_media_decode_jpeg",
     "d_media_decode_gif",
+    "d_media_mixed_decode3",
 ]
 
 

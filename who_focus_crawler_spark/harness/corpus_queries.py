@@ -3751,3 +3751,94 @@ QUERIES["d_media_decode_gif"] = (
     d_media_decode_gif,
     D_MEDIA_DECODE_GIF_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# THREE-format real-decode dispatch (the production media-column shape,
+# widened from d_media_mixed_decode's two): genuine PNGs (doc_id%3=0),
+# WAV clips (%3=1) AND interlaced GIFs (%3=2) flow through ONE
+# decode_media(fake=False) mapInArrow stage that dispatches per payload
+# on magic bytes. All three fixture rules are analytic — lossless
+# codecs — so the twin states every frame feature exactly (JPEG stays
+# out of the mixed twin: lossy, its proof is the bounded-error query).
+
+
+def d_media_mixed_decode3(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.multimodal import (
+        attach_gif_media,
+        attach_png_media,
+        attach_wav_media,
+        decode_media,
+    )
+
+    docs = t(spark, sf, "documents")
+    media = (
+        attach_png_media(docs.where(F.col("doc_id") % 3 == 0))
+        .unionAll(attach_wav_media(docs.where(F.col("doc_id") % 3 == 1)))
+        .unionAll(attach_gif_media(docs.where(F.col("doc_id") % 3 == 2)))
+    )
+    frames = decode_media(media, frames_per_item=2, fake=False)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.element_at("feature", 1).cast("double").alias("f_geom"),
+        F.element_at("feature", 2).cast("double").alias("f_extent"),
+        F.element_at("feature", 3).cast("double").alias("f_band_sum"),
+        F.element_at("feature", 4).cast("double").alias("f_band_n"),
+    )
+
+
+D_MEDIA_MIXED_DECODE3_SQL = """
+WITH m AS (
+  SELECT doc_id, 'm' || CAST(doc_id AS VARCHAR) AS media_id, md5(text) AS h
+  FROM documents
+),
+b AS (
+  SELECT doc_id, media_id,
+         list_transform(generate_series(0, 15), c ->
+           CAST(('0x' || substring(h, c*2 + 1, 2)) AS INTEGER)) AS bytes
+  FROM m
+),
+png AS (  -- 16x8 gray, 2 bands of 4 rows: sum over (bytes[c]+r)%256
+  SELECT media_id, f.frame_idx,
+         16.0 AS f_geom, 8.0 AS f_extent,
+         CAST(list_sum(list_transform(generate_series(0, 3), r ->
+           list_sum(list_transform(generate_series(1, 16), c ->
+             (bytes[c] + r + f.frame_idx * 4) % 256)))) AS DOUBLE)
+           AS f_band_sum,
+         64.0 AS f_band_n
+  FROM b, (SELECT unnest(generate_series(0, 1)) AS frame_idx) f
+  WHERE doc_id % 3 = 0
+),
+wav AS (  -- 64 mono samples, 2 slices of 32
+  SELECT media_id, f.frame_idx,
+         8000.0 AS f_geom, 64.0 AS f_extent,
+         CAST(list_sum(list_transform(generate_series(0, 31), i ->
+           ((bytes[((i + f.frame_idx * 32) % 16) + 1] * 257
+             + (i + f.frame_idx * 32) * 31) % 65536) - 32768))
+           AS DOUBLE) AS f_band_sum,
+         32.0 AS f_band_n
+  FROM b, (SELECT unnest(generate_series(0, 1)) AS frame_idx) f
+  WHERE doc_id % 3 = 1
+),
+gif AS (  -- 16x8 RGBA (transparent idx 5), 2 bands of 4 rows
+  SELECT media_id, f.frame_idx,
+         16.0 AS f_geom, 8.0 AS f_extent,
+         CAST(list_sum(list_transform(generate_series(0, 3), r ->
+           list_sum(list_transform(generate_series(1, 16), c ->
+             ((bytes[c] + r + f.frame_idx * 4) % 16) * 17
+             + (((bytes[c] + r + f.frame_idx * 4) % 16) * 33) % 256
+             + (((bytes[c] + r + f.frame_idx * 4) % 16) * 53) % 256
+             + CASE WHEN (bytes[c] + r + f.frame_idx * 4) % 16 = 5
+                    THEN 0 ELSE 255 END)))) AS DOUBLE) AS f_band_sum,
+         256.0 AS f_band_n
+  FROM b, (SELECT unnest(generate_series(0, 1)) AS frame_idx) f
+  WHERE doc_id % 3 = 2
+)
+SELECT * FROM png UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM gif
+"""
+
+QUERIES["d_media_mixed_decode3"] = (
+    d_media_mixed_decode3,
+    D_MEDIA_MIXED_DECODE3_SQL,
+)
