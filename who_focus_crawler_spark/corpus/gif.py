@@ -30,6 +30,8 @@ __all__ = ["GifError", "decode_gif", "encode_gif"]
 
 # interlace passes: (row offset, row step) in order
 _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+# hostile-byte DoS guard (see corpus/png.py MAX_PIXELS)
+MAX_PIXELS = 1 << 26
 
 
 class GifError(ValueError):
@@ -198,10 +200,14 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
         if block != 0x2C:
             raise GifError(f"unknown block 0x{block:02x}")
         # image descriptor
+        if pos + 9 > len(data):
+            raise GifError("truncated image descriptor")
         left, top, w, h, ipack = struct.unpack("<HHHHB", data[pos:pos + 9])
         pos += 9
         if w < 1 or h < 1:
             raise GifError("empty image descriptor")
+        if w * h > MAX_PIXELS:
+            raise GifError(f"image {w}x{h} exceeds decoder pixel cap")
         if left or top or w != sw or h != sh:
             # partial-canvas frames only matter for animation composition
             raise GifError(

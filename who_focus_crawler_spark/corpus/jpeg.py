@@ -40,6 +40,11 @@ import struct
 
 __all__ = ["JpegError", "decode_jpeg", "encode_jpeg"]
 
+# hostile-byte DoS guard (see corpus/png.py MAX_PIXELS): a lying SOF0
+# must not make the decoder allocate per-pixel float planes for
+# gigapixel dimensions before the entropy stream inevitably runs dry
+MAX_PIXELS = 1 << 26
+
 
 class JpegError(ValueError):
     """Malformed or out-of-scope JPEG."""
@@ -453,6 +458,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xC4:  # DHT (possibly several tables)
             bp = 0
             while bp < len(body):
+                if bp + 17 > len(body):
+                    raise JpegError("truncated DHT table header")
                 tc, th = body[bp] >> 4, body[bp] & 0x0F
                 bits = list(body[bp + 1:bp + 17])
                 n = sum(bits)
@@ -461,11 +468,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 (ac_tabs if tc else dc_tabs)[th] = tab
                 bp += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise JpegError("truncated SOF0 header")
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise JpegError(f"precision {prec} unsupported (8 only)")
             if nc not in (1, 3):
                 raise JpegError(f"{nc} components unsupported (1 or 3)")
+            if width < 1 or height < 1:
+                raise JpegError(f"empty image {width}x{height}")
+            if width * height > MAX_PIXELS:
+                raise JpegError(
+                    f"image {width}x{height} exceeds decoder pixel cap"
+                )
+            if len(body) < 6 + 3 * nc:
+                raise JpegError("truncated SOF0 component list")
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
                 if samp != 0x11:
@@ -480,11 +497,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xDD:
             raise JpegError("restart intervals (DRI) unsupported")
         elif marker == 0xDA:  # SOS — entropy data follows
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise JpegError("truncated SOS header")
             ns = body[0]
             if ns != len(comps):
                 raise JpegError("scan components != frame components")
             for i in range(ns):
-                sid, tt = body[1 + 2 * i:3 + 2 * i]
+                sid, tt = body[1 + 2 * i:3 + 2 * i]  # length checked above
                 idx = next(
                     (j for j, (cid, _) in enumerate(comps) if cid == sid),
                     None,

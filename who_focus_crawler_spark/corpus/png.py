@@ -35,6 +35,12 @@ import struct
 import zlib
 
 _SIG = b"\x89PNG\r\n\x1a\n"
+# hostile-byte DoS guard: a lying IHDR (or a deflate bomb) must not make
+# the decoder allocate gigabytes before any consistency check fires —
+# the same reason libpng ships default memory limits and browsers cap
+# decoded dimensions. 2^26 pixels = 256 MB of RGBA, far above any
+# fixture and most real thumbnails/page images.
+MAX_PIXELS = 1 << 26
 # samples per pixel BEFORE palette expansion (a palette pixel is one
 # index sample; expansion to RGB(A) happens after unfiltering)
 _RAW_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -178,7 +184,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         ctype = data[pos + 4:pos + 8]
         body = data[pos + 8:pos + 8 + length]
-        if len(body) != length:
+        if len(body) != length or pos + 12 + length > len(data):
             raise PngError(f"truncated {ctype!r} chunk")
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length:pos + 12 + length]
@@ -187,6 +193,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             raise PngError(f"CRC mismatch in {ctype!r}")
         pos += 12 + length
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise PngError(f"IHDR length {len(body)} != 13")
             width, height, depth, color, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
@@ -198,6 +206,12 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 )
             if comp != 0 or filt != 0:
                 raise PngError("non-standard compression/filter method")
+            if width < 1 or height < 1:
+                raise PngError(f"empty image {width}x{height}")
+            if width * height > MAX_PIXELS:
+                raise PngError(
+                    f"image {width}x{height} exceeds decoder pixel cap"
+                )
             seen_ihdr = True
         elif ctype == b"PLTE":
             if length % 3 or length == 0:
@@ -219,11 +233,21 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         # gray/RGB tRNS (a single transparent color) is a different
         # mechanism; refuse loudly rather than silently dropping alpha
         raise PngError(f"tRNS for color type {color} unsupported")
-    raw = zlib.decompress(bytes(idat))
     rc = _RAW_CHANNELS[color]
+    segs = _segments(width, height, interlace)
+    expected = sum(
+        ((w * rc * depth + 7) // 8 + 1) * h for *_, w, h in segs
+    )
+    try:
+        # bounded inflate: a deflate bomb stops at expected+1 bytes
+        # instead of materializing its full output
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as e:  # hostile bytes must fail TYPED
+        raise PngError(f"IDAT inflate failed: {e}")
     samples = bytearray(width * height * rc)
     pos = 0
-    for xo, yo, xs, ys, w, h in _segments(width, height, interlace):
+    for xo, yo, xs, ys, w, h in segs:
         stride = (w * rc * depth + 7) // 8
         bpp = max(1, rc * depth // 8)
         rows, pos = _unfilter(raw, pos, stride, bpp, h)
