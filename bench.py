@@ -12,7 +12,12 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), WFC_BENCH_EXPAND (default 100 —
      15M URLs at sf0.1, the SAME input as SCALING.json/BASELINE.md so
      per-round numbers are directly comparable), WFC_BENCH_REPEAT
-     (default 3, best-of — the sandbox VM shows ~3% bursty CPU steal).
+     (default 3, best-of — the sandbox VM shows ~3% bursty CPU steal),
+     WFC_BENCH_BEST_OF (default 2, round 5 — per-QUERY warmed draws;
+     `queries` reports the best, `query_draws` every draw, and an
+     `idleness` block records load/steal before the timed region, so a
+     ±10% drift is diagnosable from the artifact alone instead of
+     reading as a phantom regression).
 """
 
 from __future__ import annotations
@@ -79,6 +84,9 @@ BENCH_QUERIES = [
     "d_media_decode_jpeg",
     "d_media_decode_gif",
     "d_media_mixed_decode3",
+    # round-5 ops: 4:2:0+DRI JPEG (real-web layout) + refusal telemetry
+    "d_media_decode_jpeg420",
+    "d_media_refusals",
 ]
 
 
@@ -168,28 +176,53 @@ def main() -> None:
     frontier = synth_frontier(spark, sf_dir, expand).persist()
     n_urls = frontier.count()
     run_frontier_pipeline(spark, frontier.limit(2000))  # warm Python workers
+    # idleness guard (VERDICT r4 "what's wrong" #3): record the box
+    # state immediately before the timed region — a light gate (short
+    # settle, few tries) so a driver run is never blocked for minutes,
+    # but a contaminated draw is MARKED in the artifact
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from idleness import wait_until_idle
+
+        idleness = wait_until_idle(
+            max_load1=8.0, max_steal_pct=5.0, tries=2, settle_sec=10.0
+        )
+    except Exception:
+        idleness = None
+
     # best-of-k: the sandbox is a shared VM (~3% avg CPU steal, bursty) —
     # min wall is the faithful estimate of the job's own cost
     repeat = int(os.environ.get("WFC_BENCH_REPEAT", "3"))
-    frontier_wall = float("inf")
+    frontier_draws: list[float] = []
     for _ in range(max(repeat, 1)):
         t0 = time.time()
         n_admitted = run_frontier_pipeline(spark, frontier)
-        frontier_wall = min(frontier_wall, time.time() - t0)
+        frontier_draws.append(round(time.time() - t0, 3))
+    frontier_wall = min(frontier_draws)
     urls_per_sec = n_urls / frontier_wall if frontier_wall > 0 else 0.0
 
+    # per-query warmed draws: the first draw pays any Python-worker /
+    # code-path cold start; `queries` carries the best so cross-round
+    # diffs compare the jobs, and `query_draws` carries every draw so
+    # a slow outlier is visibly an outlier
+    best_of = max(int(os.environ.get("WFC_BENCH_BEST_OF", "2")), 1)
     timings: dict[str, float] = {}
+    draws: dict[str, list[float]] = {}
     total = 0.0
     names = BENCH_QUERIES if os.environ.get("WFC_BENCH_QUERIES", "1") == "1" else []
     for name in names:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
-        _ = n
+        ds = []
+        for _ in range(best_of):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            ds.append(round(time.time() - t0, 3))
+            _ = n
+        draws[name] = ds
+        timings[name] = min(ds)
+        total += min(ds)
 
     # the north rule's two-cluster-size criterion is measured by
     # tools/scaling_bench.py / tools/stress_bench.py (idleness-guarded
@@ -231,7 +264,11 @@ def main() -> None:
                 "frontier_urls": n_urls,
                 "frontier_admitted": n_admitted,
                 "frontier_wall_sec": round(frontier_wall, 3),
+                "frontier_wall_draws": frontier_draws,
                 "query_total_sec": round(total, 3),
+                "query_draws": draws,
+                "best_of": best_of,
+                "idleness": idleness,
                 "cpus": int(cpus),
                 "scaling": scaling,
             }

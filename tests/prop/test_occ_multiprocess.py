@@ -23,7 +23,7 @@ from pathlib import Path
 
 WORKER = r"""
 import sys
-root, wid = sys.argv[1], int(sys.argv[2])
+root, wid, backend = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 sys.path.insert(0, {repo!r})
 from who_focus_crawler_spark.session import get_spark
 from who_focus_crawler_spark.checkpoint.snapshot import SnapshotCatalog
@@ -34,7 +34,7 @@ spark = get_spark(
     shuffle_partitions=2,
     extra_conf={{"spark.driver.memory": "1g"}},
 )
-cat = SnapshotCatalog(root)
+cat = SnapshotCatalog(root, cas=backend)
 df = spark.range(100 + wid * 10, 110 + wid * 10).selectExpr(
     "id AS doc_id", "CAST(id * 2 AS STRING) AS text"
 )
@@ -48,14 +48,18 @@ spark.stop()
 """
 
 
-def test_multiprocess_occ_writers_all_merge(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("backend", ["flock", "sqlite"])
+def test_multiprocess_occ_writers_all_merge(spark, tmp_path, backend):
     repo = str(Path(__file__).resolve().parents[2])
     root = tmp_path / "cat"
     cat_root = str(root)
 
     from who_focus_crawler_spark.checkpoint.snapshot import SnapshotCatalog
 
-    cat = SnapshotCatalog(cat_root)
+    cat = SnapshotCatalog(cat_root, cas=backend)
     base = spark.range(0, 50).selectExpr(
         "id AS doc_id", "CAST(id * 2 AS STRING) AS text"
     )
@@ -65,7 +69,7 @@ def test_multiprocess_occ_writers_all_merge(spark, tmp_path):
     n_workers = 3
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", script, cat_root, str(w)],
+            [sys.executable, "-c", script, cat_root, str(w), backend],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
@@ -114,19 +118,21 @@ def test_multiprocess_occ_writers_all_merge(spark, tmp_path):
         assert Path(f).exists()
 
 
-def test_flock_cas_serializes_concurrent_processes(tmp_path):
-    """The CAS primitive itself, raced without Spark: N processes all
-    try to publish against the same expected head; with the flock
-    backend exactly one try_publish(expected=None → 0 chain) can win
-    per head value, so N sequential head values emerge with no skips
-    and no double-publish."""
+@pytest.mark.parametrize("backend", ["flock", "sqlite", "lockfile"])
+def test_cas_serializes_concurrent_processes(tmp_path, backend):
+    """The CAS primitive itself, raced without Spark and across ALL
+    THREE working backends: N processes all try to publish against the
+    same expected head; exactly one try_publish can win per head
+    value, so sequential head values emerge with no skips and no
+    double-publish — the same invariant whether mutual exclusion is
+    flock, a SQLite write transaction, or an O_EXCL sentinel."""
     root = tmp_path / "bare"
     root.mkdir()
     script = f"""
 import os, sys
 sys.path.insert(0, {str(Path(__file__).resolve().parents[2])!r})
 from pathlib import Path
-from who_focus_crawler_spark.checkpoint.cas import FlockCAS
+from who_focus_crawler_spark.checkpoint.cas import make_cas
 
 root = Path({str(root)!r})
 head_path = root / "HEAD"
@@ -142,7 +148,7 @@ def publish(v):  # same atomic-replace discipline as the catalog
     tmp.write_text(str(v))
     os.replace(tmp, head_path)
 
-cas = FlockCAS(root / "commit.lock", head)
+cas = make_cas({backend!r}, root, head)
 wins = 0
 for _ in range(200):
     h = head()

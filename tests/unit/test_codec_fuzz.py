@@ -45,6 +45,7 @@ _DIG = hashlib.md5(b"fuzz corpus").digest()
 _PX = bytes((_DIG[c % 16] + r) % 256 for r in range(8) for c in range(16))
 _IDX = bytes((_DIG[c % 16] + r) % 16 for r in range(8) for c in range(16))
 _S16 = [((_DIG[i % 16] * 257 + i * 31) % 65536) - 32768 for i in range(64)]
+_PX3 = bytes((_DIG[(3 * i) % 16] + i) % 256 for i in range(16 * 16 * 3))
 
 
 def _refix_png_crcs(b: bytearray) -> bytearray:
@@ -109,6 +110,15 @@ def _mutations(good: bytes, rng: random.Random, n: int, refix=None):
             None,
         ),
         ("jpeg", encode_jpeg(_PX, 16, 8, 1), decode_jpeg, JpegError, None),
+        (
+            "jpeg-420ri",
+            encode_jpeg(
+                _PX3, 16, 16, 3, subsampling="420", restart_interval=1
+            ),
+            decode_jpeg,
+            JpegError,
+            None,
+        ),
         ("wav", encode_wav(_S16, 8000), decode_wav, WavError, None),
         (
             "wav-ext",

@@ -3,9 +3,12 @@
 Third real codec after PNG/WAV. JPEG is lossy, so round trips assert
 BOUNDED reconstruction error (constant blocks are DC-only and recover
 near-exactly; smooth surfaces stay within a few levels; the harness
-fixture rule is wrap-free and pinned at its measured bound). The
-decoder is also exercised against precise refusals for everything
-outside baseline 4:4:4 scope — a crawler decodes hostile bytes."""
+fixture rule is wrap-free and pinned at its measured bound). Round 5
+extends scope to chroma subsampling (4:2:0/4:2:2/4:4:0) and DRI/RSTn
+restart intervals; the decoder is still exercised against precise
+refusals for everything outside baseline sequential scope
+(progressive, arithmetic, 12-bit) — a crawler decodes hostile
+bytes."""
 
 from __future__ import annotations
 
@@ -107,11 +110,18 @@ def test_hostile_bytes_rejected():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(JpegError, match="progressive"):
         decode_jpeg(prog)
-    # DRI segment spliced in before SOS
     at = good.find(b"\xff\xda")
+    # a one-MCU image never reaches a restart boundary, so a spliced
+    # DRI is harmless — it must now DECODE (round 5 added DRI/RSTn)
     dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
-    with pytest.raises(JpegError, match="DRI"):
-        decode_jpeg(good[:at] + dri + good[at:])
+    assert decode_jpeg(good[:at] + dri + good[at:])[:3] == (8, 8, 1)
+    # but a multi-MCU stream whose declared interval promises RSTn
+    # that never arrive is a typed desync rejection
+    big = encode_jpeg(bytes(range(128)) + bytes(range(128)), 16, 16, 1)
+    at16 = big.find(b"\xff\xda")
+    dri1 = b"\xff\xdd" + struct.pack(">HH", 4, 1)
+    with pytest.raises(JpegError, match="desync|truncated|invalid"):
+        decode_jpeg(big[:at16] + dri1 + big[at16:])
     # entropy stream cut mid-MCU (SOS header is 10 bytes; +2 leaves
     # two bytes of entropy for a block that needs five)
     with pytest.raises(JpegError, match="truncated|invalid"):
@@ -165,3 +175,134 @@ def test_decode_media_real_path_jpeg(spark):
         assert f.feature[0] == 16.0 and f.feature[1] == 8.0
         assert f.feature[3] == 64.0
         assert abs(f.feature[2] - want) <= 24 * 64
+
+
+# ------------------------------------------------------------- round 5:
+# chroma subsampling (4:2:0 / 4:2:2 / 4:4:0) + DRI/RSTn restart
+# intervals — the real web's dominant JPEG layout.
+
+def _rgb_rule(seed: bytes, w: int, h: int) -> bytes:
+    """The 4:2:0 fixture rule: luma from md5 bytes (wrap-free), chroma
+    tint constant within each 2×2 group so box-downsample +
+    replication-upsample are exact."""
+    dig = hashlib.md5(seed).digest()
+    px = bytearray()
+    for r in range(h):
+        for c in range(w):
+            v = dig[c % 16] % 200 + r
+            t = ((r // 2) + (c // 2)) * 2
+            px += bytes((v, v, min(255, v + t)))
+    return bytes(px)
+
+
+@pytest.mark.parametrize("sub", ["420", "422", "440"])
+@pytest.mark.parametrize("w,h", [(16, 16), (17, 13), (1, 1), (33, 9)])
+def test_subsampled_round_trip_bounded(sub, w, h):
+    """Subsampled encodes decode within the quantization bound at
+    every edge-case geometry (partial MCUs on both axes, 1×1)."""
+    px = _rgb_rule(f"{sub}-{w}x{h}".encode(), w, h)
+    dw, dh, ch, out = decode_jpeg(encode_jpeg(px, w, h, 3, subsampling=sub))
+    assert (dw, dh, ch) == (w, h, 3)
+    assert _max_err(px, out) <= 16
+
+
+def test_420_wire_format_declares_sampling_factors():
+    """The 4:2:0 stream really carries 0x22/0x11 sampling factors in
+    SOF0 (not a 4:4:4 stream in disguise) and is SMALLER than the
+    4:4:4 encode of the same pixels — the entire point of
+    subsampling."""
+    px = _rgb_rule(b"wire", 32, 32)
+    b420 = encode_jpeg(px, 32, 32, 3, subsampling="420")
+    b444 = encode_jpeg(px, 32, 32, 3)
+    at = b420.find(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) nc(1), then id/samp/qt per comp
+    assert b420[at + 11] == 0x22  # Y: 2x2
+    assert b420[at + 14] == 0x11  # Cb: 1x1
+    assert b420[at + 17] == 0x11  # Cr: 1x1
+    assert len(b420) < len(b444)
+
+
+@pytest.mark.parametrize("ri", [1, 2, 3, 7])
+def test_restart_interval_round_trip(ri):
+    """DRI/RSTn streams decode identically to their source bound; the
+    wire carries a DRI segment and (for small intervals) real RSTn
+    markers with cyclic indices."""
+    px = _rgb_rule(b"restart", 32, 32)
+    b = encode_jpeg(px, 32, 32, 3, subsampling="420", restart_interval=ri)
+    assert b.find(b"\xff\xdd") != -1
+    w, h, ch, out = decode_jpeg(b)
+    assert (w, h, ch) == (32, 32, 3)
+    assert _max_err(px, out) <= 16
+
+
+def test_restart_dc_reset_is_load_bearing():
+    """Corrupting one RSTn index desyncs the modulo-8 sequence and
+    must be a TYPED, immediate rejection (no resync scan)."""
+    px = _rgb_rule(b"desync", 32, 32)
+    b = encode_jpeg(px, 32, 32, 3, subsampling="420", restart_interval=1)
+    at = b.find(b"\xff\xd0", b.find(b"\xff\xda"))
+    assert at != -1
+    bad = b[:at + 1] + b"\xd5" + b[at + 2:]
+    with pytest.raises(JpegError, match="desync"):
+        decode_jpeg(bad)
+
+
+def test_fill_bytes_and_standalone_markers_accepted():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker, and
+    TEM (0x01) is a standalone length-less marker — both were
+    misparsed as length-bearing segments before round 5 (ADVICE r4)."""
+    good = encode_jpeg(bytes(range(64)), 8, 8, 1)
+    at = good.find(b"\xff\xdb")
+    assert decode_jpeg(good[:at] + b"\xff\xff\xff" + good[at:])[:3] == (8, 8, 1)
+    assert decode_jpeg(good[:at] + b"\xff\x01" + good[at:])[:3] == (8, 8, 1)
+    # a stray RSTn between segments is standalone too
+    assert decode_jpeg(good[:at] + b"\xff\xd3" + good[at:])[:3] == (8, 8, 1)
+
+
+def test_attach_jpeg420_media_stats_spark(spark):
+    """Distributed 4:2:0 fixture → distributed real decode: payloads
+    carry SOF0 sampling factors 0x22 + a DRI segment, and recovered
+    RGB sits inside the committed bound vs the analytic rule."""
+    from who_focus_crawler_spark.corpus.multimodal import (
+        attach_jpeg420_media,
+        decode_jpeg420_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"jpeg420 doc {i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    media = attach_jpeg420_media(docs)
+    for r in media.collect():
+        payload = bytes(r.payload)
+        assert payload[:4] == b"\xff\xd8\xff\xe0"
+        assert payload.find(b"\xff\xdd") != -1
+        assert decode_jpeg(payload)[:3] == (16, 16, 3)
+    stats = decode_jpeg420_stats(media).collect()
+    assert len(stats) == 12
+    for g in stats:
+        assert (g.width, g.height, g.channels) == (16, 16, 3)
+        assert g.within_tol and g.max_err <= 28
+
+
+def test_refusal_classifier_categories(spark):
+    """classify_media_refusals maps the six-way fixture to its frozen
+    categories — progressive JPEG is 'unsupported:progressive-jpeg',
+    never 'malformed:jpeg'."""
+    from who_focus_crawler_spark.corpus.multimodal import (
+        attach_refusal_media,
+        classify_media_refusals,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"refusal doc {i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    rows = classify_media_refusals(attach_refusal_media(docs)).collect()
+    got = {int(r.media_id[1:]) % 6: (r.fmt, r.refusal) for r in rows}
+    assert got[0] == ("png", "ok")
+    assert got[1] == ("jpeg", "ok")
+    assert got[2] == ("jpeg", "unsupported:progressive-jpeg")
+    assert got[3] == ("wav", "ok")
+    assert got[4] == ("mp4", "unsupported:video")
+    assert got[5] == ("ogg", "unsupported:compressed-audio")

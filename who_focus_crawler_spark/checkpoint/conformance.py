@@ -235,6 +235,45 @@ def partition_spec_evolution_layouts_coexist(
 
 
 @_check
+def positional_deletes_cross_partition_evolution(
+    spark: SparkSession, factory
+) -> None:
+    """Round-5 interaction clause: positional deletes must address
+    rows in files written under an OLDER partition spec after the
+    spec evolves (file path + ordinal are spec-independent), deletes
+    over BOTH layouts must coexist, compaction must fold the
+    multi-spec file-sets and their delete files into one clean set
+    with identical visible rows, and time travel to the pre-delete
+    snapshot must still see everything."""
+    cat = factory()
+    cat.commit(0, {"documents": _docs(spark, 0, 50)}, state={})
+    cat.set_partition_spec(
+        "documents",
+        [{"source": "doc_id", "transform": "bucket[4]", "name": "b"}],
+    )
+    cat.commit(2, {"documents": _docs(spark, 50, 100)}, state={})
+    pre_delete = cat.head()
+    # one victim physically in an old-spec file, one in a bucketed one
+    cat.delete_matching_positions(
+        spark, "documents", SCHEMA, F.col("doc_id").isin(7, 63)
+    )
+    expect = [i for i in range(100) if i not in (7, 63)]
+    assert _ids(cat.read_table(spark, "documents", SCHEMA)) == expect
+    # the delete addressed exactly the two rows, not their whole files
+    assert cat.read_table(spark, "documents", SCHEMA).count() == 98
+    # time travel: the pre-delete snapshot is untouched
+    assert _ids(
+        cat.read_table(spark, "documents", SCHEMA, snapshot_id=pre_delete)
+    ) == list(range(100))
+    # compaction folds both layouts + the positional delete file
+    res = cat.compact_table(spark, "documents", SCHEMA, num_files=2)
+    assert res.get("compacted", False)
+    assert _ids(cat.read_table(spark, "documents", SCHEMA)) == expect
+    # and the fold is physical: no live delete files remain at head
+    assert not cat.manifest(cat.head()).get("deletes", {}).get("documents")
+
+
+@_check
 def expiry_preserves_reachable_reads(spark: SparkSession, factory) -> None:
     cat = factory()
     for i in range(5):

@@ -126,15 +126,20 @@ class SnapshotCatalog:
     def __init__(self, root: str | Path, cas=None):
         """``cas``: the backend's atomic conditional-update primitive
         for optimistic commits (checkpoint/cas.py). Defaults to the
-        flock-based single-filesystem implementation; a networked
-        deployment passes the adapter for its real catalog (Iceberg
-        REST etc.) and NOTHING else changes."""
+        flock-based single-filesystem implementation; a string picks a
+        built-in backend by name ("flock" | "sqlite" | "lockfile" —
+        all three run the same conformance suite and multiprocess OCC
+        race); a networked deployment passes the adapter instance for
+        its real catalog (Iceberg REST etc.) and NOTHING else
+        changes."""
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         if cas is None:
-            from who_focus_crawler_spark.checkpoint.cas import FlockCAS
+            cas = "flock"
+        if isinstance(cas, str):
+            from who_focus_crawler_spark.checkpoint.cas import make_cas
 
-            cas = FlockCAS(self.root / "commit.lock", self.head)
+            cas = make_cas(cas, self.root, self.head)
         self.cas = cas
 
     # ------------------------------------------------------------ pointers

@@ -227,7 +227,10 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
             raise GifError("missing LZW minimum code size")
         mcs = data[pos]
         pos += 1
-        if not 2 <= mcs <= 11:
+        # the GIF spec caps the color table at 256 entries, so a
+        # well-formed minimum code size is at most 8 (ADVICE r4:
+        # 9-11 are only producible by hostile input — reject early)
+        if not 2 <= mcs <= 8:
             raise GifError(f"LZW minimum code size {mcs} out of range")
         lzw = bytearray()
         while True:

@@ -12,20 +12,29 @@ video and compressed audio (entropy formats that genuinely need
 ffmpeg-class decoders).
 
 Scope: baseline DCT (SOF0), 8-bit precision, grayscale or YCbCr with
-1×1 sampling (4:4:4). Progressive (SOF2), chroma subsampling, restart
-intervals, arithmetic coding and 12-bit precision raise ``JpegError``
-with a precise message — a crawler decodes hostile bytes and must say
-exactly why it refused.
+ARBITRARY per-component sampling factors 1–4 (so 4:4:4, 4:2:2, 4:4:0
+and the real web's dominant 4:2:0 all decode), and DRI/RSTn restart
+intervals with typed, bounded desync rejection. Progressive (SOF2),
+arithmetic coding and 12-bit precision raise ``JpegError`` with a
+precise message — a crawler decodes hostile bytes and must say
+exactly why it refused. The marker walk follows T.81 B.1.1.2: any
+number of 0xFF fill bytes may precede a marker, and TEM (0x01) plus
+stray RSTn are standalone (length-less) markers.
 
 JPEG is lossy, so round-trip equality is bounded, not exact: the
 decoder recovers pixels within a quantization-error bound of the
 encoder's input (tests pin the empirical bound; the harness oracle
 states the bound as value-exact booleans, the same pattern as the HLL
-error-bound queries). Both directions are deterministic — same bytes
-in, same bytes out across runs (the only float dependency is libm's
-cosine of 64 fixed angles plus IEEE-754 arithmetic, so in practice
-across machines too; the bounded-error contract is robust to a
-last-ulp platform difference regardless).
+error-bound queries). Subsampled chroma adds a second bounded step:
+the encoder box-averages each hmax×vmax pixel group and the decoder
+replicates the recovered sample back — exact whenever chroma is
+constant within the group (the 4:2:0 fixture's source rule guarantees
+that by construction, so its bound stays quantization-only). Both
+directions are deterministic — same bytes in, same bytes out across
+runs (the only float dependency is libm's cosine of 64 fixed angles
+plus IEEE-754 arithmetic, so in practice across machines too; the
+bounded-error contract is robust to a last-ulp platform difference
+regardless).
 
 The Huffman tables written by the encoder follow the T.81 Annex K
 layout; correctness does not depend on that choice, because the
@@ -226,6 +235,16 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padded per spec) and emit RSTn. A restart
+        marker is a REAL marker: its 0xFF is written raw, never
+        stuffed — that asymmetry is exactly what lets the decoder
+        resynchronize on it."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (n & 7)])
+
     def flush(self) -> bytes:
         if self.n:
             pad = 8 - self.n
@@ -253,7 +272,11 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 1  # stuffed byte
                 elif 0xD0 <= nxt <= 0xD7:
-                    raise JpegError("restart markers (DRI/RSTn) unsupported")
+                    raise JpegError(
+                        f"RST{nxt - 0xD0} inside an entropy segment "
+                        "(restart desync: marker before the declared "
+                        "interval boundary)"
+                    )
                 else:
                     raise JpegError(
                         f"marker 0xff{nxt:02x} inside entropy stream"
@@ -263,11 +286,23 @@ class _BitReader:
         self.n -= 1
         return (self.acc >> self.n) & 1
 
-    def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+    def sync_restart(self, n: int) -> None:
+        """Consume the RSTn expected at a restart boundary: discard
+        the partial byte (the encoder 1-padded it), then require the
+        two marker bytes in modulo-8 sequence. Any other byte pair is
+        a typed, immediate desync rejection — no resync scan, so a
+        hostile stream costs O(1) here."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 2 > len(self.data):
+            raise JpegError("entropy stream truncated at restart boundary")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or b1 != 0xD0 + (n & 7):
+            raise JpegError(
+                f"expected RST{n & 7} at restart boundary, "
+                f"got 0x{b0:02x}{b1:02x} (restart desync)"
+            )
+        self.pos += 2
 
     def decode(self, table: dict[tuple[int, int], int]) -> int:
         code = 0
@@ -277,6 +312,12 @@ class _BitReader:
             if sym is not None:
                 return sym
         raise JpegError("invalid Huffman code in entropy stream")
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
 
 
 def _extend(v: int, s: int) -> int:
@@ -289,6 +330,21 @@ def _category(v: int) -> int:
 
 
 # ----------------------------------------------------------------- encode
+def _block_at(
+    plane: list[float], pw: int, ph: int, bx: int, by: int
+) -> list[float]:
+    """Edge-replicated 8×8 sample grab from a row-major plane of
+    dimensions pw×ph — partial blocks at the right/bottom edge repeat
+    the last sample, the standard baseline padding choice."""
+    block = []
+    for yy in range(8):
+        sy = min(by * 8 + yy, ph - 1)
+        row = sy * pw
+        for xx in range(8):
+            block.append(plane[row + min(bx * 8 + xx, pw - 1)])
+    return block
+
+
 def _encode_block(
     samples: list[float],
     qt: list[int],
@@ -331,13 +387,27 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 
 def encode_jpeg(
-    pixels: bytes, width: int, height: int, channels: int = 1
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Deterministic baseline-JPEG encoder (fixtures + bounded
-    round-trip proofs): Annex K quant + Huffman tables, 4:4:4 (no
-    subsampling), no restart intervals, minimal JFIF APP0 —
-    byte-identical across runs and machines. ``pixels`` is row-major
-    8-bit gray (channels=1) or RGB (channels=3)."""
+    round-trip proofs): Annex K quant + Huffman tables, minimal JFIF
+    APP0 — byte-identical across runs and machines. ``pixels`` is
+    row-major 8-bit gray (channels=1) or RGB (channels=3).
+
+    ``subsampling`` is '444' (1×1 everywhere — the pre-round-5 wire
+    format, byte-identical to it), or one of '422'/'440'/'420' (RGB
+    only: luma at factors 2×1 / 1×2 / 2×2, chroma 1×1, each chroma
+    sample the box average of its pixel group — 4:2:0 is the real
+    web's dominant layout). ``restart_interval`` > 0 writes a DRI
+    segment and
+    emits RSTn every that-many MCUs, resetting the DC predictors —
+    the real web's resilience feature, and the decoder's resync test
+    surface."""
     if channels not in (1, 3):
         raise JpegError(f"channels {channels} unsupported (1 gray / 3 RGB)")
     if len(pixels) != width * height * channels:
@@ -346,11 +416,19 @@ def encode_jpeg(
         )
     if width < 1 or height < 1:
         raise JpegError("empty image")
-    # component planes, level domain 0..255, edge-replicated to 8× blocks
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
+    _SUB = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}
+    if subsampling not in _SUB:
+        raise JpegError(
+            f"subsampling {subsampling!r} unsupported (444/422/440/420)"
+        )
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise JpegError(f"restart interval {restart_interval} out of range")
+    sh, sv = _SUB[subsampling]
+    if (sh, sv) != (1, 1) and channels == 1:
+        raise JpegError(f"{subsampling} subsampling needs 3 channels")
+    # component planes, level domain 0..255
     if channels == 1:
-        planes = [[float(v) for v in pixels]]
+        planes: list[list[float]] = [[float(v) for v in pixels]]
     else:
         ys, cbs, crs = [], [], []
         for i in range(width * height):
@@ -359,6 +437,38 @@ def encode_jpeg(
             cbs.append(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)
             crs.append(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
         planes = [ys, cbs, crs]
+    dims = [(width, height)] * channels
+    sampling = [(1, 1)] * channels
+    if channels == 3 and (sh, sv) != (1, 1):
+        # luma keeps full resolution at factors (sh, sv); each chroma
+        # sample is the box average of its up-to-sh×sv pixel group
+        sampling = [(sh, sv), (1, 1), (1, 1)]
+        cw = (width + sh - 1) // sh
+        chh = (height + sv - 1) // sv
+        for ci in (1, 2):
+            src = planes[ci]
+            ds = []
+            for cy in range(chh):
+                for cx in range(cw):
+                    acc = cnt = 0
+                    for dy in range(sv):
+                        y = sv * cy + dy
+                        if y >= height:
+                            continue
+                        for dx in range(sh):
+                            x = sh * cx + dx
+                            if x >= width:
+                                continue
+                            acc += src[y * width + x]
+                            cnt += 1
+                    ds.append(acc / cnt)
+            planes[ci] = ds
+            dims[ci] = (cw, chh)
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
     qts = [_QT_LUMA] + ([_QT_CHROMA] if channels == 3 else [])
     dc_specs = [_HUFF_DC_LUMA] + ([_HUFF_DC_CHROMA] if channels == 3 else [])
     ac_specs = [_HUFF_AC_LUMA] + ([_HUFF_AC_CHROMA] if channels == 3 else [])
@@ -367,20 +477,28 @@ def encode_jpeg(
 
     wtr = _BitWriter()
     prev = [0] * channels
-    for by in range(bh):
-        for bx in range(bw):
+    mcu_i = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wtr.restart(rst)
+                rst += 1
+                prev = [0] * channels
             for comp in range(channels):
                 t = 0 if comp == 0 else 1
-                plane = planes[comp]
-                block = []
-                for yy in range(8):
-                    sy = min(by * 8 + yy, height - 1)
-                    for xx in range(8):
-                        sx = min(bx * 8 + xx, width - 1)
-                        block.append(plane[sy * width + sx])
-                prev[comp] = _encode_block(
-                    block, qts[t], dc_codes[t], ac_codes[t], prev[comp], wtr
-                )
+                hi, vi = sampling[comp]
+                pw, ph = dims[comp]
+                for vv in range(vi):
+                    for hh in range(hi):
+                        block = _block_at(
+                            planes[comp], pw, ph, mx * hi + hh, my * vi + vv
+                        )
+                        prev[comp] = _encode_block(
+                            block, qts[t], dc_codes[t], ac_codes[t],
+                            prev[comp], wtr,
+                        )
+            mcu_i += 1
     entropy = wtr.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -389,7 +507,12 @@ def encode_jpeg(
         zz = bytes(qt[_ZIGZAG[i]] for i in range(64))
         out += _seg(0xFFDB, bytes([t]) + zz)
     comp_hdr = b"".join(
-        struct.pack("BBB", cid + 1, 0x11, 0 if cid == 0 else 1)
+        struct.pack(
+            "BBB",
+            cid + 1,
+            (sampling[cid][0] << 4) | sampling[cid][1],
+            0 if cid == 0 else 1,
+        )
         for cid in range(channels)
     )
     out += _seg(
@@ -400,6 +523,8 @@ def encode_jpeg(
         out += _seg(0xFFC4, bytes([t]) + bytes(bits) + bytes(vals))
     for t, (bits, vals) in enumerate(ac_specs):
         out += _seg(0xFFC4, bytes([0x10 | t]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     scan_hdr = b"".join(
         struct.pack("BB", cid + 1, 0 if cid == 0 else 0x11)
         for cid in range(channels)
@@ -417,10 +542,14 @@ def _clamp(v: float) -> int:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Parse markers + Huffman-decode + dequantize + IDCT (+ YCbCr→RGB):
-    returns (width, height, channels, pixels) row-major 8-bit. Tables
-    come from the file's own DQT/DHT segments. Baseline sequential
-    4:4:4 or grayscale only — everything else refuses precisely."""
+    """Parse markers + Huffman-decode + dequantize + IDCT (+ chroma
+    upsample + YCbCr→RGB): returns (width, height, channels, pixels)
+    row-major 8-bit. Tables come from the file's own DQT/DHT segments.
+    Baseline sequential (SOF0), any per-component sampling factors
+    1–4 (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0), DRI/RSTn restart intervals;
+    everything else refuses precisely. Subsampled components upsample
+    by sample replication (nearest) — the bounded-error contract
+    absorbs the upsampler choice."""
     if data[:2] != b"\xff\xd8":
         raise JpegError("bad JPEG signature (no SOI)")
     pos = 2
@@ -428,19 +557,37 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     dc_tabs: dict[int, dict[tuple[int, int], int]] = {}
     ac_tabs: dict[int, dict[tuple[int, int], int]] = {}
     width = height = -1
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    restart_interval = 0
+    comps: list[tuple[int, int, int, int]] = []  # (comp id, h, v, quant id)
     scan: list[tuple[int, int, int]] = []  # (comp idx, dc id, ac id)
-    while pos + 4 <= len(data):
+    while pos < len(data):
+        # T.81 B.1.1.2: a marker is 0xFF then a non-FF byte; any number
+        # of extra 0xFF fill bytes may precede it (ADVICE r4: real
+        # files pad with fill bytes and must not be misparsed)
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}, got {data[pos]:#x}")
-        marker = data[pos + 1]
+        while pos < len(data) and data[pos] == 0xFF:
+            pos += 1
+        if pos >= len(data):
+            raise JpegError("truncated at marker prefix")
+        marker = data[pos]
+        pos += 1
+        if marker == 0x00:
+            raise JpegError("stuffed 0xFF00 outside entropy stream")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers, no length field
+            continue
         if marker == 0xD9:  # EOI before SOS
             raise JpegError("EOI before scan data")
-        (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
-        body = data[pos + 4:pos + 2 + ln]
+        if pos + 2 > len(data):
+            raise JpegError(f"truncated segment 0xff{marker:02x}")
+        (ln,) = struct.unpack(">H", data[pos:pos + 2])
+        if ln < 2:
+            raise JpegError(f"segment 0xff{marker:02x} length {ln} < 2")
+        body = data[pos + 2:pos + ln]
         if len(body) != ln - 2:
             raise JpegError(f"truncated segment 0xff{marker:02x}")
-        pos += 2 + ln
+        pos += ln
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             bp = 0
             while bp < len(body):
@@ -485,17 +632,25 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 raise JpegError("truncated SOF0 component list")
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
+                h, v = samp >> 4, samp & 0x0F
+                if not (1 <= h <= 4 and 1 <= v <= 4):
                     raise JpegError(
-                        f"sampling factor {samp:#x} unsupported (4:4:4 only)"
+                        f"sampling factors {h}x{v} out of T.81 range 1-4"
                     )
-                comps.append((cid, tq))
+                if nc == 1:
+                    # T.81 A.2: a single-component scan is
+                    # non-interleaved — one data unit per block
+                    # regardless of declared factors
+                    h = v = 1
+                comps.append((cid, h, v, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
             raise JpegError(f"{kind} JPEG unsupported (baseline only)")
-        elif marker == 0xDD:
-            raise JpegError("restart intervals (DRI) unsupported")
+        elif marker == 0xDD:  # DRI
+            if len(body) != 2:
+                raise JpegError("malformed DRI segment")
+            (restart_interval,) = struct.unpack(">H", body)
         elif marker == 0xDA:  # SOS — entropy data follows
             if not body or len(body) < 1 + 2 * body[0]:
                 raise JpegError("truncated SOS header")
@@ -505,76 +660,105 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for i in range(ns):
                 sid, tt = body[1 + 2 * i:3 + 2 * i]  # length checked above
                 idx = next(
-                    (j for j, (cid, _) in enumerate(comps) if cid == sid),
+                    (j for j, (cid, _, _, _) in enumerate(comps)
+                     if cid == sid),
                     None,
                 )
                 if idx is None:
                     raise JpegError(f"scan references unknown component {sid}")
                 scan.append((idx, tt >> 4, tt & 0x0F))
             break
-        # APPn / COM / others: skipped
+        # APPn / COM / DNL / others: skipped
     if not comps or width < 0:
         raise JpegError("missing SOF0 frame header")
     if not scan:
         raise JpegError("missing SOS scan header")
     nc = len(comps)
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
-    planes = [[0] * (bw * 8 * bh * 8) for _ in range(nc)]
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    # per-component padded plane geometry (block grid = MCU grid × h×v)
+    strides = [mcux * h * 8 for _, h, _, _ in comps]
+    planes = [
+        [0.0] * (mcux * h * 8 * mcuy * v * 8) for _, h, v, _ in comps
+    ]
     rdr = _BitReader(data, pos)
     prev = [0] * nc
-    for by in range(bh):
-        for bx in range(bw):
+    mcu_i = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_i
+                and mcu_i % restart_interval == 0
+            ):
+                rdr.sync_restart(rst)
+                rst += 1
+                prev = [0] * nc
             for comp, dc_id, ac_id in scan:
                 try:
                     dc_tab = dc_tabs[dc_id]
                     ac_tab = ac_tabs[ac_id]
-                    qt = qts[comps[comp][1]]
+                    qt = qts[comps[comp][3]]
                 except KeyError as e:
                     raise JpegError(f"scan references missing table {e}")
-                zz = [0] * 64
-                s = rdr.decode(dc_tab)
-                prev[comp] += _extend(rdr.bits(s), s)
-                zz[0] = prev[comp]
-                k = 1
-                while k < 64:
-                    rs = rdr.decode(ac_tab)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise JpegError("AC run exceeds block")
-                    zz[k] = _extend(rdr.bits(size), size)
-                    k += 1
-                coef = [0.0] * 64
-                for i in range(64):
-                    coef[_ZIGZAG[i]] = zz[i] * qt[_ZIGZAG[i]]
-                spatial = _dct_2d(coef, _idct_1d)
+                _, hi, vi, _ = comps[comp]
                 plane = planes[comp]
-                row0, col0 = by * 8, bx * 8
-                stride = bw * 8
-                for yy in range(8):
-                    o = (row0 + yy) * stride + col0
-                    for xx in range(8):
-                        plane[o + xx] = spatial[yy * 8 + xx] + 128.0
-    stride = bw * 8
+                stride = strides[comp]
+                for vv in range(vi):
+                    for hh in range(hi):
+                        zz = [0] * 64
+                        s = rdr.decode(dc_tab)
+                        prev[comp] += _extend(rdr.bits(s), s)
+                        zz[0] = prev[comp]
+                        k = 1
+                        while k < 64:
+                            rs = rdr.decode(ac_tab)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise JpegError("AC run exceeds block")
+                            zz[k] = _extend(rdr.bits(size), size)
+                            k += 1
+                        coef = [0.0] * 64
+                        for i in range(64):
+                            coef[_ZIGZAG[i]] = zz[i] * qt[_ZIGZAG[i]]
+                        spatial = _dct_2d(coef, _idct_1d)
+                        row0 = (my * vi + vv) * 8
+                        col0 = (mx * hi + hh) * 8
+                        for yy in range(8):
+                            o = (row0 + yy) * stride + col0
+                            for xx in range(8):
+                                plane[o + xx] = spatial[yy * 8 + xx] + 128.0
+            mcu_i += 1
     out = bytearray(width * height * nc)
     if nc == 1:
         p = planes[0]
+        stride = strides[0]
         for y in range(height):
             for x in range(width):
                 out[y * width + x] = _clamp(p[y * stride + x])
     else:
+        # replication upsample each component to full resolution at
+        # lookup time: sample (y·v/vmax, x·h/hmax), integer floor
+        (_, hy, vy, _), (_, hcb, vcb, _), (_, hcr, vcr, _) = comps
         py, pcb, pcr = planes
+        sy_, scb_, scr_ = strides
         for y in range(height):
+            ry = (y * vy // vmax) * sy_
+            rcb = (y * vcb // vmax) * scb_
+            rcr = (y * vcr // vmax) * scr_
             for x in range(width):
-                yv = py[y * stride + x]
-                cb = pcb[y * stride + x] - 128.0
-                cr = pcr[y * stride + x] - 128.0
+                yv = py[ry + x * hy // hmax]
+                cb = pcb[rcb + x * hcb // hmax] - 128.0
+                cr = pcr[rcr + x * hcr // hmax] - 128.0
                 o = (y * width + x) * 3
                 out[o] = _clamp(yv + 1.402 * cr)
                 out[o + 1] = _clamp(yv - 0.344136 * cb - 0.714136 * cr)

@@ -929,6 +929,317 @@ def decode_jpeg_stats(media: DataFrame) -> DataFrame:
     )
 
 
+# empirical max reconstruction error for the 4:2:0 fixture rule is 14
+# (measured over 400 docs); 28 keeps the same 2× margin as the 4:4:4
+# tolerance. The rule is built so chroma is CONSTANT within every 2×2
+# pixel group (R=G ⇒ Cb/Cr depend only on B−R, which the rule varies
+# per (r//2, c//2) cell) — box-downsample and replication-upsample are
+# then exact, leaving quantization as the only lossy step.
+JPEG420_FIXTURE_TOL = 28
+
+
+def attach_jpeg420_media(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+    restart_interval: int = 2,
+) -> DataFrame:
+    """Deterministic REAL-4:2:0-JPEG media table: each document becomes
+    an RGB baseline JPEG with 2×2 luma / 1×1 chroma sampling factors
+    AND a DRI restart interval (the real web's dominant JPEG layout) —
+    corpus/jpeg.py encodes the MCU-interleaved entropy stream with
+    RSTn resync markers. Source rule per pixel (r, c):
+    v = md5(text)[c mod 16] mod 200 + r (wrap-free luma),
+    t = ((r//2) + (c//2))·2 (chroma tint, constant per 2×2 group),
+    RGB = (v, v, min(255, v+t)). Encoding runs distributed in
+    mapInArrow; ``src_text`` rides along so the decode proof can
+    recompute the rule without a join."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from who_focus_crawler_spark.corpus.jpeg import encode_jpeg
+
+    out_schema = T.StructType(
+        MEDIA_SCHEMA.fields + [T.StructField("src_text", T.StringType(), True)]
+    )
+
+    def px_rule(dig: bytes) -> bytes:
+        buf = bytearray()
+        for r in range(height):
+            for c in range(width):
+                v = dig[c % 16] % 200 + r
+                t = ((r // 2) + (c // 2)) * 2
+                buf += bytes((v, v, min(255, v + t)))
+        return bytes(buf)
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            mids, kinds, payloads, lens, metas = [], [], [], [], []
+            for did, text in zip(ids, texts):
+                dig = hashlib.md5((text or "").encode("utf-8")).digest()
+                payload = encode_jpeg(
+                    px_rule(dig), width, height, channels=3,
+                    subsampling="420", restart_interval=restart_interval,
+                )
+                mids.append(f"m{did}")
+                kinds.append("image")
+                payloads.append(payload)
+                lens.append(len(payload))
+                metas.append(
+                    f'{{"w":{width},"h":{height},"fmt":"jpeg420"}}'
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.string()),
+                    pa.array(kinds, pa.string()),
+                    pa.array(payloads, pa.binary()),
+                    pa.array(lens, pa.int64()),
+                    pa.array(metas, pa.string()),
+                    pa.array(texts, pa.string()),
+                ],
+                names=[f.name for f in out_schema.fields],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(enc, out_schema)
+
+
+def decode_jpeg420_stats(media: DataFrame) -> DataFrame:
+    """REAL-4:2:0-JPEG decode proof in the Arrow batch path: decode
+    each payload (marker walk incl. DRI, MCU-interleaved Huffman with
+    RSTn resync + DC-predictor resets, dequant, IDCT, chroma
+    replication upsample, YCbCr→RGB) and compare the recovered RGB
+    against the fixture's analytic source rule — bounded-error boolean,
+    the same pattern as decode_jpeg_stats."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from who_focus_crawler_spark.corpus.jpeg import decode_jpeg
+
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            mids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            texts = batch.column(2).to_pylist()
+            w_, h_, c_, e_, t_ = [], [], [], [], []
+            for payload, text in zip(payloads, texts):
+                w, h, ch, px = decode_jpeg(bytes(payload))
+                dig = hashlib.md5((text or "").encode("utf-8")).digest()
+                want = bytearray()
+                for r in range(h):
+                    for c in range(w):
+                        v = dig[c % 16] % 200 + r
+                        t = ((r // 2) + (c // 2)) * 2
+                        want += bytes((v, v, min(255, v + t)))
+                err = max(abs(a - b) for a, b in zip(px, want))
+                w_.append(w)
+                h_.append(h)
+                c_.append(ch)
+                e_.append(err)
+                t_.append(err <= JPEG420_FIXTURE_TOL)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.string()),
+                    pa.array(w_, pa.int32()),
+                    pa.array(h_, pa.int32()),
+                    pa.array(c_, pa.int32()),
+                    pa.array(e_, pa.int32()),
+                    pa.array(t_, pa.bool_()),
+                ],
+                names=[f.name for f in JPEG_STATS_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "payload", "src_text").mapInArrow(
+        dec, JPEG_STATS_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# Refusal telemetry: a corpus run over real web bytes needs to know not
+# just THAT a payload refused to decode, but WHY — what fraction of the
+# media column each unsupported feature blocks (progressive JPEG vs
+# video container vs plain corruption) decides which codec gap to close
+# next. classify_media_refusals dispatches on magic bytes, attempts the
+# REAL decode, and maps every typed codec error to a stable category
+# string — never a raw exception message (messages carry offsets and
+# would never aggregate).
+
+REFUSAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("refusal", T.StringType(), False),
+    ]
+)
+
+
+def _classify_payload(payload: bytes) -> tuple[str, str]:
+    """(sniffed format, refusal category) for one payload. Categories
+    are FROZEN (oracle-shared): ok | unsupported:progressive-jpeg |
+    unsupported:jpeg-feature | unsupported:video |
+    unsupported:compressed-audio | malformed:<fmt> | unknown-format."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from who_focus_crawler_spark.corpus.png import PngError, decode_png
+
+        try:
+            decode_png(payload)
+            return "png", "ok"
+        except PngError:
+            return "png", "malformed:png"
+    if payload[:4] == b"GIF8":
+        from who_focus_crawler_spark.corpus.gif import GifError, decode_gif
+
+        try:
+            decode_gif(payload)
+            return "gif", "ok"
+        except GifError:
+            return "gif", "malformed:gif"
+    if payload[:3] == b"\xff\xd8\xff":
+        from who_focus_crawler_spark.corpus.jpeg import (
+            JpegError,
+            decode_jpeg,
+        )
+
+        try:
+            decode_jpeg(payload)
+            return "jpeg", "ok"
+        except JpegError as e:
+            msg = str(e)
+            if "progressive" in msg:
+                return "jpeg", "unsupported:progressive-jpeg"
+            if "unsupported" in msg:
+                return "jpeg", "unsupported:jpeg-feature"
+            return "jpeg", "malformed:jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from who_focus_crawler_spark.corpus.wav import WavError, decode_wav
+
+        try:
+            decode_wav(payload)
+            return "wav", "ok"
+        except WavError:
+            return "wav", "malformed:wav"
+    if payload[4:8] == b"ftyp":
+        return "mp4", "unsupported:video"
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        return "mkv", "unsupported:video"
+    if payload[:4] == b"OggS":
+        return "ogg", "unsupported:compressed-audio"
+    if payload[:3] == b"ID3" or payload[:2] == b"\xff\xfb":
+        return "mp3", "unsupported:compressed-audio"
+    return "other", "unknown-format"
+
+
+def attach_refusal_media(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic six-way refusal-telemetry fixture, one payload per
+    document by doc_id mod 6: (0) real PNG, (1) real baseline JPEG,
+    (2) a PROGRESSIVE JPEG — the baseline stream with its SOF0 marker
+    patched to SOF2, which is exactly how a progressive file announces
+    itself and what the decoder's typed refusal keys on, (3) real PCM
+    WAV, (4) an MP4-container payload, (5) an Ogg payload. Classes
+    0/1/3 decode for real; 2/4/5 exercise the three refusal
+    categories."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from who_focus_crawler_spark.corpus.jpeg import encode_jpeg
+    from who_focus_crawler_spark.corpus.png import encode_png
+    from who_focus_crawler_spark.corpus.wav import encode_wav
+
+    kinds6 = ["image", "image", "image", "audio", "video", "audio"]
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            mids, kinds, payloads, lens, metas = [], [], [], [], []
+            for did, text in zip(ids, texts):
+                m = int(did) % 6
+                dig = hashlib.md5((text or "").encode("utf-8")).digest()
+                if m in (0, 1, 2):
+                    px = bytes(
+                        dig[c % 16] % 240 + r
+                        for r in range(8)
+                        for c in range(16)
+                    )
+                    if m == 0:
+                        payload = encode_png(px, 16, 8)
+                    else:
+                        payload = encode_jpeg(px, 16, 8, 1)
+                        if m == 2:
+                            payload = payload.replace(
+                                b"\xff\xc0", b"\xff\xc2", 1
+                            )
+                elif m == 3:
+                    samples = [
+                        ((dig[i % 16] * 257 + i * 31) % 65536) - 32768
+                        for i in range(64)
+                    ]
+                    payload = encode_wav(samples, 8000)
+                elif m == 4:
+                    payload = MAGIC_BYTES["video/mp4"] + (
+                        text or ""
+                    ).encode("utf-8")
+                else:
+                    payload = MAGIC_BYTES["audio/ogg"] + (
+                        text or ""
+                    ).encode("utf-8")
+                mids.append(f"m{did}")
+                kinds.append(kinds6[m])
+                payloads.append(payload)
+                lens.append(len(payload))
+                metas.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.string()),
+                    pa.array(kinds, pa.string()),
+                    pa.array(payloads, pa.binary()),
+                    pa.array(lens, pa.int64()),
+                    pa.array(metas, pa.string()),
+                ],
+                names=[f.name for f in MEDIA_SCHEMA.fields],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(enc, MEDIA_SCHEMA)
+
+
+def classify_media_refusals(media: DataFrame) -> DataFrame:
+    """One row per payload: (media_id, fmt, refusal) through the same
+    mapInArrow seam as the decoders — at 100 TB this is one pass over
+    the (prunable) binary column, and the downstream groupBy
+    (fmt, refusal) is a tiny aggregate over category strings."""
+    import pyarrow as pa
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            mids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            fmts, refusals = [], []
+            for payload in payloads:
+                fmt, refusal = _classify_payload(bytes(payload))
+                fmts.append(fmt)
+                refusals.append(refusal)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.string()),
+                    pa.array(fmts, pa.string()),
+                    pa.array(refusals, pa.string()),
+                ],
+                names=[f.name for f in REFUSAL_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(
+        run, REFUSAL_SCHEMA
+    )
+
+
 # --------------------------------------------------------------------------
 # Content-type sniffing: magic-byte dispatch over the opaque payload,
 # entirely native (hex prefix compares — whole-stage codegen; the blob

@@ -301,6 +301,9 @@ def _pack_row(vals: list[int], depth: int) -> bytes:
     """Pack per-pixel sample values into a scanline at ``depth`` bits
     per sample, MSB-first, final partial byte zero-padded."""
     if depth == 8:
+        for v in vals:
+            if not 0 <= v <= 255:
+                raise PngError(f"sample {v} exceeds 8-bit range")
         return bytes(vals)
     per = 8 // depth
     mask = (1 << depth) - 1

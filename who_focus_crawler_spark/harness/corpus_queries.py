@@ -3842,3 +3842,84 @@ QUERIES["d_media_mixed_decode3"] = (
     d_media_mixed_decode3,
     D_MEDIA_MIXED_DECODE3_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# REAL 4:2:0 JPEG decode end-to-end (round 5 — the real web's dominant
+# JPEG layout): every document becomes an RGB baseline JPEG with 2×2
+# luma / 1×1 chroma sampling factors AND a DRI=2 restart interval, so
+# the engine's decode exercises MCU-interleaved entropy decoding,
+# RSTn resync with DC-predictor resets, chroma replication upsampling
+# and YCbCr→RGB. The fixture rule keeps chroma constant within every
+# 2×2 group, so downsample+upsample are exact and the bounded-error
+# boolean (tol 28, 2× the measured max 14) covers quantization only —
+# a wrong MCU scatter, missed DC reset or swapped chroma plane flips
+# the booleans.
+
+
+def d_media_decode_jpeg420(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.multimodal import (
+        attach_jpeg420_media,
+        decode_jpeg420_stats,
+    )
+
+    media = attach_jpeg420_media(t(spark, sf, "documents"))
+    return decode_jpeg420_stats(media).select(
+        "media_id", "width", "height", "channels", "within_tol"
+    )
+
+
+D_MEDIA_DECODE_JPEG420_SQL = """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       16 AS width, 16 AS height, 3 AS channels,
+       TRUE AS within_tol
+FROM documents
+"""
+
+QUERIES["d_media_decode_jpeg420"] = (
+    d_media_decode_jpeg420,
+    D_MEDIA_DECODE_JPEG420_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Refusal telemetry (round 5): a crawler's media stage must report WHY
+# payloads refused, not just that they did — the (fmt, refusal)
+# histogram over a corpus decides which codec gap blocks the most
+# bytes. The fixture plants a known six-way mix (real PNG / baseline
+# JPEG / PROGRESSIVE JPEG / PCM WAV / MP4 / Ogg by doc_id mod 6); the
+# engine sniffs, attempts the real decode, and maps every typed codec
+# error to a frozen category. The oracle recomputes the histogram
+# analytically from doc_id — any misclassification (e.g. progressive
+# reported as malformed) shifts a count and fails the hash.
+
+
+def d_media_refusals(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.multimodal import (
+        attach_refusal_media,
+        classify_media_refusals,
+    )
+
+    media = attach_refusal_media(t(spark, sf, "documents"))
+    return (
+        classify_media_refusals(media)
+        .groupBy("fmt", "refusal")
+        .agg(F.count(F.lit(1)).alias("n_payloads"))
+    )
+
+
+D_MEDIA_REFUSALS_SQL = """
+SELECT CASE doc_id % 6
+         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'jpeg'
+         WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4' ELSE 'ogg' END AS fmt,
+       CASE doc_id % 6
+         WHEN 2 THEN 'unsupported:progressive-jpeg'
+         WHEN 4 THEN 'unsupported:video'
+         WHEN 5 THEN 'unsupported:compressed-audio'
+         ELSE 'ok' END AS refusal,
+       COUNT(*) AS n_payloads
+FROM documents
+GROUP BY 1, 2
+"""
+
+QUERIES["d_media_refusals"] = (d_media_refusals, D_MEDIA_REFUSALS_SQL)
