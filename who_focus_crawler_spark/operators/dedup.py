@@ -320,3 +320,27 @@ def dedup_against_seen(
         .join(seen, key, "left_anti")
     )
     return definitely_new.unionByName(confirmed_new)
+
+
+def dedup_against_seen_scanonly(
+    candidates: DataFrame, url_seen: DataFrame
+) -> DataFrame:
+    """Exact anti-join variant that never SHUFFLES the (large) seen
+    side: broadcast the (small) candidate key set, semi-join it against
+    a map-side SCAN of seen to recover the intersection, then broadcast
+    that (even smaller) intersection back against candidates. Two
+    broadcast hash joins, zero exchanges of ``url_seen`` — the right
+    shape when |candidates| ≪ |seen|, which is every steady-state crawl
+    epoch (an epoch's discoveries vs millions of accumulated URLs; the
+    shuffle form re-exchanges the whole seen table per epoch, O(seen ×
+    epochs) shuffle traffic over a crawl). The caller gates on a PROVEN
+    candidate bound — broadcasting an unbounded side is how driver OOMs
+    happen."""
+    key = ["url_hash", "target_url"]
+    seen = url_seen.select(
+        F.col("url_hash"), F.col("canon_url").alias("target_url")
+    )
+    matched = seen.join(
+        F.broadcast(candidates.select(*key)), key, "left_semi"
+    )
+    return candidates.join(F.broadcast(matched), key, "left_anti")

@@ -178,22 +178,32 @@ def _robots_match(rules_json: pd.Series, path: pd.Series) -> pd.Series:
     return out
 
 
-def apply_robots(candidates: DataFrame, robots_cache: DataFrame) -> DataFrame:
-    """Attach ``robots_ok`` to candidates via broadcast join + pandas UDF."""
+def apply_robots(
+    candidates: DataFrame, robots_cache: DataFrame, miss_col: str | None = None
+) -> DataFrame:
+    """Attach ``robots_ok`` to candidates via broadcast join + pandas UDF.
+
+    ``miss_col``: additionally attach a boolean marking rows whose host
+    has NO row in the cache at all (a cached host with an absent/empty
+    robots.txt has a row with NULL rules, which is not a miss). The
+    streaming loop's fast path gates on this: an epoch whose hosts are
+    all cache-fresh skips the robots fetch stage entirely and this
+    optimistic gate IS the final answer — for cached hosts the rules
+    are identical either way."""
     # RFC 9309 matches on path-and-query; canonical URLs always carry "/"
     path = F.regexp_extract("canon_url", r"^[a-z][a-z0-9+.\-]*://[^/?]*(/.*)?$", 1)
     cache_cols = ["host", "rules_json"]
     if "crawl_delay" in robots_cache.columns:  # pre-delay caches still gate
         cache_cols.append("crawl_delay")
-    return (
-        candidates.join(
-            F.broadcast(robots_cache.select(*cache_cols)),
-            "host",
-            "left",
-        )
-        .withColumn(
-            "robots_ok",
-            _robots_match(F.col("rules_json"), F.coalesce(path, F.lit("/"))),
-        )
-        .drop("rules_json")
-    )
+    cache = robots_cache.select(*cache_cols)
+    if miss_col is not None:
+        cache = cache.withColumn("_rb_cached", F.lit(True))
+    out = candidates.join(F.broadcast(cache), "host", "left")
+    if miss_col is not None:
+        out = out.withColumn(
+            miss_col, F.col("_rb_cached").isNull()
+        ).drop("_rb_cached")
+    return out.withColumn(
+        "robots_ok",
+        _robots_match(F.col("rules_json"), F.coalesce(path, F.lit("/"))),
+    ).drop("rules_json")

@@ -17,6 +17,7 @@ canon_url, which any engine can reproduce).
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 import re as _re
 from dataclasses import dataclass
 
@@ -73,13 +74,27 @@ class WebConfig:
     content_dedup: bool = False
 
     def pages_per_host(self) -> list[int]:
-        hot = max(1, int(self.n_pages * self.hot_host_frac))
-        rest = self.n_pages - hot
-        cold = self.n_hosts - 1
-        base = [hot] + [rest // cold] * cold if cold else [self.n_pages]
-        for i in range(rest - (rest // cold) * cold if cold else 0):
-            base[1 + i] += 1
-        return base
+        # memoized on (n_pages, n_hosts, hot frac): synth_spans calls
+        # this once PER PAGE and the list is O(n_hosts) to build — at
+        # 2000 hosts the rebuild was 56% of the whole fixture-fetch
+        # cost (profiled round 5). WebConfig is frozen, so the cached
+        # list is immutable-by-convention; callers only index it.
+        return _pages_per_host_cached(
+            self.n_pages, self.n_hosts, self.hot_host_frac
+        )
+
+
+@lru_cache(maxsize=64)
+def _pages_per_host_cached(
+    n_pages: int, n_hosts: int, hot_host_frac: float
+) -> list[int]:
+    hot = max(1, int(n_pages * hot_host_frac))
+    rest = n_pages - hot
+    cold = n_hosts - 1
+    base = [hot] + [rest // cold] * cold if cold else [n_pages]
+    for i in range(rest - (rest // cold) * cold if cold else 0):
+        base[1 + i] += 1
+    return base
 
 
 def host_name(i: int) -> str:

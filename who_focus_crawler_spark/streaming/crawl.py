@@ -94,6 +94,7 @@ from who_focus_crawler_spark import schemas
 from who_focus_crawler_spark.checkpoint.snapshot import SnapshotCatalog
 from who_focus_crawler_spark.operators.dedup import (
     dedup_against_seen,
+    dedup_against_seen_scanonly,
     dedup_in_batch,
     part_id,
 )
@@ -131,6 +132,12 @@ INBOX_SCHEMA = T.StructType(
 )
 
 _FRONTIER_COLS = [f.name for f in INBOX_SCHEMA.fields]
+
+# above this PROVEN admitted count an epoch's discovery set may be too
+# large to broadcast (≈1.5 link targets per fetched page at the fixture
+# fanout; ~100 bytes per key row ⇒ ~300k fetched ≈ 50 MB broadcast) —
+# the shuffle anti-join takes over
+SCANONLY_MAX_FETCHED = 300_000
 
 # tables THIS loop owns per epoch; everything else in the snapshot is
 # carried forward untouched (commit() keeps a table on None). frontier
@@ -172,6 +179,83 @@ def publish_epoch_dir(rows: DataFrame, inbox: str, name: str) -> None:
     tmp = os.path.join(stg_root, name)
     shutil.rmtree(tmp, ignore_errors=True)
     rows.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, final)
+
+
+def _dir_parquet_rows(path: str) -> int:
+    """Row count of a published/staged epoch directory straight from
+    the parquet footers — metadata reads, no Spark job."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            n += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+    return n
+
+
+def stage_epoch_rows(
+    rows: DataFrame, inbox: str, name: str
+) -> tuple[str | None, int]:
+    """Write the epoch's enqueue set to the dot-staging scratch and
+    return (staged_path, row_count) — the count comes from the parquet
+    footers of the files just written, so the caller never pays a
+    separate count() traversal of the discovery subplan (round 5: that
+    count was a full second job per epoch). If the FINAL directory
+    already exists (re-delivered epoch) nothing is written and the
+    count is read from the published footers (staged_path None)."""
+    final = os.path.join(inbox, name)
+    if os.path.exists(final):
+        return None, _dir_parquet_rows(final)
+    stg_root = os.path.join(inbox, ".staging")
+    os.makedirs(stg_root, exist_ok=True)
+    tmp = os.path.join(stg_root, name)
+    shutil.rmtree(tmp, ignore_errors=True)
+    rows.write.mode("overwrite").parquet(tmp)
+    return tmp, _dir_parquet_rows(tmp)
+
+
+def commit_staged_dir(staged: str | None, inbox: str, name: str) -> None:
+    """The atomic half of stage_epoch_rows: ONE rename into the glob."""
+    if staged is not None:
+        os.rename(staged, os.path.join(inbox, name))
+
+
+def abort_staged_dir(staged: str | None) -> None:
+    if staged is not None:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
+def publish_tick_dir(inbox: str, name: str) -> None:
+    """Zero-row tick directory written DRIVER-SIDE with pyarrow: waking
+    the file source while a politeness backlog waits must not cost a
+    Spark job (idempotent, same rename discipline)."""
+    final = os.path.join(inbox, name)
+    if os.path.exists(final):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stg_root = os.path.join(inbox, ".staging")
+    os.makedirs(stg_root, exist_ok=True)
+    tmp = os.path.join(stg_root, name)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    schema = pa.schema(
+        [
+            ("canon_url", pa.string()),
+            ("url_hash", pa.int64()),
+            ("host", pa.string()),
+            ("host_bucket", pa.int32()),
+            ("priority", pa.float64()),
+            ("depth", pa.int32()),
+            ("seed_id", pa.int32()),
+            ("parent_hash", pa.int64()),
+        ]
+    )
+    pq.write_table(
+        schema.empty_table(), os.path.join(tmp, "part-00000-tick.parquet")
+    )
     os.rename(tmp, final)
 
 
@@ -221,6 +305,16 @@ def _commit_epoch(
     """One streaming epoch = one atomic snapshot (the run_batch body,
     minus frontier scan/top-k select — arrivals + the committed backlog
     ARE the selection)."""
+    import time
+
+    dbg = os.environ.get("WFC_DEBUG_TIMING") == "1"
+    marks: list[tuple[str, float]] = []
+
+    def mark(label: str) -> None:
+        if dbg:
+            marks.append((label, time.time()))
+
+    mark("start")
     spark = df.sparkSession
     head = cat.head()
     assert head is not None, "bootstrap_streaming must run first"
@@ -252,102 +346,203 @@ def _commit_epoch(
         df.select(*_FRONTIER_COLS)
         .unionByName(backlog)
         .dropDuplicates(["canon_url"])
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    robots_cache2 = refresh_robots_cache(
-        sel, robots_cache, cfg.web, ecount
-    ).localCheckpoint(eager=True)
-    cand = apply_politeness(
-        apply_robots(sel, robots_cache2),
-        cfg.web.politeness_k,
-        batch_window_s=cfg.web.batch_window_s,
-    ).persist()
-    _c = cand.agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("a"),
-        F.sum(
-            F.when(F.col("robots_ok") & ~F.col("admitted"), 1).otherwise(0)
-        ).alias("d"),
-    ).collect()[0]
-    n_fetched = int(_c["a"] or 0)
-    n_deferred = int(_c["d"] or 0)
+    mark("sel")
 
-    # C9 + C10/C11 — epoch-local deterministic order, seq continues
-    admitted = assign_seq(
-        cand.filter(F.col("admitted")).withColumn("batch", F.lit(ecount)),
-        base_seq - 1,
-        n_rows=n_fetched,
+    # C8 fast path (round 5, VERDICT r4 item 3): gate OPTIMISTICALLY
+    # against the TTL-fresh cache with no fetch subplan in the job at
+    # all, counting cache-MISS rows inside the same politeness
+    # aggregation. Only an epoch that actually touches an uncached (or
+    # TTL-expired) host pays the robots fetch + re-gate; for cached
+    # hosts the optimistic gate IS the final answer (identical rules),
+    # so steady-state epochs skip the fetch stage, the cache union and
+    # the cache rewrite entirely.
+    ttl = getattr(cfg.web, "robots_ttl_batches", None)
+    fresh = (
+        robots_cache
+        if ttl is None
+        else robots_cache.filter(F.col("fetched_in_batch") >= ecount - ttl)
     )
-    fetched = fetch_and_extract(admitted, cfg.web).persist()
 
-    # C12 + C4 — exact anti-join dedup (the bloom/cuckoo fast path is a
-    # batch-loop optimization; correctness is the anti-join either way)
-    events = discover_links(fetched, P)
-    winners = dedup_in_batch(events)
-    new_unique = dedup_against_seen(winners, url_seen, None, P).persist()
+    def _gate(
+        rows: DataFrame, cache: DataFrame, miss_col: str | None = None
+    ) -> DataFrame:
+        return apply_politeness(
+            apply_robots(rows, cache, miss_col=miss_col),
+            cfg.web.politeness_k,
+            batch_window_s=cfg.web.batch_window_s,
+        )
 
-    # write-back BEFORE the catalog commit (see module docstring): the
-    # inbox carries ONLY new discoveries; deferred rows go to the
-    # frontier table in the snapshot commit below. A zero-row directory
-    # still gets published while a backlog remains — the tick that
-    # keeps the file source firing until the backlog drains.
-    enqueue = new_unique.select(
-        F.col("target_url").alias("canon_url"),
-        "url_hash",
-        "host",
-        "host_bucket",
-        (-F.col("depth").cast("double")).alias("priority"),
-        "depth",
-        "seed_id",
-        "parent_hash",
-    ).persist()
-    n_new = enqueue.count()
+    def _counts(c: DataFrame, with_miss: bool):
+        aggs = [
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("a"),
+            F.sum(
+                F.when(
+                    F.col("robots_ok") & ~F.col("admitted"), 1
+                ).otherwise(0)
+            ).alias("d"),
+        ]
+        if with_miss:
+            aggs.append(
+                F.sum(
+                    F.when(F.col("cache_miss"), 1).otherwise(0)
+                ).alias("m")
+            )
+        return c.agg(*aggs).collect()[0]
+
+    _GATED_COLS = _FRONTIER_COLS + ["robots_ok", "admitted"]
+    cand0 = _gate(sel, fresh, miss_col="cache_miss").persist()
+    _c = _counts(cand0, True)
+    if int(_c["m"] or 0) == 0:
+        # all hosts cache-fresh: commit the cache table only when TTL
+        # eviction could have changed it (None ⇒ carried forward)
+        robots_cache2 = None if ttl is None else fresh
+        cand = cand0
+        n_fetched = int(_c["a"] or 0)
+        n_deferred = int(_c["d"] or 0)
+    else:
+        # re-gate ONLY the missed-host rows: cache_miss is a host-level
+        # property and the politeness window partitions by host, so the
+        # cached-host half of the optimistic pass is already final —
+        # the fetch + re-window touches just the new hosts' rows
+        missed = cand0.filter(F.col("cache_miss")).select(*_FRONTIER_COLS)
+        robots_cache2 = refresh_robots_cache(
+            missed, robots_cache, cfg.web, ecount
+        ).persist()
+        cand = (
+            cand0.filter(~F.col("cache_miss"))
+            .select(*_GATED_COLS)
+            .unionByName(
+                _gate(missed, robots_cache2).select(*_GATED_COLS)
+            )
+            .persist()
+        )
+        _c = _counts(cand, False)
+        n_fetched = int(_c["a"] or 0)
+        n_deferred = int(_c["d"] or 0)
+    mark("gate+count")
+    prev_backlog_n = int(prev_state.get("stream_backlog_n", -1))
     ck_id = prev_state.get("crawl_ck_id") or os.path.basename(
         checkpoint.rstrip("/")
     )
-    if n_new > 0 or n_deferred > 0:
-        publish_epoch_dir(enqueue, inbox, f"epoch_{ck_id}_{int(epoch_id)}")
-    deferred_next = cand.filter(
-        F.col("robots_ok") & ~F.col("admitted")
-    ).select(*_FRONTIER_COLS)
+    epoch_name = f"epoch_{ck_id}_{int(epoch_id)}"
 
-    url_seen_delta = new_unique.select(
-        "url_hash",
-        F.col("target_url").alias("canon_url"),
-        part_id(F.col("url_hash"), P).alias("part_id"),
-    )
-    crawl_delta = fetched.select(
-        "seq", "batch", "canon_url", "url_hash", "host", "depth", "seed_id"
-    )
-    documents_delta = fetched.filter(
-        ~has_meta_directive(F.col("spans"), "noindex")
-    ).select(F.col("canon_url").alias("doc_id"), "spans", "batch")
-    fetched_counts = admitted.groupBy("host").agg(F.count("*").alias("n"))
-    host_state2 = (
-        host_state.join(fetched_counts, "host", "full")
-        .select(
-            "host",
-            (
-                F.coalesce(F.col("fetched_total"), F.lit(0))
-                + F.coalesce(F.col("n"), F.lit(0))
-            )
-            .cast("long")
-            .alias("fetched_total"),
-            F.when(F.col("n").isNotNull(), F.lit(ecount))
-            .otherwise(F.col("last_batch"))
-            .cast("int")
-            .alias("last_batch"),
+    fetched = winners = new_unique = None
+    n_new = 0
+    crawl_delta = documents_delta = url_seen_delta = host_state2 = None
+    if n_fetched > 0:
+        # C9 + C10/C11 — epoch-local deterministic order, seq continues
+        admitted = assign_seq(
+            cand.filter(F.col("admitted")).withColumn(
+                "batch", F.lit(ecount)
+            ),
+            base_seq - 1,
+            n_rows=n_fetched,
         )
-    )
+        fetched = fetch_and_extract(admitted, cfg.web).persist()
+        mark("plan_fetch")
+
+        # C12 + C4 — exact dedup. Steady-state epochs take the
+        # scan-only form (operators/dedup.py): broadcast the epoch's
+        # candidate keys against a MAP-SIDE scan of url_seen instead of
+        # re-shuffling the whole accumulated seen table every epoch
+        # (O(seen × epochs) exchange traffic); the shuffle anti-join
+        # remains the fallback when the PROVEN admitted count says the
+        # discovery set may be too big to broadcast.
+        events = discover_links(fetched, P)
+        if n_fetched <= SCANONLY_MAX_FETCHED:
+            # winners persisted: the scan-only form traverses it twice
+            # (once to broadcast its keys, once as the probe side); the
+            # broadcast-build job runs first and fills the cache
+            winners = dedup_in_batch(events).persist()
+            new_unique = dedup_against_seen_scanonly(winners, url_seen)
+        else:
+            winners = dedup_in_batch(events)
+            new_unique = dedup_against_seen(winners, url_seen, None, P)
+        new_unique = new_unique.persist()
+
+        # write-back BEFORE the catalog commit (see module docstring):
+        # the inbox carries ONLY new discoveries; deferred rows go to
+        # the frontier table in the snapshot commit below. n_new comes
+        # from the parquet footers of the staged write — one traversal
+        # of the discovery subplan, not a count() plus a write.
+        enqueue = new_unique.select(
+            F.col("target_url").alias("canon_url"),
+            "url_hash",
+            "host",
+            "host_bucket",
+            (-F.col("depth").cast("double")).alias("priority"),
+            "depth",
+            "seed_id",
+            "parent_hash",
+        )
+        staged, n_new = stage_epoch_rows(enqueue, inbox, epoch_name)
+        mark("fetch+discover+dedup+stage")
+        if n_new > 0 or n_deferred > 0:
+            commit_staged_dir(staged, inbox, epoch_name)
+        else:
+            abort_staged_dir(staged)
+        mark("publish_inbox")
+
+        if n_new > 0:
+            url_seen_delta = new_unique.select(
+                "url_hash",
+                F.col("target_url").alias("canon_url"),
+                part_id(F.col("url_hash"), P).alias("part_id"),
+            )
+        crawl_delta = fetched.select(
+            "seq", "batch", "canon_url", "url_hash", "host", "depth",
+            "seed_id",
+        )
+        documents_delta = fetched.filter(
+            ~has_meta_directive(F.col("spans"), "noindex")
+        ).select(F.col("canon_url").alias("doc_id"), "spans", "batch")
+        fetched_counts = admitted.groupBy("host").agg(
+            F.count("*").alias("n")
+        )
+        host_state2 = (
+            host_state.join(fetched_counts, "host", "full")
+            .select(
+                "host",
+                (
+                    F.coalesce(F.col("fetched_total"), F.lit(0))
+                    + F.coalesce(F.col("n"), F.lit(0))
+                )
+                .cast("long")
+                .alias("fetched_total"),
+                F.when(F.col("n").isNotNull(), F.lit(ecount))
+                .otherwise(F.col("last_batch"))
+                .cast("int")
+                .alias("last_batch"),
+            )
+        )
+    elif n_deferred > 0:
+        # nothing admitted but a backlog waits on politeness windows:
+        # a driver-side zero-row tick keeps the source firing — no
+        # Spark job, and the commit below is a pure state bump
+        publish_tick_dir(inbox, epoch_name)
+        mark("tick")
+
+    # frontier (replace-table) only when the backlog CONTENT can have
+    # changed: an empty backlog replacing an empty backlog is carried
+    # forward (None) instead of rewritten — the common saturated case
+    if n_deferred == 0 and prev_backlog_n == 0:
+        deferred_next = None
+    else:
+        deferred_next = cand.filter(
+            F.col("robots_ok") & ~F.col("admitted")
+        ).select(*_FRONTIER_COLS)
 
     cat.commit(
         cat.next_snapshot_id(),
         {
             **carry,
-            "url_seen": url_seen_delta,  # append table: delta only
-            "crawl_order": crawl_delta,  # append
-            "documents": documents_delta,  # append
-            "robots_cache": robots_cache2,
+            "url_seen": url_seen_delta,  # append delta; None when empty
+            "crawl_order": crawl_delta,  # append; None when no fetches
+            "documents": documents_delta,
+            "robots_cache": robots_cache2,  # None ⇒ cache unchanged
             "host_state": host_state2,
             "frontier": deferred_next,  # replace: the remaining backlog
         },
@@ -360,12 +555,32 @@ def _commit_epoch(
             "stream_next_seq": base_seq + n_fetched,
             "stream_fetched": int(prev_state.get("stream_fetched", 0))
             + n_fetched,
+            "stream_backlog_n": n_deferred,
         },
     )
-    cand.unpersist()
-    fetched.unpersist()
-    new_unique.unpersist()
-    enqueue.unpersist()
+    mark("commit")
+    if dbg and len(marks) > 1:
+        t0 = marks[0][1]
+        phases = " ".join(
+            f"{lbl}={t1 - prev:.2f}"
+            for (lbl, t1), (_, prev) in zip(marks[1:], marks[:-1])
+        )
+        print(
+            f"[epoch {int(epoch_id)}] total={marks[-1][1] - t0:.2f} {phases}",
+            flush=True,
+        )
+    sel.unpersist()
+    cand0.unpersist()
+    if cand is not cand0:
+        cand.unpersist()
+    if fetched is not None:
+        fetched.unpersist()
+    if winners is not None:
+        winners.unpersist()
+    if new_unique is not None:
+        new_unique.unpersist()
+    if robots_cache2 is not None and robots_cache2 is not fresh:
+        robots_cache2.unpersist()
 
 
 def run_crawl_streaming(
