@@ -46,6 +46,17 @@ def discover_links(fetched: DataFrame, num_buckets: int) -> DataFrame:
     the explode so nofollow pages never cost discovery bandwidth.
     """
     fetched = fetched.filter(~has_meta_directive(F.col("spans"), "nofollow"))
+    # slim the spans BEFORE the explode: link discovery never reads the
+    # text field, and text is the bulk of a span's bytes — exploding
+    # full spans materializes every paragraph once per span row
+    slim = F.transform(
+        "spans",
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
     links = fetched.select(
         F.col("seq").alias("parent_seq"),
         F.col("batch"),
@@ -54,7 +65,7 @@ def discover_links(fetched: DataFrame, num_buckets: int) -> DataFrame:
         F.col("canon_url").alias("_base"),
         (F.col("depth") + 1).alias("depth"),
         F.col("seed_id"),
-        F.posexplode("spans").alias("pos", "span"),
+        F.posexplode(slim).alias("pos", "span"),
         # redirect targets enter discovery exactly like links (the
         # Location header is the page's only outlink) — same lineage,
         # same dedup, same tie-break; kinds beyond these never carry
