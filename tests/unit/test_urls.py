@@ -209,3 +209,70 @@ def test_idn_to_ascii_vectors_and_gate(spark):
     # the UDF appears in the plan (the otherwise branch) but the rows
     # never reach it; value check is the behavioural gate here
     assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan
+
+
+def test_canonical_fixpoint_guard_sound(spark):
+    """The discovery fast path's guard is SOUND: every URL it marks
+    clean is bit-identical to its canonical form, and the guarded
+    staged pipeline equals the unguarded one row-for-row over a
+    messy-variant corpus plus adversarial hand vectors (dot segments,
+    empty segments, userinfo, ports, %-escapes, case, fragments,
+    tracking queries, trailing-dot hosts)."""
+    import random
+
+    from who_focus_crawler_spark.functions.urls import (
+        _canonical_fixpoint,
+        canonicalize_df,
+    )
+
+    rnd = random.Random(20260821)
+    urls = []
+    for i in range(4000):
+        h = f"h{rnd.randrange(300)}.example.org"
+        p = "/p/" + str(rnd.randrange(9999))
+        v = rnd.randrange(12)
+        u = f"http://{h}{p}"
+        if v == 0:
+            u = u.upper()
+        elif v == 1:
+            u = f"http://{h}:80{p}"
+        elif v == 2:
+            u = f"http://{h}/x/../p/{i}"
+        elif v == 3:
+            u = u + "#frag"
+        elif v == 4:
+            u = u + "?utm_source=x&b=2&a=1"
+        elif v == 5:
+            u = f"http://{h}{p}/%41%42"
+        elif v == 6:
+            u = f"http://{h}//double//{i}"
+        elif v == 7:
+            u = f"http://{h}{p}/./x"
+        elif v == 8:
+            u = f"http://user:pw@{h}{p}"
+        elif v == 9:
+            u = f"https://{h}{p}/~user/a-b_c.d"
+        elif v == 10:
+            u = u + "/"
+        urls.append((u,))
+    urls += [(u,) for u in [
+        "http://a.b/..", "http://a.b/.", "http://a.b/x/..", "http://a.b/",
+        "http://a.b", "http://a.b/a//b", "http://a.b/a/", "HTTP://a.b/",
+        "http://A.B/x", "http://a.b:8080/x", "http://a.b/x?y=1",
+        "http://a.b/x#f", "http://a.b/%2e%2e/", "ftp://a.b/x",
+        "http://a.b/.hidden", "http://a.b/x/.git/config", "http://a.b./x",
+        "http://a.b/ok~tilde._-x/",
+    ]]
+    df = spark.createDataFrame(urls, "url string")
+    out = canonicalize_df(
+        df.withColumn("clean", _canonical_fixpoint(F.col("url"))),
+        "url", "canon",
+    )
+    assert out.filter(F.col("clean") & (F.col("canon") != F.col("url"))).count() == 0
+    # the guard must actually fire on clean absolute URLs
+    assert out.filter(F.col("clean")).count() > 800
+    a = canonicalize_df(df, "url", "canon").select("url", "canon")
+    b = canonicalize_df(df, "url", "canon", fixpoint_guard=True).select(
+        "url", "canon"
+    )
+    assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0

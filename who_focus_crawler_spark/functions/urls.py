@@ -194,12 +194,48 @@ def canonicalize(url: Column) -> Column:
     return _assemble_canon(p["scheme"], p["host"], p["port"], path, p["raw_query"])
 
 
+def _canonical_fixpoint(url: Column) -> Column:
+    """TRUE only for URLs PROVABLY equal to their own canonical form —
+    the cheap one-regex guard that lets the hot discovery path skip the
+    whole staged parts/assembly pipeline for the overwhelmingly common
+    already-clean absolute link (round 5: resolve+canonicalize was
+    ~70 µs·core per discovered link, most of it spent re-deriving
+    strings that equal their input).
+
+    SOUND, not complete: the predicate may send a clean URL down the
+    slow path (harmless), but must never pass a URL the canonicalizer
+    would change. It therefore requires, syntactically: lowercase
+    http(s) scheme; lowercase ASCII reg-name host (no userinfo, no
+    port, no IP-literal brackets, no trailing dot); a present path of
+    unreserved-ish chars with NO '/.' substring (rules out '.'/'..'
+    segments AND hidden-dotfile edge cases), no '//' empty segment, no
+    percent-escapes; no query (the canonicalizer sorts/strips params)
+    and no fragment. Differentially fuzzed in
+    tests/unit/test_urls.py::test_canonical_fixpoint_guard_sound."""
+    return url.rlike(
+        r"^https?://[a-z0-9]([a-z0-9\-]*[a-z0-9])?"
+        r"(\.[a-z0-9]([a-z0-9\-]*[a-z0-9])?)*"
+        r"/([A-Za-z0-9_\-.~]+/)*[A-Za-z0-9_\-.~]*$"
+    ) & ~url.contains("/.")
+
+
 def canonicalize_df(
-    df: DataFrame, url_col: str = "url", out_col: str = "canon_url"
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canon_url",
+    fixpoint_guard: bool = False,
 ) -> DataFrame:
     """C1, staged for the hot path. Drops invalid/non-http rows and
     guarantees a non-NULL `out_col` (same surviving rows and values as
     `canonicalize(...).isNotNull()` — unit-tested equal).
+
+    ``fixpoint_guard=True`` (the discovery hot path): rows passing the
+    sound `_canonical_fixpoint` predicate bypass the parts/assembly
+    pipeline entirely — their input becomes the output verbatim, and
+    the staged expressions see NULL input (expression null-propagation
+    makes the regex stages ~free for them). Identical results by the
+    guard's soundness contract; OFF by default so every existing call
+    keeps its exact plan shape.
 
     Why not one expression: (a) a Column-level canonicalize duplicates
     non-cheap regex subtrees at every reference and the embedded Python
@@ -211,7 +247,16 @@ def canonicalize_df(
     projection, one Python crossing, and one assembly projection —
     CollapseProject refuses to re-merge them because the producers are
     non-cheap and multiply referenced."""
-    p = _url_part_exprs(F.col(url_col))
+    if fixpoint_guard:
+        # materialize the guard once as its own column (rlike is
+        # non-cheap and multiply referenced — CollapseProject keeps it
+        # staged, same trick as the parts below), then null the
+        # pipeline's input for guarded rows
+        df = df.withColumn("_c1_ok", _canonical_fixpoint(F.col(url_col)))
+        src = F.when(~F.col("_c1_ok"), F.col(url_col))
+    else:
+        src = F.col(url_col)
+    p = _url_part_exprs(src)
     step = df.withColumns(
         {
             "_c1_sch": p["scheme"],
@@ -228,7 +273,10 @@ def canonicalize_df(
     # pushed predicate and the whole tree gets re-evaluated per filter
     # (measured: branch-filters on the collapse/UDF columns re-expanded
     # the plan into 256-task stages 5-10x the total work).
-    step = step.filter(_url_ok(F.col("_c1_sch"), F.col("_c1_hst")))
+    ok = _url_ok(F.col("_c1_sch"), F.col("_c1_hst"))
+    if fixpoint_guard:
+        ok = F.col("_c1_ok") | ok
+    step = step.filter(ok)
     # native dot-segment collapse (bounded passes), lazily gated per row
     # to paths with a dot segment and no percent-escapes
     p0 = F.col("_c1_p0")
@@ -257,21 +305,21 @@ def canonicalize_df(
     # infer an IsNotNull(canon_url) constraint whose pushed filter inlines
     # the WHOLE defining expression — including a second ArrowEvalPython
     # (observed in the flagship anti-join plan)
-    out = step.withColumn(
-        out_col,
-        F.coalesce(
-            _assemble_core(
-                F.col("_c1_sch"),
-                F.col("_c1_hst"),
-                F.col("_c1_prt"),
-                F.col("_c1_fp"),
-                F.col("_c1_rq"),
-            ),
-            F.lit(""),
-        ),
+    assembled = _assemble_core(
+        F.col("_c1_sch"),
+        F.col("_c1_hst"),
+        F.col("_c1_prt"),
+        F.col("_c1_fp"),
+        F.col("_c1_rq"),
     )
+    if fixpoint_guard:
+        assembled = F.when(F.col("_c1_ok"), F.col(url_col)).otherwise(
+            assembled
+        )
+    out = step.withColumn(out_col, F.coalesce(assembled, F.lit("")))
     return out.drop(
-        "_c1_sch", "_c1_hst", "_c1_prt", "_c1_p0", "_c1_rq", "_c1_np", "_c1_fp"
+        "_c1_sch", "_c1_hst", "_c1_prt", "_c1_p0", "_c1_rq", "_c1_np",
+        "_c1_fp", "_c1_ok",
     )
 
 

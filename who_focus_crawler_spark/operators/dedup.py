@@ -42,13 +42,24 @@ def part_id(url_hash_col: Column, num_parts: int) -> Column:
 
 def dedup_in_batch(events: DataFrame) -> DataFrame:
     """First-occurrence winner per discovered target inside one batch;
-    frozen tie-break = (parent_seq, span offset) (SURVEY.md §5.3)."""
-    w = Window.partitionBy("target_url").orderBy("parent_seq", "offset")
-    return (
-        events.withColumn("rn_first", F.row_number().over(w))
-        .filter(F.col("rn_first") == 1)
-        .drop("rn_first")
+    frozen tie-break = (parent_seq, span offset) (SURVEY.md §5.3).
+
+    Implemented as min-of-struct aggregation, NOT a row_number window:
+    min(struct(parent_seq, offset, rest…)) per target is the identical
+    deterministic winner ((parent_seq, offset) is unique per event row,
+    so the lexicographic struct order never consults the tail), but an
+    aggregate gets a map-side partial combine — at a million exploded
+    link rows per crawl batch the shuffle carries one pre-reduced row
+    per (input partition, target) instead of every duplicate link
+    occurrence. A window must sort full groups and can't pre-reduce."""
+    lead = ["parent_seq", "offset"]
+    rest = [c for c in events.columns if c not in lead and c != "target_url"]
+    packed = events.groupBy("target_url").agg(
+        F.min(F.struct(*lead, *rest)).alias("_w")
     )
+    return packed.select(
+        "target_url", *[F.col(f"_w.{c}").alias(c) for c in lead + rest]
+    ).select(*events.columns)
 
 
 # ------------------------------------------------------------ bloom math ---

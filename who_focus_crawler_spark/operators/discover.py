@@ -86,7 +86,10 @@ def discover_links(fetched: DataFrame, num_buckets: int) -> DataFrame:
         ),
     ).withColumn("offset", F.col("span.offset"))
     return (
-        canonicalize_df(links, "href", "target_url")
+        # fixpoint_guard: most resolved hrefs are already canonical —
+        # the sound one-regex guard passes them through verbatim and
+        # the staged parts/assembly pipeline sees NULL input for them
+        canonicalize_df(links, "href", "target_url", fixpoint_guard=True)
         .drop("pos", "span", "href", "_base")
         .withColumn("url_hash", url_hash(F.col("target_url")))
         .withColumn("host", url_host(F.col("target_url")))
