@@ -85,8 +85,10 @@ BENCH_QUERIES = [
     "d_media_decode_gif",
     "d_media_mixed_decode3",
     # round-5 ops: 4:2:0+DRI JPEG (real-web layout) + refusal telemetry
+    # + full progressive (SOF2) decode
     "d_media_decode_jpeg420",
     "d_media_refusals",
+    "d_media_decode_jpeg_prog",
 ]
 
 

@@ -34,6 +34,7 @@ from who_focus_crawler_spark.corpus.jpeg import (
     JpegError,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 from who_focus_crawler_spark.corpus.png import PngError, decode_png, encode_png
 from who_focus_crawler_spark.corpus.wav import WavError, decode_wav, encode_wav
@@ -114,6 +115,15 @@ def _mutations(good: bytes, rng: random.Random, n: int, refix=None):
             "jpeg-420ri",
             encode_jpeg(
                 _PX3, 16, 16, 3, subsampling="420", restart_interval=1
+            ),
+            decode_jpeg,
+            JpegError,
+            None,
+        ),
+        (
+            "jpeg-prog",
+            encode_jpeg_progressive(
+                _PX3, 16, 16, 3, subsampling="420", restart_interval=2
             ),
             decode_jpeg,
             JpegError,

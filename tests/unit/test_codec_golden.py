@@ -121,6 +121,39 @@ _IMAGE_VECTORS = {
         "b50a01186bea1f9cb45b0f7f3c0db114",
         "8b8d9363646b94b3",
     ),
+    # 16×16 RGB PROGRESSIVE (SOF2) 4:2:0 with DRI=2: pins the
+    # multi-scan layout — DC first at Al=1, DC refinement, AC
+    # first scans with EOB runs, AC successive-approximation
+    # refinement with buffered correction bits (late round 5)
+    "jpeg_prog": (
+        "ffd8ffe000104a46494600010100000100010000ffdb004300100b0c0e0c0a10"
+        "0e0d0e1211101318281a181616183123251d283a333d3c3933383740485c4e40"
+        "4457453738506d51575f626768673e4d71797064785c656763ffdb0043011112"
+        "121815182f1a1a2f634238426363636363636363636363636363636363636363"
+        "636363636363636363636363636363636363636363636363636363636363ffc2"
+        "0011080010001003012200021101031101ffc4001f0000010501010101010100"
+        "000000000000000102030405060708090a0bffc4001f01000301010101010101"
+        "01010000000000000102030405060708090a0bffc400c31000000000000000b0"
+        "000000000000000000102030405060708090a0b0c0d0e0f00102030405060708"
+        "090a1112131415161718191a2122232425262728292a3132333435363738393a"
+        "4142434445464748494a5152535455565758595a6162636465666768696a7172"
+        "737475767778797a8182838485868788898a9192939495969798999aa1a2a3a4"
+        "a5a6a7a8a9aab1b2b3b4b5b6b7b8b9bac1c2c3c4c5c6c7c8c9cad1d2d3d4d5d6"
+        "d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9faffdd00040002ffda"
+        "000c0301000210031000000145103fffda000c0301000210031000001033ffda"
+        "0008010100013f0110974461a88042204384110103a0004234100804035100d4"
+        "441008495108d092204c35003fffd01a0d46d1a0844221430425d249c042210f"
+        "38001c446118441088040231cc352e174be0f42807ffda0008010200013f0100"
+        "ffda0008010300013f0100ffda0008010100013f1010c684804905d8429910c9"
+        "92489020428d4e20034008610c0d01a09017634428843424b049001fffd01008"
+        "4208842031a1253885d4212e1c440344c0402100100d44034001008442104403"
+        "5080e01246848109c4425c1026401fffda0008010200013f101a8d0b81f1160b"
+        "50e001ffda0008010300013f101a081a81e712e3046a356a807fffd9"
+        ,
+        (16, 16, 3),
+        "b50a01186bea1f9cb45b0f7f3c0db114",
+        "8b8d9363646b94b3",
+    ),
 }
 
 # 32 samples, stereo, 24-bit WAVE_FORMAT_EXTENSIBLE: pins the fmt-chunk

@@ -5,10 +5,12 @@ BOUNDED reconstruction error (constant blocks are DC-only and recover
 near-exactly; smooth surfaces stay within a few levels; the harness
 fixture rule is wrap-free and pinned at its measured bound). Round 5
 extends scope to chroma subsampling (4:2:0/4:2:2/4:4:0) and DRI/RSTn
-restart intervals; the decoder is still exercised against precise
-refusals for everything outside baseline sequential scope
-(progressive, arithmetic, 12-bit) — a crawler decodes hostile
-bytes."""
+restart intervals, and late round 5 adds FULL progressive (SOF2)
+decode — spectral selection + successive approximation — pinned by
+BIT-IDENTITY against the baseline decode of the same source (same
+quantized coefficients ⇒ same pixels, a far stronger oracle than a
+tolerance). The decoder is still exercised against precise refusals
+for arithmetic coding / 12-bit — a crawler decodes hostile bytes."""
 
 from __future__ import annotations
 
@@ -106,10 +108,16 @@ def test_hostile_bytes_rejected():
     good = encode_jpeg(px, 8, 8, 1)
     with pytest.raises(JpegError, match="SOI"):
         decode_jpeg(b"\x89PNG" + good)
-    # baseline marker patched to progressive
+    # baseline marker patched to progressive: SOF2 now DECODES (round
+    # 5), but a baseline scan header is malformed under progressive
+    # rules (a DC scan with Se=63) — still a TYPED rejection
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(JpegError, match="progressive"):
+    with pytest.raises(JpegError, match="Se=0|band|scan"):
         decode_jpeg(prog)
+    # arithmetic coding stays a precise refusal
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(JpegError, match="arithmetic"):
+        decode_jpeg(arith)
     at = good.find(b"\xff\xda")
     # a one-MCU image never reaches a restart boundary, so a spliced
     # DRI is harmless — it must now DECODE (round 5 added DRI/RSTn)
@@ -287,8 +295,9 @@ def test_attach_jpeg420_media_stats_spark(spark):
 
 def test_refusal_classifier_categories(spark):
     """classify_media_refusals maps the six-way fixture to its frozen
-    categories — progressive JPEG is 'unsupported:progressive-jpeg',
-    never 'malformed:jpeg'."""
+    categories — arithmetic-coded JPEG is 'unsupported:jpeg-feature',
+    never 'malformed:jpeg' (progressive DECODES since round 5 and so
+    left the refusal taxonomy)."""
     from who_focus_crawler_spark.corpus.multimodal import (
         attach_refusal_media,
         classify_media_refusals,
@@ -302,7 +311,90 @@ def test_refusal_classifier_categories(spark):
     got = {int(r.media_id[1:]) % 6: (r.fmt, r.refusal) for r in rows}
     assert got[0] == ("png", "ok")
     assert got[1] == ("jpeg", "ok")
-    assert got[2] == ("jpeg", "unsupported:progressive-jpeg")
+    assert got[2] == ("jpeg", "unsupported:jpeg-feature")
     assert got[3] == ("wav", "ok")
     assert got[4] == ("mp4", "unsupported:video")
     assert got[5] == ("ogg", "unsupported:compressed-audio")
+
+
+# ------------------------------------------------------------- round 5b:
+# full progressive (SOF2). The oracle is EXACT: both encoders quantize
+# identically, so the progressive stream must decode to pixels
+# bit-identical to the baseline stream's.
+
+def test_progressive_bit_identical_to_baseline():
+    from who_focus_crawler_spark.corpus.jpeg import encode_jpeg_progressive
+
+    for w, h in [(8, 8), (16, 16), (17, 13), (1, 1), (33, 9)]:
+        for ch, subs in ((1, ["444"]), (3, ["444", "420", "422"])):
+            for sub in subs:
+                for ri in (0, 2):
+                    if ch == 1:
+                        dig = hashlib.md5(f"{w}x{h}".encode()).digest()
+                        px = bytes(
+                            dig[c % 16] % 240 + r
+                            for r in range(h) for c in range(w)
+                        )
+                    else:
+                        px = _rgb_rule(f"p{w}x{h}{sub}".encode(), w, h)
+                    base = decode_jpeg(
+                        encode_jpeg(
+                            px, w, h, ch, subsampling=sub,
+                            restart_interval=ri,
+                        )
+                    )
+                    prog = decode_jpeg(
+                        encode_jpeg_progressive(
+                            px, w, h, ch, subsampling=sub,
+                            restart_interval=ri,
+                        )
+                    )
+                    assert base == prog, (w, h, ch, sub, ri)
+
+
+def test_progressive_bit_identical_on_hostile_content():
+    """Noise/stripes/checkerboards drive long zero runs, ZRL inside
+    refinement scans, multi-block EOB runs and dense coefficients —
+    every entropy path of Annex G, still bit-identical."""
+    import random
+
+    from who_focus_crawler_spark.corpus.jpeg import encode_jpeg_progressive
+
+    rnd = random.Random(20260821)
+    for _ in range(15):
+        w, hgt = rnd.randrange(1, 41), rnd.randrange(1, 41)
+        ch = rnd.choice([1, 3])
+        sub = "444" if ch == 1 else rnd.choice(["444", "420", "440"])
+        ri = rnd.choice([0, 1, 3])
+        kind = rnd.choice(["noise", "stripes", "checker"])
+        n = w * hgt * ch
+        if kind == "noise":
+            px = bytes(rnd.randrange(256) for _ in range(n))
+        elif kind == "stripes":
+            px = bytes(255 if (i // ch // w) % 2 else 0 for i in range(n))
+        else:
+            px = bytes(
+                255 if ((i // ch) % w + (i // ch) // w) % 2 else 0
+                for i in range(n)
+            )
+        a = decode_jpeg(
+            encode_jpeg(px, w, hgt, ch, subsampling=sub, restart_interval=ri)
+        )
+        b = decode_jpeg(
+            encode_jpeg_progressive(
+                px, w, hgt, ch, subsampling=sub, restart_interval=ri
+            )
+        )
+        assert a == b, (w, hgt, ch, sub, ri, kind)
+
+
+def test_progressive_wire_format():
+    """The stream really is progressive: SOF2 marker, multiple SOS
+    segments (DC first + DC refine + per-comp AC first + AC refine),
+    and the refinement scans carry successive-approximation Ah/Al."""
+    from who_focus_crawler_spark.corpus.jpeg import encode_jpeg_progressive
+
+    px = _rgb_rule(b"wirefmt", 16, 16)
+    b = encode_jpeg_progressive(px, 16, 16, 3, subsampling="420")
+    assert b.find(b"\xff\xc2") != -1 and b.find(b"\xff\xc0") == -1
+    assert b.count(b"\xff\xda") == 8  # 2 DC + 3 AC-first + 3 AC-refine

@@ -945,6 +945,7 @@ def attach_jpeg420_media(
     width: int = 16,
     height: int = 16,
     restart_interval: int = 2,
+    progressive: bool = False,
 ) -> DataFrame:
     """Deterministic REAL-4:2:0-JPEG media table: each document becomes
     an RGB baseline JPEG with 2×2 luma / 1×1 chroma sampling factors
@@ -955,13 +956,21 @@ def attach_jpeg420_media(
     t = ((r//2) + (c//2))·2 (chroma tint, constant per 2×2 group),
     RGB = (v, v, min(255, v+t)). Encoding runs distributed in
     mapInArrow; ``src_text`` rides along so the decode proof can
-    recompute the rule without a join."""
+    recompute the rule without a join. ``progressive=True`` encodes
+    the SAME coefficients as a multi-scan SOF2 stream (spectral
+    selection + successive approximation) — quantization is identical,
+    so its decode is bit-identical to the baseline stream's and the
+    same bounded-error oracle applies unchanged."""
     import hashlib
 
     import pyarrow as pa
 
-    from who_focus_crawler_spark.corpus.jpeg import encode_jpeg
+    from who_focus_crawler_spark.corpus.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
+    enc_fn = encode_jpeg_progressive if progressive else encode_jpeg
     out_schema = T.StructType(
         MEDIA_SCHEMA.fields + [T.StructField("src_text", T.StringType(), True)]
     )
@@ -982,7 +991,7 @@ def attach_jpeg420_media(
             mids, kinds, payloads, lens, metas = [], [], [], [], []
             for did, text in zip(ids, texts):
                 dig = hashlib.md5((text or "").encode("utf-8")).digest()
-                payload = encode_jpeg(
+                payload = enc_fn(
                     px_rule(dig), width, height, channels=3,
                     subsampling="420", restart_interval=restart_interval,
                 )
@@ -1080,9 +1089,10 @@ REFUSAL_SCHEMA = T.StructType(
 
 def _classify_payload(payload: bytes) -> tuple[str, str]:
     """(sniffed format, refusal category) for one payload. Categories
-    are FROZEN (oracle-shared): ok | unsupported:progressive-jpeg |
-    unsupported:jpeg-feature | unsupported:video |
-    unsupported:compressed-audio | malformed:<fmt> | unknown-format."""
+    are FROZEN (oracle-shared): ok | unsupported:jpeg-feature
+    (arithmetic/hierarchical/12-bit — progressive DECODES since round
+    5) | unsupported:video | unsupported:compressed-audio |
+    malformed:<fmt> | unknown-format."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from who_focus_crawler_spark.corpus.png import PngError, decode_png
 
@@ -1109,10 +1119,7 @@ def _classify_payload(payload: bytes) -> tuple[str, str]:
             decode_jpeg(payload)
             return "jpeg", "ok"
         except JpegError as e:
-            msg = str(e)
-            if "progressive" in msg:
-                return "jpeg", "unsupported:progressive-jpeg"
-            if "unsupported" in msg:
+            if "unsupported" in str(e):
                 return "jpeg", "unsupported:jpeg-feature"
             return "jpeg", "malformed:jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -1139,12 +1146,13 @@ def attach_refusal_media(
 ) -> DataFrame:
     """Deterministic six-way refusal-telemetry fixture, one payload per
     document by doc_id mod 6: (0) real PNG, (1) real baseline JPEG,
-    (2) a PROGRESSIVE JPEG — the baseline stream with its SOF0 marker
-    patched to SOF2, which is exactly how a progressive file announces
-    itself and what the decoder's typed refusal keys on, (3) real PCM
-    WAV, (4) an MP4-container payload, (5) an Ogg payload. Classes
-    0/1/3 decode for real; 2/4/5 exercise the three refusal
-    categories."""
+    (2) an ARITHMETIC-CODED JPEG — the baseline stream with its SOF0
+    marker patched to SOF9, exactly how an arithmetic file announces
+    itself and what the decoder's typed refusal keys on (progressive
+    SOF2 DECODES since round 5, so it can no longer serve as the
+    planted JPEG refusal), (3) real PCM WAV, (4) an MP4-container
+    payload, (5) an Ogg payload. Classes 0/1/3 decode for real; 2/4/5
+    exercise the three refusal categories."""
     import hashlib
 
     import pyarrow as pa
@@ -1175,7 +1183,7 @@ def attach_refusal_media(
                         payload = encode_jpeg(px, 16, 8, 1)
                         if m == 2:
                             payload = payload.replace(
-                                b"\xff\xc0", b"\xff\xc2", 1
+                                b"\xff\xc0", b"\xff\xc9", 1
                             )
                 elif m == 3:
                     samples = [

@@ -3887,11 +3887,13 @@ QUERIES["d_media_decode_jpeg420"] = (
 # payloads refused, not just that they did — the (fmt, refusal)
 # histogram over a corpus decides which codec gap blocks the most
 # bytes. The fixture plants a known six-way mix (real PNG / baseline
-# JPEG / PROGRESSIVE JPEG / PCM WAV / MP4 / Ogg by doc_id mod 6); the
-# engine sniffs, attempts the real decode, and maps every typed codec
-# error to a frozen category. The oracle recomputes the histogram
-# analytically from doc_id — any misclassification (e.g. progressive
-# reported as malformed) shifts a count and fails the hash.
+# JPEG / ARITHMETIC-coded JPEG / PCM WAV / MP4 / Ogg by doc_id mod 6 —
+# progressive DECODES since late round 5, so the planted JPEG refusal
+# is SOF9); the engine sniffs, attempts the real decode, and maps
+# every typed codec error to a frozen category. The oracle recomputes
+# the histogram analytically from doc_id — any misclassification
+# (e.g. arithmetic reported as malformed) shifts a count and fails
+# the hash.
 
 
 def d_media_refusals(spark: SparkSession, sf: str) -> DataFrame:
@@ -3913,7 +3915,7 @@ SELECT CASE doc_id % 6
          WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'jpeg'
          WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4' ELSE 'ogg' END AS fmt,
        CASE doc_id % 6
-         WHEN 2 THEN 'unsupported:progressive-jpeg'
+         WHEN 2 THEN 'unsupported:jpeg-feature'
          WHEN 4 THEN 'unsupported:video'
          WHEN 5 THEN 'unsupported:compressed-audio'
          ELSE 'ok' END AS refusal,
@@ -3923,3 +3925,43 @@ GROUP BY 1, 2
 """
 
 QUERIES["d_media_refusals"] = (d_media_refusals, D_MEDIA_REFUSALS_SQL)
+
+
+# --------------------------------------------------------------------------
+# REAL PROGRESSIVE (SOF2) JPEG decode end-to-end (late round 5): the
+# same 4:2:0 source rule encoded as a multi-scan progressive stream —
+# interleaved DC first scan at Al=1, DC refinement, per-component AC
+# first scans (EOB-run coded) and AC successive-approximation
+# refinement scans — i.e. the layout libjpeg's default progressive
+# script produces for most large web JPEGs. Quantization matches the
+# baseline encoder, so the decode is bit-identical to the baseline
+# stream's and the SAME bounded-error boolean oracle applies: a wrong
+# EOB-run length, a missed DC-predictor reset or a mis-applied
+# correction bit flips within_tol.
+
+
+def d_media_decode_jpeg_prog(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.multimodal import (
+        attach_jpeg420_media,
+        decode_jpeg420_stats,
+    )
+
+    media = attach_jpeg420_media(
+        t(spark, sf, "documents"), progressive=True
+    )
+    return decode_jpeg420_stats(media).select(
+        "media_id", "width", "height", "channels", "within_tol"
+    )
+
+
+D_MEDIA_DECODE_JPEG_PROG_SQL = """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       16 AS width, 16 AS height, 3 AS channels,
+       TRUE AS within_tol
+FROM documents
+"""
+
+QUERIES["d_media_decode_jpeg_prog"] = (
+    d_media_decode_jpeg_prog,
+    D_MEDIA_DECODE_JPEG_PROG_SQL,
+)
