@@ -6,9 +6,10 @@ stdlib zlib and PCM WAV only stdlib struct — so BOTH are decoded FOR
 REAL through the Arrow batch path: `decode_media(fake=False)` on
 PNG/WAV payloads (corpus/png.py: signature, chunk CRCs, inflate, all
 five scanline unfilters; corpus/wav.py: RIFF walk, fmt validation,
-PCM 8/16-bit frames) — and baseline JPEG needs only arithmetic, so it
-decodes for real as well (corpus/jpeg.py: marker walk, canonical
-Huffman, dequant, IDCT, YCbCr). `attach_png_media`/`decode_png_stats`,
+PCM 8/16-bit frames) — and JPEG needs only arithmetic, so BASELINE
+AND PROGRESSIVE (SOF2, successive approximation) decode for real as
+well (corpus/jpeg.py: marker walk, canonical Huffman, dequant, IDCT,
+YCbCr). `attach_png_media`/`decode_png_stats`,
 `attach_wav_media`/`decode_wav_stats` and `attach_jpeg_media`/
 `decode_jpeg_stats` give exact (or, for the lossy codec,
 bounded-error) statistics over deterministic real-codec fixtures.
@@ -104,9 +105,9 @@ def decode_media(media: DataFrame, frames_per_item: int = 3, fake: bool = False)
     With fake=False, PNG payloads decode FOR REAL (stdlib zlib,
     corpus/png.py) and 'frames' are horizontal bands with exact pixel
     statistics, and PCM WAV payloads decode FOR REAL (stdlib struct,
-    corpus/wav.py) with 'frames' as equal time slices, and baseline
-    JPEG decodes FOR REAL (corpus/jpeg.py, stdlib arithmetic only)
-    with bands of recovered lossy pixels; other formats need external
+    corpus/wav.py) with 'frames' as equal time slices, and JPEG —
+    baseline AND progressive — decodes FOR REAL (corpus/jpeg.py,
+    stdlib arithmetic only) with bands of recovered lossy pixels; other formats need external
     codecs and raise NotImplementedError. fake=True runs
     the deterministic stand-in through the identical Spark plumbing for
     any payload kind."""
