@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "d_media_decode_jpeg420",
     "d_media_refusals",
     "d_media_decode_jpeg_prog",
+    "d_media_mp4_meta",
 ]
 
 

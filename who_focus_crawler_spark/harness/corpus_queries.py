@@ -3965,3 +3965,42 @@ QUERIES["d_media_decode_jpeg_prog"] = (
     d_media_decode_jpeg_prog,
     D_MEDIA_DECODE_JPEG_PROG_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# REAL MP4/ISO-BMFF container-metadata walk (late round 5): the video
+# CODEC is honestly stubbed, but a crawler INDEXES container metadata
+# — duration, geometry, codec fourccs, audio layout — and the ISO-BMFF
+# box tree is plain struct arithmetic (corpus/mp4.py: typed Mp4Error,
+# depth/box caps, mdat skipped by size so cost is O(box tree) not
+# O(payload)). The fixture plants genuine minimal MP4 files whose
+# every field follows an analytic doc_id rule the DuckDB twin states
+# exactly — a wrong fixed-point shift, box-size walk or sample-entry
+# offset flips real values, not booleans.
+
+
+def d_media_mp4_meta(spark: SparkSession, sf: str) -> DataFrame:
+    from who_focus_crawler_spark.corpus.multimodal import (
+        attach_mp4_media,
+        parse_mp4_meta_df,
+    )
+
+    media = attach_mp4_media(t(spark, sf, "documents"))
+    return parse_mp4_meta_df(media)
+
+
+D_MEDIA_MP4_META_SQL = """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       'isom' AS brand,
+       1000 + (doc_id * 37) % 3600000 AS duration_ms,
+       CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS n_tracks,
+       'avc1' AS video_codec,
+       CAST(320 + (doc_id % 4) * 160 AS INTEGER) AS width,
+       CAST(((320 + (doc_id % 4) * 160) * 9) / 16 AS INTEGER) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 2 END AS audio_channels,
+       CASE WHEN doc_id % 4 = 0 THEN 44100
+            WHEN doc_id % 2 = 0 THEN 48000 END AS sample_rate
+FROM documents
+"""
+
+QUERIES["d_media_mp4_meta"] = (d_media_mp4_meta, D_MEDIA_MP4_META_SQL)
